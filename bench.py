@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus rows_per_sec context}.
+
+Scaling evidence for the north rule (efficiency >= 0.8 from N to 4N
+executors) is produced by tools/bench_scaling.py which runs this same
+workload at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from json_spark.session import get_spark  # noqa: E402
+from json_spark.plans.registry import QUERIES  # noqa: E402
+
+#: headline set: one per operator family (stats, uniqueness, referential,
+#: coercion, drift, rollup) — each an action that scans the fact table
+HEADLINE = [
+    "stats_lineitem",
+    "stats_quantiles",
+    "uniqueness_summary",
+    "duplicate_keys",
+    "referential_orphans",
+    "coercion_number",
+    "coercion_date",
+    "drift_psi",
+    "drift_ks",
+    "verdict_rollup",
+]
+
+
+def run(sf_dir: str, cores: int, spark=None) -> dict:
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("json_spark-bench", cores=cores,
+                          shuffle_partitions=max(cores, 8))
+    timings: dict[str, float] = {}
+    total_rows = 0
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        total_rows += n
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+    }
+    if own_session:
+        spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cores)))

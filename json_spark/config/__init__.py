@@ -1,0 +1,34 @@
+from .rules import (
+    BoolFromNull,
+    BoolFromNumbers,
+    BoolFromStrings,
+    BoolRules,
+    DateFromNumbers,
+    DateFromStrings,
+    DateRules,
+    FlexKeys,
+    NumberFromStrings,
+    NumberRules,
+    RuleConfig,
+    default_config,
+    strict_config,
+)
+from .loader import load_config, config_from_dict
+
+__all__ = [
+    "BoolFromNull",
+    "BoolFromNumbers",
+    "BoolFromStrings",
+    "BoolRules",
+    "DateFromNumbers",
+    "DateFromStrings",
+    "DateRules",
+    "FlexKeys",
+    "NumberFromStrings",
+    "NumberRules",
+    "RuleConfig",
+    "default_config",
+    "strict_config",
+    "load_config",
+    "config_from_dict",
+]

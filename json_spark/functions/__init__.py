@@ -1,0 +1,32 @@
+from .coercion import (
+    CoercionResult,
+    coerce_array,
+    coerce_bool,
+    coerce_date,
+    coerce_integer,
+    coerce_number,
+    coerce_object,
+    coerce_string,
+    coerce_time_of_day,
+    coerce_timestamp,
+    verdict_rank,
+)
+from .keys import chameleon_key, case_insensitive_key, detect_case, normalize_keys_map
+
+__all__ = [
+    "CoercionResult",
+    "coerce_array",
+    "coerce_bool",
+    "coerce_date",
+    "coerce_integer",
+    "coerce_number",
+    "coerce_object",
+    "coerce_string",
+    "coerce_time_of_day",
+    "coerce_timestamp",
+    "verdict_rank",
+    "chameleon_key",
+    "case_insensitive_key",
+    "detect_case",
+    "normalize_keys_map",
+]

@@ -1,0 +1,408 @@
+"""Coercion predicate library — the reference's tolerance rules as Columns.
+
+Each ``coerce_*`` takes a raw STRING column (one JSON-ish scalar token per
+row; SQL NULL models JSON null) plus a RuleConfig and returns a
+:class:`CoercionResult` of three pure Column expressions:
+
+- ``strict``  — value under strict JSON decoding (null when strict fails),
+- ``coerced`` — best-effort value (strict, else the tolerant path),
+- ``verdict`` — 'GREEN' | 'YELLOW' | 'RED', mirroring the reference's result
+  color model (internal/dirtyjson/result.go:4-18): GREEN = strict pass,
+  YELLOW = recovered via a tolerance rule, RED = unrecoverable.
+
+Everything is built-in ``pyspark.sql.functions`` — no Python row UDFs — so
+Catalyst constant-folds the rule flags (they are driver-side literals) and
+whole-stage codegen applies. All casts are try_* forms: identical behavior
+under ANSI (Spark 4 default) and legacy modes.
+
+Reference semantics reproduced (file:line into /root/reference):
+- number from string: strip spaces/commas then parse (dirtytypes.go:111-144)
+- number from bool/null (dirtytypes.go:150-169); containers rejected (171-173)
+- integer: base-10 strict; RoundingAlgorithm none/floor/round — declared in
+  config (enums.go:96-108) but TODO in the reference (dirtytypes.go:227-230);
+  implemented here
+- bool from strings/numbers/null (dirtytypes.go:299-454, bool-from-num.go)
+- string strict + surrounding-space trim (dirtytypes.go:284-296, helpers.go:29-41)
+- date/datetime/time multi-layout + unix s/ms + aliases (dirtytypes.go:513-657)
+- array/object strict + AutoWrapSingleValues (dirtytypes.go:457-510,
+  config.go:141-146)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config.rules import RuleConfig
+
+# verdict literals must be built lazily (F.lit needs an active session in
+# classic PySpark), hence functions not module constants
+def GREEN() -> Column:
+    return F.lit("GREEN")
+
+
+def YELLOW() -> Column:
+    return F.lit("YELLOW")
+
+
+def RED() -> Column:
+    return F.lit("RED")
+
+#: a JSON number literal (strict path accepts exponents — that's valid JSON)
+_JSON_NUMBER_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+_JSON_INT_RE = r"^-?\d+$"
+#: container openers are rejected by scalar coercions (dirtytypes.go:171-173)
+_CONTAINER_RE = r"^\s*[\[{]"
+
+
+@dataclass(frozen=True)
+class CoercionResult:
+    strict: Column
+    coerced: Column
+    verdict: Column
+
+    def with_prefix(self, name: str) -> list[Column]:
+        """Aliased triple ``{name}__strict / __coerced / __verdict``."""
+        return [
+            self.strict.alias(f"{name}__strict"),
+            self.coerced.alias(f"{name}__coerced"),
+            self.verdict.alias(f"{name}__verdict"),
+        ]
+
+
+def verdict_rank(verdict: Column) -> Column:
+    """GREEN→0, YELLOW→1, RED→2 for max()-rollup to partition verdicts."""
+    return (
+        F.when(verdict == "GREEN", F.lit(0))
+        .when(verdict == "YELLOW", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
+def _result(strict: Column, tolerant: Column, red_forced: Column | None = None) -> CoercionResult:
+    """Assemble the GREEN/YELLOW/RED triple from strict + tolerant values."""
+    verdict = (
+        F.when(strict.isNotNull(), GREEN())
+        .when(tolerant.isNotNull(), YELLOW())
+        .otherwise(RED())
+    )
+    if red_forced is not None:
+        verdict = F.when(red_forced, RED()).otherwise(verdict)
+        tolerant = F.when(red_forced, F.lit(None)).otherwise(tolerant)
+    return CoercionResult(
+        strict=strict,
+        coerced=F.coalesce(strict, tolerant),
+        verdict=verdict,
+    )
+
+
+# --------------------------------------------------------------------------
+# numbers
+# --------------------------------------------------------------------------
+
+def _cleaned_numeric_string(c: Column, cfg: RuleConfig) -> Column:
+    """Space/comma stripping in the reference's order (dirtytypes.go:123-129)."""
+    fs = cfg.number_rules.from_strings
+    out = F.trim(c)
+    if fs.spacing_allowed:
+        out = F.regexp_replace(out, " ", "")
+    if fs.commas_allowed:
+        out = F.regexp_replace(out, ",", "")
+    return out
+
+
+def coerce_number(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Target DoubleType. Strict = JSON number token; tolerances per config."""
+    nr = cfg.number_rules
+    strict = F.when(c.rlike(_JSON_NUMBER_RE), c).otherwise(F.lit(None)).try_cast("double")
+
+    tolerant = F.lit(None).cast("double")
+    if not nr.disabled:
+        if not nr.from_strings.disabled:
+            cleaned = _cleaned_numeric_string(c, cfg)
+            if not nr.from_strings.exponent_notation_allowed:
+                cleaned = F.when(cleaned.rlike("[eE]"), F.lit(None)).otherwise(cleaned)
+            # reject Inf/NaN-ish tokens Spark's cast accepts but JSON doesn't
+            cleaned = F.when(cleaned.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), cleaned)
+            tolerant = cleaned.try_cast("double")
+        if not nr.from_bools_disabled:
+            low = F.lower(F.trim(c))
+            tolerant = F.coalesce(
+                tolerant,
+                F.when(low == "true", F.lit(1.0)).when(low == "false", F.lit(0.0)),
+            )
+        if not nr.from_null_disabled:
+            tolerant = F.when(c.isNull(), F.lit(0.0)).otherwise(tolerant)
+    return _result(strict, tolerant, red_forced=c.rlike(_CONTAINER_RE))
+
+
+def coerce_integer(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Target LongType. Strict = JSON integer token (ParseInt base 10,
+    dirtytypes.go:233,275); float strings go through RoundingAlgorithm."""
+    nr = cfg.number_rules
+    strict = F.when(c.rlike(_JSON_INT_RE), c).otherwise(F.lit(None)).try_cast("long")
+
+    tolerant = F.lit(None).cast("long")
+    if not nr.disabled:
+        if not nr.from_strings.disabled:
+            cleaned = _cleaned_numeric_string(c, cfg)
+            if not nr.from_strings.exponent_notation_allowed:
+                cleaned = F.when(cleaned.rlike("[eE]"), F.lit(None)).otherwise(cleaned)
+            as_int = F.when(cleaned.rlike(_JSON_INT_RE), cleaned).try_cast("long")
+            as_dbl = F.when(
+                cleaned.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), cleaned
+            ).try_cast("double")
+            alg = nr.from_strings.rounding_algorithm
+            if alg == "floor":
+                from_float = F.floor(as_dbl).try_cast("long")
+            elif alg == "round":
+                # Go math.Round = half away from zero == Spark round(double)
+                from_float = F.round(as_dbl).try_cast("long")
+            else:  # "none": only zero-decimal floats pass
+                from_float = F.when(as_dbl == F.floor(as_dbl), F.floor(as_dbl)).try_cast("long")
+            tolerant = F.coalesce(as_int, from_float)
+        if not nr.from_bools_disabled:
+            low = F.lower(F.trim(c))
+            tolerant = F.coalesce(
+                tolerant,
+                F.when(low == "true", F.lit(1).cast("long"))
+                .when(low == "false", F.lit(0).cast("long")),
+            )
+        if not nr.from_null_disabled:
+            tolerant = F.when(c.isNull(), F.lit(0).cast("long")).otherwise(tolerant)
+    return _result(strict, tolerant, red_forced=c.rlike(_CONTAINER_RE))
+
+
+# --------------------------------------------------------------------------
+# booleans
+# --------------------------------------------------------------------------
+
+def _bool_from_number_expr(n: Column, parse_func: str) -> Column:
+    """internal/dirtyjson/bool-from-num.go:17-45."""
+    if parse_func == "positive_negative":
+        return F.when(n.isNotNull(), n > 0)
+    if parse_func == "sign_of_one":
+        return F.when(n == 1, F.lit(True)).when(n == -1, F.lit(False))
+    # "binary" (default)
+    return F.when(n == 1, F.lit(True)).when(n == 0, F.lit(False))
+
+
+def coerce_bool(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Target BooleanType. Order mirrors dirtytypes.go:338-418:
+    custom lists → numbers logic (if RespectFromNumbersLogic) → fallback."""
+    br = cfg.bool_rules
+    low_strict = F.trim(c)
+    strict = F.when(low_strict == "true", F.lit(True)).when(
+        low_strict == "false", F.lit(False)
+    )
+
+    tolerant = F.lit(None).cast("boolean")
+    fallback_applies = F.lit(False)
+    if not br.disabled:
+        if not br.from_strings.disabled:
+            fs = br.from_strings
+            probe = F.trim(c)
+            if fs.case_insensitive:
+                probe = F.lower(probe)
+                true_list = [s.lower() for s in fs.true_list]
+                false_list = [s.lower() for s in fs.false_list]
+            else:
+                true_list = list(fs.true_list)
+                false_list = list(fs.false_list)
+            tolerant = F.when(probe.isin(true_list), F.lit(True)).when(
+                probe.isin(false_list), F.lit(False)
+            )
+            if fs.respect_from_numbers_logic and not br.from_numbers.disabled:
+                as_num = F.trim(c).try_cast("double")
+                tolerant = F.coalesce(
+                    tolerant, _bool_from_number_expr(as_num, br.from_numbers.parse_func)
+                )
+            # fallback value for non-null strings that matched nothing
+            # (dirtytypes.go:395); FallbackValue null ⇒ stays RED
+            if br.fallback_value is not None:
+                fallback_applies = c.isNotNull() & ~c.rlike(_CONTAINER_RE)
+        elif not br.from_numbers.disabled:
+            as_num = F.trim(c).try_cast("double")
+            tolerant = _bool_from_number_expr(as_num, br.from_numbers.parse_func)
+        if not br.from_null.disabled:
+            tolerant = F.when(
+                c.isNull(), F.lit(bool(br.from_null.inverse))
+            ).otherwise(tolerant)
+
+    if br.fallback_value is not None and not br.disabled and not br.from_strings.disabled:
+        tolerant = F.coalesce(
+            tolerant, F.when(fallback_applies, F.lit(bool(br.fallback_value)))
+        )
+    return _result(strict, tolerant, red_forced=c.rlike(_CONTAINER_RE))
+
+
+# --------------------------------------------------------------------------
+# strings
+# --------------------------------------------------------------------------
+
+def coerce_string(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Strict accepts any string; surrounding whitespace is recoverable
+    (trimmed) per helpers.go:29-41. Null is RED (no String.FromNull rule)."""
+    trimmed = F.trim(c)
+    strict = F.when(c == trimmed, c)
+    tolerant = F.when(c.isNotNull(), trimmed)
+    return _result(strict, tolerant)
+
+
+# --------------------------------------------------------------------------
+# dates / timestamps / time-of-day
+# --------------------------------------------------------------------------
+
+#: weekday-name prefix ("Mon, " / "Monday, ") — Spark can't PARSE 'EEE'
+#: patterns (formatting-only), so we strip the prefix and parse the rest.
+_WEEKDAY_PREFIX_RE = r"^(Mon|Tue(s)?|Wed(nes)?|Thu(rs)?|Fri|Sat(ur)?|Sun)(day)?, "
+
+
+def _layouts_without_weekday(layouts: tuple[str, ...]) -> list[str]:
+    seen, out = set(), []
+    for p in layouts:
+        p = p.replace("EEEE, ", "").replace("EEE, ", "")
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def _timestamp_tolerant(c: Column, cfg: RuleConfig) -> Column:
+    dr = cfg.date_rules
+    branches: list[Column] = []
+    if dr.from_strings.allowed:
+        stripped = F.regexp_replace(F.trim(c), _WEEKDAY_PREFIX_RE, "")
+        layouts = _layouts_without_weekday(
+            dr.from_strings.datetime_layouts + dr.from_strings.date_layouts
+        )
+        branches += [F.try_to_timestamp(stripped, F.lit(p)) for p in layouts]
+        if dr.from_strings.aliases:
+            low = F.lower(F.trim(c))
+            branches.append(
+                F.when(low == "now", F.date_trunc("second", F.current_timestamp()))
+                .when(low == "today", F.to_timestamp(F.current_date()))
+                .when(low == "yesterday", F.to_timestamp(F.date_add(F.current_date(), -1)))
+                .when(low == "tomorrow", F.to_timestamp(F.date_add(F.current_date(), 1)))
+            )
+    if not dr.from_numbers.disabled and dr.from_strings.respect_from_numbers_logic:
+        digits = F.trim(c)
+        # s-vs-ms disambiguation by digit count (default.toml:114-116 caveat):
+        # 12-14 digits ⇒ millis, 1-11 ⇒ seconds
+        if dr.from_numbers.unix_milli_timestamp:
+            branches.append(
+                F.when(digits.rlike(r"^\d{12,14}$"),
+                       F.timestamp_millis(digits.try_cast("long")))
+            )
+        if dr.from_numbers.unix_timestamp:
+            branches.append(
+                F.when(digits.rlike(r"^\d{1,11}$"),
+                       F.timestamp_seconds(digits.try_cast("long")))
+            )
+    if not dr.from_null_disabled:
+        # null → zero time (dirtytypes.go:628-632)
+        branches.append(F.when(c.isNull(), F.timestamp_seconds(F.lit(0))))
+    if not branches:
+        return F.lit(None).cast("timestamp")
+    return F.coalesce(*branches)
+
+
+def _timestamp_strict(c: Column) -> Column:
+    """Strict = RFC3339 (Go's clean time.Time decode, dirtytypes.go:513-521)."""
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX")),
+    )
+
+
+def _date_red_forced(c: Column) -> Column:
+    """Bools and containers are rejected for dates (dirtytypes.go:633-636)."""
+    return c.rlike(_CONTAINER_RE) | F.lower(F.trim(c)).isin("true", "false")
+
+
+def coerce_timestamp(c: Column, cfg: RuleConfig) -> CoercionResult:
+    if cfg.date_rules.disabled:
+        return _result(_timestamp_strict(c), F.lit(None).cast("timestamp"),
+                       red_forced=_date_red_forced(c))
+    return _result(_timestamp_strict(c), _timestamp_tolerant(c, cfg),
+                   red_forced=_date_red_forced(c))
+
+
+def coerce_date(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Date truncates to day (dirtytypes.go:534-539)."""
+    ts = coerce_timestamp(c, cfg)
+    return CoercionResult(
+        strict=ts.strict.try_cast("date"),
+        coerced=ts.coerced.try_cast("date"),
+        verdict=ts.verdict,
+    )
+
+
+def coerce_time_of_day(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Time drops the date (dirtytypes.go:553-557); no native Spark TimeType,
+    so the value is seconds-of-day (long)."""
+    dr = cfg.date_rules
+    time_branches = [
+        F.try_to_timestamp(F.trim(c), F.lit(p)) for p in dr.from_strings.time_layouts
+    ] if (not dr.disabled and dr.from_strings.allowed) else []
+    ts = coerce_timestamp(c, cfg)
+    tolerant_ts = F.coalesce(*time_branches, ts.coerced) if time_branches else ts.coerced
+
+    def _secs(col: Column) -> Column:
+        return (
+            F.hour(col) * 3600 + F.minute(col) * 60 + F.second(col)
+        ).try_cast("long")
+
+    verdict = (
+        F.when(ts.strict.isNotNull(), GREEN())
+        .when(tolerant_ts.isNotNull(), YELLOW())
+        .otherwise(RED())
+    )
+    verdict = F.when(_date_red_forced(c), RED()).otherwise(verdict)
+    return CoercionResult(
+        strict=_secs(ts.strict),
+        coerced=F.when(~_date_red_forced(c), _secs(tolerant_ts)),
+        verdict=verdict,
+    )
+
+
+# --------------------------------------------------------------------------
+# arrays / objects (embedded JSON in string columns)
+# --------------------------------------------------------------------------
+
+def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string") -> CoercionResult:
+    """Strict: JSON array or null (dirtytypes.go:457-482). AutoWrapSingleValues
+    (config-declared only in the reference, config.go:141-146) wraps scalars."""
+    parsed = F.from_json(c, f"array<{element_type}>")
+    is_array_token = c.rlike(r"^\s*\[")
+    strict = F.when(c.isNull() | (is_array_token & parsed.isNotNull()), parsed)
+    # strict verdict needs a non-null marker for the null-input case
+    strict_ok = c.isNull() | (is_array_token & parsed.isNotNull())
+
+    tolerant = F.lit(None).cast(f"array<{element_type}>")
+    if not cfg.array_rules.disabled and cfg.array_rules.auto_wrap_single_values:
+        scalar = ~c.rlike(r"^\s*[\[{]") & c.isNotNull()
+        tolerant = F.when(scalar, F.array(c.try_cast(element_type)))
+
+    verdict = (
+        F.when(strict_ok, GREEN())
+        .when(tolerant.isNotNull(), YELLOW())
+        .otherwise(RED())
+    )
+    return CoercionResult(
+        strict=strict,
+        coerced=F.coalesce(strict, tolerant),
+        verdict=verdict,
+    )
+
+
+def coerce_object(c: Column, cfg: RuleConfig) -> CoercionResult:
+    """Strict: JSON object or null (dirtytypes.go:485-510) → map<string,string>."""
+    parsed = F.from_json(c, "map<string,string>")
+    is_obj_token = c.rlike(r"^\s*\{")
+    strict_ok = c.isNull() | (is_obj_token & parsed.isNotNull())
+    strict = F.when(strict_ok, parsed)
+    verdict = F.when(strict_ok, GREEN()).otherwise(RED())
+    return CoercionResult(strict=strict, coerced=strict, verdict=verdict)

@@ -1,0 +1,74 @@
+"""FlexKeys: key matching/normalization as Column expressions.
+
+Mirrors the reference's key tolerance layer:
+- case-insensitive matching (decoder.go:255-257)
+- "chameleon" matching — camelCase / snake_case / kebab-case / PascalCase /
+  Header-Case / Title_Snake / hybrid all unify by lowercasing and dropping
+  separators (helpers.go:45-67, decoder.go:259-261)
+- the 7 case-convention detectors of cases/cases.go:12-20,37-275 as rlike
+  predicates (used for the key-style column stat)
+
+Driver-side schema alignment uses the same normalization in Python
+(:func:`normalize_name`); executor-side (embedded-JSON map columns) uses
+``F.transform_keys``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def chameleon_key(c: Column) -> Column:
+    """lowercase + drop ``_ - `` separators (helpers.go:45-67)."""
+    return F.regexp_replace(F.lower(c), "[-_ ]", "")
+
+
+def case_insensitive_key(c: Column) -> Column:
+    return F.lower(c)
+
+
+def normalize_name(name: str, chameleon: bool = True) -> str:
+    """Driver-side twin of :func:`chameleon_key` for schema alignment."""
+    low = name.lower()
+    if chameleon:
+        return low.replace("-", "").replace("_", "").replace(" ", "")
+    return low
+
+
+def normalize_keys_map(m: Column, chameleon: bool = True) -> Column:
+    """Normalize the keys of a map<string,*> column (embedded JSON objects)."""
+    if chameleon:
+        return F.transform_keys(m, lambda k, _v: chameleon_key(k))
+    return F.transform_keys(m, lambda k, _v: F.lower(k))
+
+
+#: regex per convention (cases/cases.go detectors 37-193). A word is
+#: [a-z0-9]+ / [A-Z][a-z0-9]* etc.; single-word strings match several
+#: conventions, like in the reference.
+_CASE_RES: dict[str, str] = {
+    "snake": r"^[a-z0-9]+(_[a-z0-9]+)*$",
+    "camel": r"^[a-z][a-z0-9]*([A-Z][a-z0-9]*)*$",
+    "pascal": r"^([A-Z][a-z0-9]*)+$",
+    "kebab": r"^[a-z0-9]+(-[a-z0-9]+)*$",
+    "header": r"^[A-Z][a-z0-9]*(-[A-Z][a-z0-9]*)*$",
+    "title_snake": r"^[A-Z][a-z0-9]*(_[A-Z][a-z0-9]*)*$",
+    # hybrid: mixes separators/cases but still word-ish
+    "hybrid": r"^[A-Za-z0-9]+([-_ ][A-Za-z0-9]+)+$",
+}
+
+
+def detect_case(c: Column) -> Column:
+    """First matching convention name (detector order mirrors cases.go:196-215),
+    'unknown' when none match."""
+    expr = F.lit("unknown")
+    for name in reversed(["snake", "camel", "pascal", "kebab", "header", "title_snake", "hybrid"]):
+        expr = F.when(c.rlike(_CASE_RES[name]), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def is_case(c: Column, convention: str) -> Column:
+    """``cases.Is(s, target)`` (cases/cases.go:196-215) as a predicate."""
+    if convention not in _CASE_RES:
+        raise ValueError(f"unknown case convention: {convention}")
+    return c.rlike(_CASE_RES[convention])

@@ -1,0 +1,106 @@
+"""Distribution-drift checks: histograms → PSI and two-sample KS.
+
+North-rule ops (BASELINE.json:6): drift of sr_hz / dur_ms / codec
+distributions per partition vs a baseline-stats table.
+
+Scale shape: one aggregation reduces the raw table to
+|partitions| x |buckets| rows (tiny), then PSI/KS are pure Column
+arithmetic on the joined histogram tables — no second pass over the data,
+no Python. This is the only sane layout at 100 TB: the expensive thing
+(the scan) happens exactly once and everything downstream is O(buckets).
+
+- PSI: sum over buckets of (p - q) * ln(p / q), with epsilon-clamped
+  shares so empty buckets don't blow up.
+- KS statistic: max over buckets of |ECDF_p - ECDF_q| computed with a
+  running-sum window over the bucket axis (well-defined for binned data;
+  exact KS on raw samples is not computable without a full sort, and the
+  binned statistic converges to it as buckets grow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: bucket index + count (+ share within group).
+
+    Fixed (lo, hi) comes from the baseline-stats table so baseline and
+    current bucket edges are identical — a drift check against shifting
+    edges is meaningless. Out-of-range values clamp to the edge buckets.
+    """
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
+    ).cast("int").alias("bucket")
+    keys = list(group_cols or [])
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return counts.withColumn("share", F.col("n") / F.sum("n").over(w))
+
+
+def categorical_histogram(df: DataFrame, col: str,
+                          group_cols: list[str] | None = None) -> DataFrame:
+    """Category share table (for codec drift)."""
+    keys = list(group_cols or [])
+    counts = df.groupBy(*keys, F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return counts.withColumn("share", F.col("n") / F.sum("n").over(w))
+
+
+def psi(current: DataFrame, baseline: DataFrame,
+        on: list[str], group_cols: list[str] | None = None) -> DataFrame:
+    """Population Stability Index between two share tables.
+
+    ``on``: the bucket/category key columns. Full outer join so buckets
+    present on one side only still contribute (epsilon-clamped).
+    Conventional gates: <0.1 stable, 0.1-0.25 moderate, >0.25 drifted.
+    """
+    keys = list(group_cols or [])
+    cur = current.select(*keys, *on, F.col("share").alias("p"))
+    base = baseline.select(*on, F.col("share").alias("q"))
+    j = cur.join(F.broadcast(base), on, "full_outer").fillna({"p": 0.0, "q": 0.0})
+    p = F.greatest(F.col("p"), F.lit(EPS))
+    q = F.greatest(F.col("q"), F.lit(EPS))
+    term = (p - q) * F.log(p / q)
+    if keys:
+        return j.groupBy(*keys).agg(F.sum(term).alias("psi"))
+    return j.agg(F.sum(term).alias("psi"))
+
+
+def ks_statistic(current: DataFrame, baseline: DataFrame,
+                 bucket_col: str = "bucket",
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Binned two-sample KS statistic: max |ECDF_p − ECDF_q| over buckets."""
+    keys = list(group_cols or [])
+    cur = current.select(*keys, bucket_col, F.col("share").alias("p"))
+    base = baseline.select(bucket_col, F.col("share").alias("q"))
+    j = cur.join(F.broadcast(base), [bucket_col], "full_outer").fillna(
+        {"p": 0.0, "q": 0.0}
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy(bucket_col)
+        if keys else Window.partitionBy().orderBy(bucket_col)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ecdf_diff = F.abs(F.sum("p").over(w) - F.sum("q").over(w))
+    diffs = j.select(*keys, ecdf_diff.alias("d"))
+    if keys:
+        return diffs.groupBy(*keys).agg(F.max("d").alias("ks"))
+    return diffs.agg(F.max("d").alias("ks"))

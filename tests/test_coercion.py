@@ -1,0 +1,255 @@
+"""Table-driven coercion tests mirroring the reference's unit tests
+(internal/dirtyjson/bool-from-num_test.go, dirtytypes_test.go,
+helpers_test.go). Each case: raw string token → (expected coerced value,
+expected verdict) under the default config (default.toml) or strict config.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.config import default_config, strict_config
+from json_spark.functions import (
+    coerce_array,
+    coerce_bool,
+    coerce_date,
+    coerce_integer,
+    coerce_number,
+    coerce_object,
+    coerce_string,
+    coerce_time_of_day,
+    coerce_timestamp,
+)
+
+CFG = default_config()
+STRICT = strict_config()
+
+
+def run_cases(spark, fn, cases, cfg=CFG):
+    """cases: list of (raw, expected_coerced, expected_verdict)."""
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, raw string"
+    )
+    res = fn(F.col("raw"), cfg)
+    rows = (
+        df.select("i", "raw", *res.with_prefix("x")).orderBy("i").collect()
+    )
+    for row, (raw, want_val, want_verdict) in zip(rows, cases):
+        assert row["x__verdict"] == want_verdict, (
+            f"raw={raw!r}: verdict {row['x__verdict']} != {want_verdict}"
+        )
+        got = row["x__coerced"]
+        if isinstance(want_val, float) and got is not None:
+            assert got == pytest.approx(want_val), f"raw={raw!r}"
+        else:
+            assert got == want_val, f"raw={raw!r}: {got!r} != {want_val!r}"
+
+
+# ---------------------------------------------------------------- numbers
+
+def test_number_default(spark):
+    run_cases(spark, coerce_number, [
+        ("123", 123.0, "GREEN"),           # JSON number token → strict
+        ("9.5", 9.5, "GREEN"),
+        ("-2e3", -2000.0, "GREEN"),        # exponent is valid JSON
+        ("1 000 000", 1000000.0, "YELLOW"),  # SpacingAllowed (dirtytypes.go:123-125)
+        ("1,000,000", 1000000.0, "YELLOW"),  # CommasAllowed (126-129)
+        (" 42 ", 42.0, "YELLOW"),          # trimmed
+        ("true", 1.0, "YELLOW"),           # FromBools (157-169)
+        ("false", 0.0, "YELLOW"),
+        (None, 0.0, "YELLOW"),             # FromNull (150-155)
+        ("abc", None, "RED"),
+        ("[1,2]", None, "RED"),            # containers rejected (171-173)
+        ('{"a":1}', None, "RED"),
+    ])
+
+
+def test_number_strict_config(spark):
+    run_cases(spark, coerce_number, [
+        ("123", 123.0, "GREEN"),
+        ("1,000", None, "RED"),
+        ("true", None, "RED"),
+        (None, None, "RED"),
+    ], cfg=STRICT)
+
+
+def test_integer_rounding_floor_default(spark):
+    # default.toml RoundingAlgorithm = "floor"
+    run_cases(spark, coerce_integer, [
+        ("4", 4, "GREEN"),
+        ("-7", -7, "GREEN"),
+        ("4.9", 4, "YELLOW"),     # floor
+        ("-4.1", -5, "YELLOW"),   # math.Floor semantics
+        ("1,024", 1024, "YELLOW"),
+        ("true", 1, "YELLOW"),
+        (None, 0, "YELLOW"),
+        ("abc", None, "RED"),
+    ])
+
+
+def test_integer_rounding_none_and_round(spark):
+    import dataclasses
+    none_cfg = dataclasses.replace(
+        CFG, number_rules=dataclasses.replace(
+            CFG.number_rules,
+            from_strings=dataclasses.replace(
+                CFG.number_rules.from_strings, rounding_algorithm="none")))
+    run_cases(spark, coerce_integer, [
+        ("4.0", 4, "YELLOW"),   # zero decimal part passes under "none"
+        ("4.5", None, "RED"),   # non-zero decimal is rejected
+    ], cfg=none_cfg)
+    round_cfg = dataclasses.replace(
+        CFG, number_rules=dataclasses.replace(
+            CFG.number_rules,
+            from_strings=dataclasses.replace(
+                CFG.number_rules.from_strings, rounding_algorithm="round")))
+    run_cases(spark, coerce_integer, [
+        ("4.5", 5, "YELLOW"),    # math.Round = half away from zero
+        ("-4.5", -5, "YELLOW"),
+        ("4.4", 4, "YELLOW"),
+    ], cfg=round_cfg)
+
+
+# ---------------------------------------------------------------- booleans
+
+def test_bool_default(spark):
+    run_cases(spark, coerce_bool, [
+        ("true", True, "GREEN"),
+        ("false", False, "GREEN"),
+        ("yes", True, "YELLOW"),        # CustomListForTrue
+        ("on", True, "YELLOW"),
+        ("ON", True, "YELLOW"),         # CaseInsensitive
+        ("True", True, "YELLOW"),
+        ("no", False, "YELLOW"),
+        ("off", False, "YELLOW"),
+        ("", False, "YELLOW"),          # empty string in false list (340-346)
+        ("1", True, "YELLOW"),          # RespectFromNumbersLogic + binary
+        ("0", False, "YELLOW"),
+        ("2", False, "YELLOW"),         # binary alg → None → FallbackValue=false
+        (None, False, "YELLOW"),        # FromNull, Inverse=false
+        ("[true]", None, "RED"),        # container
+    ])
+
+
+def test_bool_parse_funcs(spark):
+    import dataclasses
+    def with_alg(alg):
+        return dataclasses.replace(
+            CFG, bool_rules=dataclasses.replace(
+                CFG.bool_rules,
+                fallback_value=None,  # expose the alg result (no fallback mask)
+                from_numbers=dataclasses.replace(
+                    CFG.bool_rules.from_numbers, parse_func=alg)))
+    # bool-from-num.go:28-34
+    run_cases(spark, coerce_bool, [
+        ("5", True, "YELLOW"), ("-3", False, "YELLOW"), ("0", False, "YELLOW"),
+    ], cfg=with_alg("positive_negative"))
+    # bool-from-num.go:36-45
+    run_cases(spark, coerce_bool, [
+        ("1", True, "YELLOW"), ("-1", False, "YELLOW"), ("2", None, "RED"),
+    ], cfg=with_alg("sign_of_one"))
+
+
+def test_bool_null_inverse(spark):
+    import dataclasses
+    inv = dataclasses.replace(
+        CFG, bool_rules=dataclasses.replace(
+            CFG.bool_rules,
+            from_null=dataclasses.replace(CFG.bool_rules.from_null, inverse=True)))
+    run_cases(spark, coerce_bool, [(None, True, "YELLOW")], cfg=inv)
+
+
+# ---------------------------------------------------------------- strings
+
+def test_string(spark):
+    run_cases(spark, coerce_string, [
+        ("hello", "hello", "GREEN"),
+        ("  padded  ", "padded", "YELLOW"),   # helpers.go:29-41 trim
+        (None, None, "RED"),
+    ])
+
+
+# ---------------------------------------------------------------- dates
+
+def test_timestamp_layouts(spark):
+    ts = datetime.datetime
+    run_cases(spark, coerce_timestamp, [
+        ("2023-01-02T15:04:05Z", ts(2023, 1, 2, 15, 4, 5), "GREEN"),   # RFC3339
+        ("2023-01-02T15:04:05+02:00", ts(2023, 1, 2, 13, 4, 5), "GREEN"),
+        ("2023-01-02T15:04:05", ts(2023, 1, 2, 15, 4, 5), "YELLOW"),   # DateTime layout
+        ("2023-01-02", ts(2023, 1, 2), "YELLOW"),
+        ("2023/01/02", ts(2023, 1, 2), "YELLOW"),
+        ("02 Jan 2023", ts(2023, 1, 2), "YELLOW"),
+        ("02-Jan-2023", ts(2023, 1, 2), "YELLOW"),
+        ("Mon, 02 Jan 2023", ts(2023, 1, 2), "YELLOW"),    # weekday stripped
+        ("Monday, 02-Jan-2023", ts(2023, 1, 2), "YELLOW"),
+        ("1672671845", ts(2023, 1, 2, 15, 4, 5), "YELLOW"),     # unix seconds
+        ("1672671845000", ts(2023, 1, 2, 15, 4, 5), "YELLOW"),  # unix millis
+        (None, ts(1970, 1, 1), "YELLOW"),                  # null → zero time
+        ("not-a-date", None, "RED"),
+        ("true", None, "RED"),                             # bools rejected
+        ("[1]", None, "RED"),
+    ])
+
+
+def test_date_truncates_to_day(spark):
+    run_cases(spark, coerce_date, [
+        ("2023-01-02T15:04:05Z", datetime.date(2023, 1, 2), "GREEN"),
+        ("02 Jan 2023", datetime.date(2023, 1, 2), "YELLOW"),
+    ])
+
+
+def test_time_of_day(spark):
+    run_cases(spark, coerce_time_of_day, [
+        ("15:04", 15 * 3600 + 4 * 60, "YELLOW"),
+        ("15:04:05", 15 * 3600 + 4 * 60 + 5, "YELLOW"),
+        ("3:04PM", 15 * 3600 + 4 * 60, "YELLOW"),
+        ("2023-01-02T15:04:05Z", 15 * 3600 + 4 * 60 + 5, "GREEN"),
+    ])
+
+
+def test_date_aliases(spark):
+    df = spark.createDataFrame([("today",), ("yesterday",), ("tomorrow",)], "raw string")
+    res = coerce_timestamp(F.col("raw"), CFG)
+    rows = df.select("raw", *res.with_prefix("x")).collect()
+    byraw = {r["raw"]: r for r in rows}
+    today = datetime.date.today()
+    assert byraw["today"]["x__verdict"] == "YELLOW"
+    # session TZ is UTC; allow ±1 day around the driver's local date
+    assert abs((byraw["today"]["x__coerced"].date() - today).days) <= 1
+    assert (byraw["tomorrow"]["x__coerced"] - byraw["today"]["x__coerced"]).days == 1
+    assert (byraw["today"]["x__coerced"] - byraw["yesterday"]["x__coerced"]).days == 1
+
+
+# ---------------------------------------------------------------- containers
+
+def test_array(spark):
+    run_cases(spark, coerce_array, [
+        ('[1, 2]', ["1", "2"], "GREEN"),
+        ('["a","b"]', ["a", "b"], "GREEN"),
+        (None, None, "GREEN"),          # null allowed (dirtytypes.go:457-482)
+        ("5", None, "RED"),             # scalar: RED without AutoWrap
+        ('{"a":1}', None, "RED"),
+    ])
+
+
+def test_array_autowrap(spark):
+    import dataclasses
+    wrap = dataclasses.replace(
+        CFG, array_rules=dataclasses.replace(
+            CFG.array_rules, auto_wrap_single_values=True))
+    run_cases(spark, coerce_array, [
+        ("5", ["5"], "YELLOW"),         # config.go:141-146 AutoWrapSingleValues
+        ('[1]', ["1"], "GREEN"),
+    ], cfg=wrap)
+
+
+def test_object(spark):
+    run_cases(spark, coerce_object, [
+        ('{"k": "v"}', {"k": "v"}, "GREEN"),
+        ('{"k": 1}', {"k": "1"}, "GREEN"),
+        (None, None, "GREEN"),
+        ("[1]", None, "RED"),
+        ("notjson", None, "RED"),
+    ])
