@@ -1,0 +1,88 @@
+"""PCM decode + SNR invariant — the engine's only Python stage.
+
+North-rule check (BASELINE.json input_hint): decoded PCM must match the
+reference signal with SNR >= 30 dB ("allclose"). This is the one operator
+that genuinely cannot be a Column expression (byte-level WAV decode +
+numpy math), so it is a ``mapInPandas`` stage: Arrow moves binary batches
+to the Python worker, numpy does vectorized math per clip, and ONLY the
+scalar results (snr_db, verdict) come back — the audio bytes never travel
+driver-ward or shuffle.
+
+Scale notes:
+- the stage reads exactly (clip_id, bytes, sr_hz, dur_ms [, partition
+  cols]) — column pruning keeps every other column out of the scan;
+- batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+  (set low in session.py because rows carry audio payloads);
+- no shuffle at all: map-only over the source partitioning, then the
+  tiny verdict output aggregates map-side.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..fixtures.signal import decode_wav_pcm16, reference_signal, snr_db
+
+SNR_THRESHOLD_DB = 30.0
+
+
+def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
+              extra_cols: list[str] | None = None) -> DataFrame:
+    """Per-clip SNR vs the regenerated reference signal.
+
+    Output: clip_id, extra_cols…, snr_db double, verdict (GREEN if
+    snr >= threshold, RED otherwise — decode failures are RED with
+    snr_db = null).
+    """
+    extra = list(extra_cols or [])
+    in_cols = ["clip_id", "bytes", "sr_hz", "dur_ms", *extra]
+    out_schema = ", ".join(
+        ["clip_id string"]
+        + [f"{c} string" for c in extra]
+        + ["snr_db double", "verdict string"]
+    )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            snrs = np.full(n, np.nan)
+            verdicts = np.full(n, "RED", dtype=object)
+            for j in range(n):
+                try:
+                    decoded, sr = decode_wav_pcm16(pdf["bytes"].iloc[j])
+                    dur = pdf["dur_ms"].iloc[j]
+                    dur = int(dur) if pd.notna(dur) else 100
+                    ref = reference_signal(str(pdf["clip_id"].iloc[j]), int(sr), dur)
+                    s = snr_db(ref, decoded)
+                    snrs[j] = s
+                    verdicts[j] = "GREEN" if s >= threshold_db else "RED"
+                except (ValueError, struct.error):
+                    pass  # malformed payload stays RED / null snr
+            out = {"clip_id": pdf["clip_id"]}
+            for c in extra:
+                out[c] = pdf[c].astype(str)
+            out["snr_db"] = snrs
+            out["verdict"] = verdicts
+            yield pd.DataFrame(out)
+
+    return clips.select(*in_cols).mapInPandas(check, out_schema)
+
+
+
+def snr_partition_rollup(snr_df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Roll SNR verdicts up to partitions (worst-verdict semantics)."""
+    return snr_df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("verdict") == "GREEN").cast("long")).alias("n_green"),
+        F.sum((F.col("verdict") == "RED").cast("long")).alias("n_red"),
+        F.round(F.min("snr_db"), 3).alias("min_snr_db"),
+        F.round(F.avg("snr_db"), 3).alias("mean_snr_db"),
+        F.when(F.max((F.col("verdict") == "RED").cast("int")) == 1, "RED")
+        .otherwise("GREEN").alias("verdict"),
+    )

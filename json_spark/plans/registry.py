@@ -452,6 +452,37 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# §2.7 audio path — SNR invariant + full suite over the synthesized clips
+# table (BASELINE.json input_hint schema). Not SQL-expressible (WAV decode)
+# ⇒ no oracle: the driver records rows-only checks; pytest holds the
+# closed-form golden assertions (tests/test_suite.py).
+# =========================================================================
+
+_SNR_N = 2000  # deterministic fixture size for driver-visible audio queries
+
+
+@register("snr_partition_verdicts")
+def q_snr_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import snr_check, snr_partition_rollup
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return snr_partition_rollup(snr_check(clips, extra_cols=["codec"]),
+                                ["codec"])
+
+
+@register("suite_partition_verdicts")
+def q_suite_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.gen import generate_clips, generate_manifest
+    from ..plans.suite import SuiteConfig, ValidationSuite, build_baseline_shares
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    manifest = generate_manifest(spark, _SNR_N, partitions=4)
+    cfg = SuiteConfig()
+    baseline = build_baseline_shares(clips.filter(F.col("codec") != "opus"), cfg)
+    res = ValidationSuite(cfg).run(spark, clips, manifest, baseline)
+    return res.partition_verdicts
+
+
+# =========================================================================
 # flagship: per-partition verdict roll-up over coerced dirty columns
 # (the engine's end-to-end shape: coercion → row verdict → partition verdict)
 # =========================================================================

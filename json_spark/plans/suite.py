@@ -1,0 +1,370 @@
+"""ValidationSuite — the engine's flagship entry point.
+
+The Spark reinterpretation of the reference's decode pipeline
+(internal/dirtyjson/decoder.go:91-158 ``decodeDirty``): where the reference
+runs clean-then-dirty decoding per document and returns one merged struct,
+the suite evaluates every check as an independent Spark job over the same
+clips table and returns per-partition verdicts + violation rows (the
+Green/Yellow/Red model of result.go:4-18 lifted to partitions).
+
+Checks (north rule, BASELINE.json:6):
+- stats        : null-rate / min / max / mean / stddev / quantile sketch
+- uniqueness   : exact duplicate clip_ids (salted two-phase)
+- referential  : clips ⟕̸ manifest (broadcast anti-join)
+- transcript   : equality vs manifest (per-row invariant)
+- drift        : sr_hz histogram PSI vs a baseline share table
+- snr          : decoded-PCM SNR >= 30 dB (Arrow pandas stage)
+
+Resume: each check's partition verdicts land in the ledger; a re-run
+anti-joins the partition worklist against DONE rows and touches only the
+remainder (plus global checks that can't be partition-pruned).
+
+Scale shape: ONE scan per check family, verdicts aggregate map-side,
+violations are written (not collected); only the |partitions|x|checks|
+verdict table ever reaches the driver (for the ledger append).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import __version__
+from ..config.rules import RuleConfig
+from ..config import default_config
+from ..operators.drift import histogram, psi
+from ..operators.referential import orphans, transcript_mismatches
+from ..operators.snr import snr_check, snr_partition_rollup
+from ..operators.stats import column_stats
+from ..operators.uniqueness import exact_duplicates
+from .ledger import ledger_append, ledger_read, make_lineage, pending_partitions
+
+VERDICT_COLS = ["partition_id", "check_name", "verdict", "n_rows",
+                "n_green", "n_yellow", "n_red", "metrics_json"]
+VIOLATION_COLS = ["clip_id", "partition_id", "check_name", "reason",
+                  "offending_value_trunc50"]
+
+
+@dataclass
+class SuiteConfig:
+    rules: RuleConfig = field(default_factory=default_config)
+    partition_col: str = "codec"
+    numeric_cols: tuple[str, ...] = ("sr_hz", "dur_ms")
+    key_col: str = "clip_id"
+    transcript_col: str = "transcript"
+    max_null_rate: float = 0.05
+    psi_yellow: float = 0.1
+    psi_red: float = 0.25
+    snr_threshold_db: float = 30.0
+    drift_bins: int = 10
+    drift_lo: float = 0.0
+    drift_hi: float = 50000.0
+
+
+@dataclass
+class SuiteResult:
+    partition_verdicts: DataFrame
+    violations: DataFrame
+
+
+def _empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "clip_id string, partition_id string, check_name string, "
+            "reason string, offending_value_trunc50 string")
+
+
+class ValidationSuite:
+    def __init__(self, cfg: SuiteConfig | None = None):
+        self.cfg = cfg or SuiteConfig()
+
+    # ---------------------------------------------------------------- checks
+
+    def check_stats(self, clips: DataFrame) -> DataFrame:
+        c = self.cfg
+        stats = column_stats(clips, list(c.numeric_cols), [c.partition_col])
+        null_rate_red = F.lit(False)
+        metrics = []
+        for col in c.numeric_cols:
+            nr = (F.col(f"{col}__null_count") / F.col("n_rows"))
+            null_rate_red = null_rate_red | (nr > c.max_null_rate)
+            metrics.append(F.lit(f'"{col}_null_rate":'))
+            metrics.append(F.round(nr, 6).cast("string"))
+            metrics.append(F.lit(f',"{col}_mean":'))
+            metrics.append(F.round(F.col(f"{col}__mean"), 3).cast("string"))
+            metrics.append(F.lit(","))
+        metrics_json = F.concat(F.lit("{"), F.concat(*metrics[:-1]), F.lit("}"))
+        return stats.select(
+            F.col(self.cfg.partition_col).cast("string").alias("partition_id"),
+            F.lit("stats").alias("check_name"),
+            F.when(null_rate_red, "RED").otherwise("GREEN").alias("verdict"),
+            F.col("n_rows"),
+            F.when(null_rate_red, 0).otherwise(F.col("n_rows")).alias("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.when(null_rate_red, F.col("n_rows")).otherwise(0).alias("n_red"),
+            metrics_json.alias("metrics_json"),
+        )
+
+    def check_uniqueness(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+        c = self.cfg
+        dups = exact_duplicates(
+            clips.select(c.partition_col, c.key_col)
+            .withColumn("__pk", F.concat_ws("\x00", c.partition_col, c.key_col))
+            .select("__pk"),
+            "__pk",
+        ).select(
+            F.split("__pk", "\x00").getItem(0).alias("partition_id"),
+            F.split("__pk", "\x00").getItem(1).alias(c.key_col),
+            F.col("dup_count"),
+        )
+        per_part = clips.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        dup_rollup = dups.groupBy("partition_id").agg(
+            F.sum("dup_count").alias("n_dup_rows"),
+            F.count(F.lit(1)).alias("n_dup_keys"),
+        )
+        verdicts = per_part.join(dup_rollup, "partition_id", "left").fillna(
+            {"n_dup_rows": 0, "n_dup_keys": 0}
+        ).select(
+            "partition_id",
+            F.lit("uniqueness").alias("check_name"),
+            F.when(F.col("n_dup_keys") > 0, "RED").otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_dup_rows")).alias("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.col("n_dup_rows").cast("long").alias("n_red"),
+            F.concat(F.lit('{"n_dup_keys":'), F.col("n_dup_keys").cast("string"),
+                     F.lit("}")).alias("metrics_json"),
+        )
+        viols = dups.select(
+            F.col(c.key_col).alias("clip_id"),
+            "partition_id",
+            F.lit("uniqueness").alias("check_name"),
+            F.lit("duplicate clip_id").alias("reason"),
+            F.substring(F.concat(F.lit("count="), F.col("dup_count").cast("string")),
+                        1, 50).alias("offending_value_trunc50"),
+        )
+        return verdicts, viols
+
+    def check_referential(self, clips: DataFrame, manifest: DataFrame
+                          ) -> tuple[DataFrame, DataFrame]:
+        c = self.cfg
+        orphan_rows = orphans(
+            clips.select(c.partition_col, c.key_col), manifest, c.key_col)
+        per_part = clips.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        orb = orphan_rows.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        verdicts = per_part.join(orb, "partition_id", "left").fillna(
+            {"n_orphans": 0}
+        ).select(
+            "partition_id",
+            F.lit("referential").alias("check_name"),
+            F.when(F.col("n_orphans") > 0, "RED").otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_orphans")).alias("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.col("n_orphans").cast("long").alias("n_red"),
+            F.concat(F.lit('{"n_orphans":'), F.col("n_orphans").cast("string"),
+                     F.lit("}")).alias("metrics_json"),
+        )
+        viols = orphan_rows.select(
+            F.col(c.key_col).alias("clip_id"),
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            F.lit("referential").alias("check_name"),
+            F.lit("clip_id missing from manifest").alias("reason"),
+            F.substring(F.col(c.key_col), 1, 50).alias("offending_value_trunc50"),
+        )
+        return verdicts, viols
+
+    def check_transcript(self, clips: DataFrame, manifest: DataFrame
+                         ) -> tuple[DataFrame, DataFrame]:
+        c = self.cfg
+        mism = transcript_mismatches(
+            clips.select(c.key_col, c.partition_col, c.transcript_col),
+            manifest, c.key_col, c.transcript_col,
+        ).join(clips.select(c.key_col, c.partition_col).distinct(), c.key_col)
+        per_part = clips.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        mm = mism.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_mismatch"))
+        verdicts = per_part.join(mm, "partition_id", "left").fillna(
+            {"n_mismatch": 0}
+        ).select(
+            "partition_id",
+            F.lit("transcript").alias("check_name"),
+            F.when(F.col("n_mismatch") > 0, "RED").otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_mismatch")).alias("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.col("n_mismatch").cast("long").alias("n_red"),
+            F.concat(F.lit('{"n_mismatch":'), F.col("n_mismatch").cast("string"),
+                     F.lit("}")).alias("metrics_json"),
+        )
+        viols = mism.select(
+            F.col(c.key_col).alias("clip_id"),
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            F.lit("transcript").alias("check_name"),
+            F.lit("transcript != manifest").alias("reason"),
+            F.substring(F.col("actual"), 1, 50).alias("offending_value_trunc50"),
+        )
+        return verdicts, viols
+
+    def check_drift(self, clips: DataFrame, baseline_shares: DataFrame,
+                    col: str = "sr_hz") -> DataFrame:
+        c = self.cfg
+        cur = histogram(clips, col, c.drift_lo, c.drift_hi, c.drift_bins,
+                        [c.partition_col])
+        scores = psi(cur, baseline_shares, on=["bucket"],
+                     group_cols=[c.partition_col])
+        per_part = clips.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        return per_part.join(
+            scores.select(F.col(c.partition_col).cast("string").alias("partition_id"),
+                          "psi"),
+            "partition_id", "left",
+        ).select(
+            "partition_id",
+            F.lit("drift").alias("check_name"),
+            F.when(F.col("psi") > c.psi_red, "RED")
+            .when(F.col("psi") > c.psi_yellow, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            F.when(F.col("psi") <= c.psi_yellow, F.col("n_rows")).otherwise(0).alias("n_green"),
+            F.when((F.col("psi") > c.psi_yellow) & (F.col("psi") <= c.psi_red),
+                   F.col("n_rows")).otherwise(0).alias("n_yellow"),
+            F.when(F.col("psi") > c.psi_red, F.col("n_rows")).otherwise(0).alias("n_red"),
+            F.concat(F.lit('{"psi":'), F.round("psi", 6).cast("string"),
+                     F.lit("}")).alias("metrics_json"),
+        )
+
+    def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+        c = self.cfg
+        snr = snr_check(clips, c.snr_threshold_db, extra_cols=[c.partition_col])
+        roll = snr_partition_rollup(snr, [c.partition_col]).select(
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            F.lit("snr").alias("check_name"),
+            F.col("verdict"),
+            "n_rows",
+            F.col("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.col("n_red"),
+            F.concat(F.lit('{"min_snr_db":'),
+                     F.coalesce(F.col("min_snr_db").cast("string"), F.lit("null")),
+                     F.lit(',"mean_snr_db":'),
+                     F.coalesce(F.col("mean_snr_db").cast("string"), F.lit("null")),
+                     F.lit("}")).alias("metrics_json"),
+        )
+        viols = snr.filter(F.col("verdict") == "RED").select(
+            F.col("clip_id"),
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            F.lit("snr").alias("check_name"),
+            F.lit(f"SNR below {c.snr_threshold_db} dB").alias("reason"),
+            F.substring(F.concat(F.lit("snr_db="),
+                                 F.coalesce(F.round("snr_db", 2).cast("string"),
+                                            F.lit("decode-failed"))),
+                        1, 50).alias("offending_value_trunc50"),
+        )
+        return roll, viols
+
+    # ------------------------------------------------------------------ run
+
+    def run(
+        self,
+        spark: SparkSession,
+        clips: DataFrame,
+        manifest: DataFrame | None = None,
+        baseline_shares: DataFrame | None = None,
+        ledger_path: str | None = None,
+        input_path: str = "",
+        resume: bool = True,
+    ) -> SuiteResult:
+        c = self.cfg
+        verdict_frames: list[DataFrame] = []
+        violation_frames: list[DataFrame] = []
+
+        active_checks = ["stats", "uniqueness", "snr"]
+        if manifest is not None:
+            active_checks += ["referential", "transcript"]
+        if baseline_shares is not None:
+            active_checks.append("drift")
+
+        work = clips
+        if ledger_path and resume:
+            ledger = ledger_read(spark, ledger_path)
+            parts = clips.select(
+                F.col(c.partition_col).cast("string").alias("partition_id")
+            ).distinct()
+            # a partition is pending if ANY active check is missing for it
+            pend = None
+            for check in active_checks:
+                p = pending_partitions(parts, ledger, check)
+                pend = p if pend is None else pend.unionByName(p)
+            pending_ids = [r["partition_id"] for r in pend.distinct().collect()]
+            work = clips.filter(
+                F.col(c.partition_col).cast("string").isin(pending_ids)
+            )
+            if not pending_ids:
+                return SuiteResult(
+                    partition_verdicts=spark.createDataFrame(
+                        [], "partition_id string, check_name string, "
+                            "verdict string, n_rows long, n_green long, "
+                            "n_yellow long, n_red long, metrics_json string"),
+                    violations=_empty_violations(spark),
+                )
+
+        verdict_frames.append(self.check_stats(work))
+        uv, uviol = self.check_uniqueness(work)
+        verdict_frames.append(uv)
+        violation_frames.append(uviol)
+        if manifest is not None:
+            rv, rviol = self.check_referential(work, manifest)
+            verdict_frames.append(rv)
+            violation_frames.append(rviol)
+            tv, tviol = self.check_transcript(work, manifest)
+            verdict_frames.append(tv)
+            violation_frames.append(tviol)
+        if baseline_shares is not None:
+            verdict_frames.append(self.check_drift(work, baseline_shares))
+        sv, sviol = self.check_snr(work)
+        verdict_frames.append(sv)
+        violation_frames.append(sviol)
+
+        verdicts = verdict_frames[0]
+        for fdf in verdict_frames[1:]:
+            verdicts = verdicts.unionByName(fdf)
+        viols = violation_frames[0]
+        for fdf in violation_frames[1:]:
+            viols = viols.unionByName(fdf)
+
+        if ledger_path:
+            lineage = make_lineage(input_path, __version__)
+            rows = [
+                {
+                    "partition_id": r["partition_id"],
+                    "check_name": r["check_name"],
+                    "status": "DONE",
+                    "metrics": {"verdict": r["verdict"], "n_rows": r["n_rows"],
+                                "n_red": r["n_red"]},
+                }
+                for r in verdicts.collect()
+            ]
+            if rows:
+                ledger_append(spark, ledger_path, rows, lineage)
+
+        return SuiteResult(partition_verdicts=verdicts, violations=viols)
+
+
+def build_baseline_shares(clips: DataFrame, cfg: SuiteConfig,
+                          col: str = "sr_hz") -> DataFrame:
+    """Baseline histogram shares from a reference (un-drifted) population."""
+    return histogram(clips, col, cfg.drift_lo, cfg.drift_hi, cfg.drift_bins
+                     ).select("bucket", "share")

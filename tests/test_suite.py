@@ -1,0 +1,126 @@
+"""Golden end-to-end suite test: planted defects → expected per-partition
+verdicts + violation rows (SURVEY.md §5 t1, mirroring the reference's
+golden tests tests/sample1_test.go). All expected counts are closed-form
+from the generator's arithmetic.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.fixtures.gen import (
+    CORRUPT_EVERY,
+    MISMATCH_EVERY,
+    ORPHAN_EVERY,
+    generate_clips,
+    generate_manifest,
+)
+from json_spark.plans.suite import SuiteConfig, SuiteResult, ValidationSuite, build_baseline_shares
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clips_fixture"))
+    generate_clips(spark, N, partitions=8).write.mode("overwrite") \
+        .partitionBy("codec").parquet(f"{d}/clips")
+    generate_manifest(spark, N, partitions=4).write.mode("overwrite") \
+        .parquet(f"{d}/manifest")
+    return d
+
+
+@pytest.fixture(scope="module")
+def result(spark, fixture_dir) -> SuiteResult:
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    manifest = spark.read.parquet(f"{fixture_dir}/manifest")
+    cfg = SuiteConfig()
+    baseline = build_baseline_shares(clips.filter(F.col("codec") != "opus"), cfg)
+    suite = ValidationSuite(cfg)
+    return suite.run(spark, clips, manifest, baseline)
+
+
+def _viols(result, check):
+    return result.violations.filter(F.col("check_name") == check).collect()
+
+
+def test_uniqueness_finds_planted_dups(result):
+    # rows 999/1999/2999 reuse the previous row's clip_id → 3 dup keys
+    rows = _viols(result, "uniqueness")
+    assert len(rows) == 3
+    assert {r["clip_id"] for r in rows} == {
+        "clip-000000000998", "clip-000000001998", "clip-000000002998"}
+
+
+def test_referential_finds_planted_orphans(result):
+    rows = _viols(result, "referential")
+    expected = {f"clip-{i:012d}" for i in range(N)
+                if i % ORPHAN_EVERY == ORPHAN_EVERY - 1}
+    assert {r["clip_id"] for r in rows} == expected
+
+
+def test_transcript_finds_planted_mismatches(result):
+    rows = _viols(result, "transcript")
+    expected = {f"clip-{i:012d}" for i in range(N)
+                if i % MISMATCH_EVERY == MISMATCH_EVERY - 1
+                and i % ORPHAN_EVERY != ORPHAN_EVERY - 1}
+    assert {r["clip_id"] for r in rows} == expected
+
+
+def test_snr_finds_planted_corruption(result):
+    rows = _viols(result, "snr")
+    expected = {f"clip-{i:012d}" for i in range(N)
+                if i % CORRUPT_EVERY == CORRUPT_EVERY - 1}
+    assert {r["clip_id"] for r in rows} == expected
+    # every offending value carries the measured (low) SNR
+    assert all(r["offending_value_trunc50"].startswith("snr_db=") for r in rows)
+
+
+def test_drift_flags_only_drifted_codec(result):
+    verdicts = {
+        r["partition_id"]: r["verdict"]
+        for r in result.partition_verdicts.filter(
+            F.col("check_name") == "drift").collect()
+    }
+    assert verdicts["opus"] == "RED"        # planted sr_hz shift
+    assert verdicts["pcm_s16le"] == "GREEN"
+    assert verdicts["flac"] == "GREEN"
+    assert verdicts["mp3"] == "GREEN"
+
+
+def test_stats_green_low_null_rate(result):
+    stats = result.partition_verdicts.filter(
+        F.col("check_name") == "stats").collect()
+    assert len(stats) == 4  # one per codec
+    assert all(r["verdict"] == "GREEN" for r in stats)  # ~1% nulls < 5% gate
+
+
+def test_partition_verdicts_shape(result):
+    pv = result.partition_verdicts
+    # 6 checks x 4 codec partitions
+    assert pv.count() == 24
+    assert pv.filter(F.col("n_rows") <= 0).count() == 0
+
+
+def test_ledger_resume(spark, fixture_dir, tmp_path):
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    manifest = spark.read.parquet(f"{fixture_dir}/manifest")
+    ledger_path = str(tmp_path / "ledger")
+    suite = ValidationSuite(SuiteConfig())
+
+    # first run: only two codecs → ledger has those partitions DONE
+    subset = clips.filter(F.col("codec").isin("flac", "mp3"))
+    r1 = suite.run(spark, subset, manifest, ledger_path=ledger_path,
+                   input_path=fixture_dir)
+    assert {x["partition_id"] for x in r1.partition_verdicts.collect()} == {
+        "flac", "mp3"}
+
+    # resumed run over the full table must touch ONLY the remaining codecs
+    r2 = suite.run(spark, clips, manifest, ledger_path=ledger_path,
+                   input_path=fixture_dir, resume=True)
+    touched = {x["partition_id"] for x in r2.partition_verdicts.collect()}
+    assert touched == {"pcm_s16le", "opus"}
+
+    # third run: everything DONE → empty worklist
+    r3 = suite.run(spark, clips, manifest, ledger_path=ledger_path,
+                   input_path=fixture_dir, resume=True)
+    assert r3.partition_verdicts.count() == 0
