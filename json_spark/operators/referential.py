@@ -61,16 +61,19 @@ def referential_summary(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame
 
 def transcript_mismatches(clips: DataFrame, manifest: DataFrame,
                           key: str = "clip_id",
-                          value_col: str = "transcript") -> DataFrame:
+                          value_col: str = "transcript",
+                          carry_cols: list[str] | None = None) -> DataFrame:
     """Per-row invariant vs the manifest: transcript equality
     (BASELINE.json input_hint). Broadcast when the manifest fits; AQE picks
-    sort-merge + skew split otherwise."""
+    sort-merge + skew split otherwise. ``carry_cols`` ride along so callers
+    never need a second join back to the fact table."""
     m = manifest.select(F.col(key), F.col(value_col).alias("__expected"))
     return (
         clips.join(m, key, "inner")
         .filter(
             ~F.col(value_col).eqNullSafe(F.col("__expected"))
         )
-        .select(key, F.col(value_col).alias("actual"),
+        .select(key, *(carry_cols or []),
+                F.col(value_col).alias("actual"),
                 F.col("__expected").alias("expected"))
     )

@@ -68,6 +68,13 @@ class SuiteConfig:
 class SuiteResult:
     partition_verdicts: DataFrame
     violations: DataFrame
+    #: intermediates persisted during run() — caller unpersists when done
+    cached: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def _empty_violations(spark: SparkSession) -> DataFrame:
@@ -79,6 +86,20 @@ def _empty_violations(spark: SparkSession) -> DataFrame:
 class ValidationSuite:
     def __init__(self, cfg: SuiteConfig | None = None):
         self.cfg = cfg or SuiteConfig()
+        self._cache: list[DataFrame] = []
+        self._persist_intermediates = True
+
+    def _p(self, df: DataFrame) -> DataFrame:
+        """Persist a small intermediate consumed by BOTH the verdict and the
+        violation frame (duplicate keys, orphans, mismatches, per-clip SNR).
+        Without this, counting verdicts and violations as two actions would
+        recompute each check's heavy scan — for SNR, a second full pass over
+        every audio payload. The persisted frames hold only scalar columns
+        (never ``bytes``), so memory is O(violations), not O(data)."""
+        if self._persist_intermediates:
+            df = df.persist()
+            self._cache.append(df)
+        return df
 
     # ---------------------------------------------------------------- checks
 
@@ -109,12 +130,12 @@ class ValidationSuite:
 
     def check_uniqueness(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
-        dups = exact_duplicates(
+        dups = self._p(exact_duplicates(
             clips.select(c.partition_col, c.key_col)
             .withColumn("__pk", F.concat_ws("\x00", c.partition_col, c.key_col))
             .select("__pk"),
             "__pk",
-        ).select(
+        )).select(
             F.split("__pk", "\x00").getItem(0).alias("partition_id"),
             F.split("__pk", "\x00").getItem(1).alias(c.key_col),
             F.col("dup_count"),
@@ -152,8 +173,8 @@ class ValidationSuite:
     def check_referential(self, clips: DataFrame, manifest: DataFrame
                           ) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
-        orphan_rows = orphans(
-            clips.select(c.partition_col, c.key_col), manifest, c.key_col)
+        orphan_rows = self._p(orphans(
+            clips.select(c.partition_col, c.key_col), manifest, c.key_col))
         per_part = clips.groupBy(
             F.col(c.partition_col).cast("string").alias("partition_id")
         ).agg(F.count(F.lit(1)).alias("n_rows"))
@@ -185,10 +206,11 @@ class ValidationSuite:
     def check_transcript(self, clips: DataFrame, manifest: DataFrame
                          ) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
-        mism = transcript_mismatches(
+        mism = self._p(transcript_mismatches(
             clips.select(c.key_col, c.partition_col, c.transcript_col),
             manifest, c.key_col, c.transcript_col,
-        ).join(clips.select(c.key_col, c.partition_col).distinct(), c.key_col)
+            carry_cols=[c.partition_col],
+        ))
         per_part = clips.groupBy(
             F.col(c.partition_col).cast("string").alias("partition_id")
         ).agg(F.count(F.lit(1)).alias("n_rows"))
@@ -248,7 +270,8 @@ class ValidationSuite:
 
     def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
-        snr = snr_check(clips, c.snr_threshold_db, extra_cols=[c.partition_col])
+        snr = self._p(
+            snr_check(clips, c.snr_threshold_db, extra_cols=[c.partition_col]))
         roll = snr_partition_rollup(snr, [c.partition_col]).select(
             F.col(c.partition_col).cast("string").alias("partition_id"),
             F.lit("snr").alias("check_name"),
@@ -286,8 +309,11 @@ class ValidationSuite:
         ledger_path: str | None = None,
         input_path: str = "",
         resume: bool = True,
+        persist_intermediates: bool = True,
     ) -> SuiteResult:
         c = self.cfg
+        self._persist_intermediates = persist_intermediates
+        self._cache = []
         verdict_frames: list[DataFrame] = []
         violation_frames: list[DataFrame] = []
 
@@ -360,7 +386,8 @@ class ValidationSuite:
             if rows:
                 ledger_append(spark, ledger_path, rows, lineage)
 
-        return SuiteResult(partition_verdicts=verdicts, violations=viols)
+        return SuiteResult(partition_verdicts=verdicts, violations=viols,
+                           cached=list(self._cache))
 
 
 def build_baseline_shares(clips: DataFrame, cfg: SuiteConfig,

@@ -1,0 +1,200 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json:2,14).
+
+The rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors. The sandbox has no multi-node cluster, so (per driver
+instruction) we run the IDENTICAL end-to-end validation job on the SAME
+input at two parallelism levels on this 32-physical-core box:
+``local[8]`` (N) and ``local[32]`` (4N).
+
+Protocol:
+1. A setup subprocess synthesizes the audio-clip table + transcript
+   manifest ONCE and materializes them as parquet (partitioned by codec) —
+   the production table pre-exists; generating it is provisioning, not
+   validation throughput.
+2. Each measured level runs in a FRESH subprocess (own JVM, no JIT/cache
+   leakage): read parquet → build baseline shares → run every
+   ValidationSuite check (stats + uniqueness + referential + transcript +
+   drift + PCM-SNR pandas stage) → materialize partition verdicts and
+   violation rows. clips/sec = n_clips / wall-seconds of that span.
+3. efficiency = (thr_4N / thr_N) / 4, pass iff >= 0.8.
+
+Timing excludes JVM/session startup (cluster provisioning cost) but
+includes all planning, scans, shuffles, Python stages, and actions.
+
+Output: one JSON line + BENCH/BASELINE.md.
+
+Usage:
+  python tools/bench_scaling.py [--n-clips 400000] [--out BENCH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA_DIR = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/json_spark_scaling")
+
+#: both levels run the same physical plan granularity; only slot count
+#: differs — exactly how one job behaves on N vs 4N executors
+_CONF = {
+    "spark.ui.showConsoleProgress": "false",
+    # audio payloads ~10 kB/row: 32 MB splits give ~128+ SNR tasks at the
+    # bench scale, enough granularity for 32 slots without tiny-task overhead
+    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+}
+
+
+def _spark(cores: int):
+    from json_spark.session import get_spark
+    return get_spark(f"json_spark-scaling-{cores}", cores=cores,
+                     shuffle_partitions=max(cores * 2, 16), extra_conf=_CONF)
+
+
+def run_setup(n_clips: int) -> dict:
+    from json_spark.fixtures.gen import generate_clips, generate_manifest
+
+    spark = _spark(32)
+    t0 = time.perf_counter()
+    generate_clips(spark, n_clips, partitions=256).write.mode(
+        "overwrite").partitionBy("codec").parquet(f"{DATA_DIR}/clips")
+    generate_manifest(spark, n_clips, partitions=64).write.mode(
+        "overwrite").parquet(f"{DATA_DIR}/manifest")
+    elapsed = time.perf_counter() - t0
+    spark.stop()
+    return {"setup_seconds": round(elapsed, 3), "n_clips": n_clips}
+
+
+def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
+    from pyspark.sql import functions as F
+
+    from json_spark.plans.suite import (
+        SuiteConfig, ValidationSuite, build_baseline_shares,
+    )
+
+    spark = _spark(cores)
+    clips = spark.read.parquet(f"{DATA_DIR}/clips")
+    manifest = spark.read.parquet(f"{DATA_DIR}/manifest")
+    # untimed page-cache warm-up: both levels must see identical storage
+    # state (otherwise whichever level runs first pays the cold read and
+    # the comparison measures the disk, not the engine)
+    clips.select(F.sum(F.length("bytes"))).collect()
+    manifest.select(F.count(F.lit(1))).collect()
+    cfg = SuiteConfig()
+    attempts = []
+    for _ in range(max(runs, 1)):
+        t0 = time.perf_counter()
+        baseline = build_baseline_shares(
+            clips.filter(F.col("codec") != "opus"), cfg)
+        res = ValidationSuite(cfg).run(spark, clips, manifest, baseline)
+        n_verdicts = res.partition_verdicts.count()
+        n_violations = res.violations.count()
+        attempts.append(round(time.perf_counter() - t0, 3))
+        res.unpersist()
+    elapsed = min(attempts)  # best-of-N controls for VM CPU-steal bursts
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_clips": n_clips,
+        "seconds": elapsed,
+        "attempts": attempts,
+        "clips_per_sec": round(n_clips / elapsed, 1),
+        "n_verdicts": n_verdicts,
+        "n_violations": n_violations,
+    }
+
+
+def _in_subprocess(mode: str, cores: int, n_clips: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", mode,
+         "--cores", str(cores), "--n-clips", str(n_clips)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("CHILD_RESULT ")), None)
+    if line is None:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise SystemExit(f"{mode} subprocess (cores={cores}) produced no result")
+    return json.loads(line[len("CHILD_RESULT "):])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-clips", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS",
+                                               "1000000")))
+    ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH"))
+    ap.add_argument("--mode", choices=["parent", "setup", "measure"],
+                    default="parent")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--keep-data", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode == "setup":
+        print("CHILD_RESULT " + json.dumps(run_setup(args.n_clips)))
+        return
+    if args.mode == "measure":
+        print("CHILD_RESULT " + json.dumps(run_child(args.cores, args.n_clips)))
+        return
+
+    levels = sorted(int(x) for x in args.levels.split(","))
+    setup = _in_subprocess("setup", 32, args.n_clips)
+    results: dict[str, dict] = {}
+    try:
+        for cores in levels:
+            results[str(cores)] = _in_subprocess("measure", cores, args.n_clips)
+    finally:
+        if not args.keep_data:
+            shutil.rmtree(DATA_DIR, ignore_errors=True)
+
+    lo, hi = str(min(levels)), str(max(levels))
+    thr_lo = results[lo]["clips_per_sec"]
+    thr_hi = results[hi]["clips_per_sec"]
+    core_ratio = max(levels) / min(levels)
+    efficiency = round((thr_hi / thr_lo) / core_ratio, 3)
+    summary = {
+        "metric": "clips_per_sec",
+        "n_clips": args.n_clips,
+        "setup_seconds": setup["setup_seconds"],
+        "levels": results,
+        "core_ratio": core_ratio,
+        "efficiency": efficiency,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — measured scaling evidence (north rule)\n\n"
+            "Identical end-to-end validation job on the SAME materialized "
+            "audio-clip table (stats + uniqueness + referential + transcript "
+            "+ drift + PCM-SNR checks; verdicts and violation rows "
+            "materialized) at two parallelism levels, fresh JVM each — the "
+            "sandbox proxy for N vs 4N executors.\n\n"
+            "| level | clips | seconds | clips/sec |\n|---|---|---|---|\n"
+        )
+        for cores in levels:
+            r = results[str(cores)]
+            f.write(f"| local[{cores}] | {r['n_clips']} | {r['seconds']} "
+                    f"| {r['clips_per_sec']} |\n")
+        f.write(
+            f"\nscaling efficiency (local[{lo}] → local[{hi}], core ratio "
+            f"{core_ratio:.0f}x): **{efficiency}** "
+            f"({'PASS' if efficiency >= 0.8 else 'FAIL'}, threshold 0.8)\n\n"
+            f"Fixture setup (excluded from throughput, like table "
+            f"provisioning): {setup['setup_seconds']}s at local[32] for "
+            f"{args.n_clips} clips.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
