@@ -21,7 +21,8 @@ from json_spark.session import get_spark  # noqa: E402
 from json_spark.plans.registry import QUERIES  # noqa: E402
 
 #: headline set: one per operator family (stats, uniqueness, referential,
-#: coercion, drift, rollup) — each an action that scans the fact table
+#: coercion, drift, rollup, text, dedup, similarity) — each an action that
+#: scans its fact table
 HEADLINE = [
     "stats_lineitem",
     "stats_quantiles",
@@ -33,6 +34,11 @@ HEADLINE = [
     "drift_psi",
     "drift_ks",
     "verdict_rollup",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
 ]
 
 

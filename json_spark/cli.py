@@ -1,0 +1,93 @@
+"""spark-submit entry point for the validation engine.
+
+North-rule launch shape (BASELINE.json:6): ``spark-submit --py-files``
+on a multi-executor cluster. Package the repo and run:
+
+    zip -r json_spark.zip json_spark
+    spark-submit --py-files json_spark.zip -m json_spark.cli ...   # or:
+    spark-submit --py-files json_spark.zip run_suite.py \
+        --clips /path/clips --manifest /path/manifest \
+        --out /path/results --ledger /path/ledger
+
+On a cluster, spark-submit provides the master; set
+``SPARK_GRAFT_ON_CLUSTER=1`` so the session builder does not force
+``local[*]`` (json_spark/session.py). Resumability: re-running with the
+same ``--ledger`` path skips partitions already DONE for every check
+(anti-join against the ledger — plans/ledger.py).
+
+Outputs (all parquet, written not collected):
+  {out}/partition_verdicts   per (partition, check): verdict + metrics
+  {out}/violations           per offending row: reason + truncated value
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="json_spark",
+                                 description="PySpark validation engine")
+    ap.add_argument("--clips", required=True,
+                    help="clips table path (parquet dir or Iceberg identifier)")
+    ap.add_argument("--manifest", default=None,
+                    help="transcript manifest path (enables referential + "
+                         "transcript checks)")
+    ap.add_argument("--baseline", default=None,
+                    help="baseline histogram-shares path (enables drift); "
+                         "'self' builds it from the non-drifted population")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--ledger", default=None,
+                    help="checkpoint ledger path (enables resume)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore existing ledger rows (full re-run)")
+    ap.add_argument("--partition-col", default="codec")
+    ap.add_argument("--snr-threshold-db", type=float, default=30.0)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local-mode cores (ignored under spark-submit on a "
+                         "cluster)")
+    args = ap.parse_args(argv)
+
+    from .plans.suite import SuiteConfig, ValidationSuite, build_baseline_shares
+    from .session import get_spark
+
+    spark = get_spark("json_spark-suite", cores=args.cores)
+    clips = spark.read.parquet(args.clips)
+    manifest = spark.read.parquet(args.manifest) if args.manifest else None
+    cfg = SuiteConfig(partition_col=args.partition_col,
+                      snr_threshold_db=args.snr_threshold_db)
+    if args.baseline == "self":
+        baseline = build_baseline_shares(
+            clips.filter(F.col(cfg.partition_col) != "opus"), cfg)
+    elif args.baseline:
+        baseline = spark.read.parquet(args.baseline)
+    else:
+        baseline = None
+
+    res = ValidationSuite(cfg).run(
+        spark, clips, manifest, baseline,
+        ledger_path=args.ledger, input_path=args.clips,
+        resume=not args.no_resume,
+    )
+    res.partition_verdicts.write.mode("overwrite").parquet(
+        f"{args.out}/partition_verdicts")
+    res.violations.write.mode("overwrite").parquet(f"{args.out}/violations")
+
+    verdicts = spark.read.parquet(f"{args.out}/partition_verdicts")
+    summary = {
+        "n_partition_checks": verdicts.count(),
+        "n_red": verdicts.filter(F.col("verdict") == "RED").count(),
+        "n_violations": spark.read.parquet(f"{args.out}/violations").count(),
+    }
+    print(json.dumps(summary))
+    res.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

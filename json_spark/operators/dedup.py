@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each expressed Spark-first (Column expressions + joins;
+no Python in the hot path) with an independent DuckDB oracle in
+plans/registry.py:
+
+- exact dedup      : hash-groupBy on a content key (salted two-phase via
+                     operators/uniqueness.py — same skew-proof shape)
+- MinHash + LSH    : shingle → minhash signature → band-bucket self-join →
+                     exact-Jaccard verify of candidates
+- SimHash          : 32-bit signature over distinct token hashes;
+                     chunk-banding gives GUARANTEED recall for hamming <= 3
+                     (pigeonhole: 4 chunks, <=3 differing bits ⇒ one equal)
+- n-gram Jaccard   : exact set similarity on shingle arrays
+- embedding cosine : near-dup pairs by cosine over array<float> columns
+
+Scale shape: every pair-generating step is a key-equality self-join
+(band bucket / simhash chunk), never a cross join; the exact verify runs
+only on LSH candidates, so cost is O(candidates), not O(n^2). Hot buckets
+(boilerplate shingles) are the skew risk — ``max_bucket`` caps the rows
+per bucket the self-join will expand (AQE skew-join splits the rest).
+
+Cross-engine determinism: token/shingle hashes use operators/text.tok32
+(md5 lower-32), MinHash params are driver-side literals from a seeded
+generator, and cosine is a sequential left-fold in doubles — Spark
+``aggregate`` and DuckDB ``list_reduce`` produce bit-identical results,
+so thresholds can't flip between the engine and its oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tok32, tokens
+
+#: MinHash modulus: 2^31-1 (prime). Shingle hashes are reduced mod P first
+#: so a*x stays within signed-64 range (a < 2^31, x < 2^31 ⇒ a*x < 2^62).
+MINHASH_P = 2_147_483_647
+MINHASH_SEED = 0x5EED
+
+
+def minhash_params(num_hashes: int, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+            for _ in range(num_hashes)]
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a single-space-separated text.
+
+    Documents shorter than ``n`` tokens fall back to one whole-text
+    shingle so they still participate (and can only match exactly).
+    """
+    toks = tokens(c)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(k >= 1, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingle_hashes(c: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes reduced mod P (minhash input domain)."""
+    return F.array_distinct(
+        F.transform(shingles(c, n), lambda s: F.pmod(tok32(s), F.lit(MINHASH_P)))
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32,
+                      seed: int = MINHASH_SEED) -> Column:
+    """MinHash signature: array of min over the permuted shingle hashes."""
+    params = minhash_params(num_hashes, seed)
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_P))))
+        for a, b in params
+    ])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    return (F.size(F.array_intersect(a, b)).cast("double")
+            / F.size(F.array_union(a, b)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    1. per doc: distinct shingle hashes + minhash signature,
+    2. explode ``bands`` band keys (concatenated signature rows),
+    3. self-join on (band, key) with id_a < id_b → candidate pairs,
+    4. exact Jaccard on the shingle sets, keep >= threshold.
+
+    With r = num_hashes/bands rows per band, a pair with Jaccard j is
+    missed by all bands with probability (1 - j^r)^bands — for the
+    default 16x2 and j >= 0.5, < 1.8%; for j >= 0.8, < 1e-6. The verify
+    step removes all false positives, so precision is exact.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate) whose self-join
+    would explode quadratically; dropped buckets are a recall (not
+    precision) trade recorded by the caller if needed.
+    """
+    r = num_hashes // bands
+    # shingle STRINGS for the exact verify (collision-free, matches the
+    # oracle's string-set Jaccard); their hashes feed the signatures only
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), n).alias("__sh"),
+    )
+    sig = base.select(
+        "__id",
+        minhash_signature(
+            F.array_distinct(F.transform(
+                F.col("__sh"),
+                lambda s: F.pmod(tok32(s), F.lit(MINHASH_P)))),
+            num_hashes,
+        ).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.concat_ws("_", F.slice(F.col("__sig"), b * r + 1, r))
+                .alias("key"),
+            ),
+        )).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("__band"),
+             F.col("bk.key").alias("__key"))
+    # cap pathological buckets before the self-join expands them
+    sized = banded.withColumn(
+        "__bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("__band", "__key")),
+    ).filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n")
+    left = sized.alias("l")
+    right = sized.alias("r")
+    cand = (
+        left.join(right, ["__band", "__key"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(base.select(F.col("__id").alias("id_a"),
+                              F.col("__sh").alias("__sh_a")), "id_a")
+        .join(base.select(F.col("__id").alias("id_b"),
+                          F.col("__sh").alias("__sh_b")), "id_b")
+        .select("id_a", "id_b",
+                jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8 bits each → guaranteed recall for hamming <= 3
+
+
+def simhash32(c: Column) -> Column:
+    """32-bit SimHash over DISTINCT token hashes: bit b is 1 iff the sum of
+    (+1 / -1 for bit b of each token hash) is >= 0. Pure SQL expression —
+    identical in the DuckDB oracle."""
+    hashed = F.array_distinct(F.transform(tokens(c), lambda t: tok32(t)))
+
+    def bit_vote(b: int) -> Column:
+        # factory binds b per bit; shift amounts must be Python ints
+        return F.aggregate(
+            hashed, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.pmod(F.shiftright(h, b), F.lit(2)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(bit_vote(b) >= 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return sim
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, max_bucket: int = 500) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by chunk banding: split the 32-bit signature into
+    4 8-bit chunks; any pair within hamming <= 3 shares at least one exact
+    chunk (pigeonhole), so recall is 1.0 — the oracle's exact O(n^2) scan
+    and this plan agree EXACTLY, unlike probabilistic LSH.
+    """
+    bits_per = SIMHASH_BITS // SIMHASH_CHUNKS
+    base = df.select(F.col(id_col).alias("__id"),
+                     simhash32(F.col(text_col)).alias("__sim"))
+    chunked = base.select(
+        "__id", "__sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.pmod(F.shiftright(F.col("__sim"), i * bits_per),
+                       F.lit(1 << bits_per)).alias("key"),
+            )
+            for i in range(SIMHASH_CHUNKS)
+        ])).alias("ck"),
+    ).select("__id", "__sim", F.col("ck.chunk").alias("__chunk"),
+             F.col("ck.key").alias("__key"))
+    sized = chunked.withColumn(
+        "__bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("__chunk", "__key")),
+    ).filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n")
+    left = sized.alias("l")
+    right = sized.alias("r")
+    return (
+        left.join(right, ["__chunk", "__key"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+                F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine
+# ---------------------------------------------------------------------------
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in doubles — bit-identical to the
+    oracle's list_reduce fold (same op sequence, IEEE determinism)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
+
+
+def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.9) -> DataFrame:
+    """All pairs with cosine >= threshold via self-join.
+
+    This is the exact (verification) kernel; at corpus scale the pair
+    space is first cut by LSH bucketing (similarity.lsh_topk uses the
+    same hyperplane trick) — here the driver-checked operator stays
+    exact so the oracle is O(n^2) comparable.
+    """
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

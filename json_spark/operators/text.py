@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` Column expressions —
+whole-stage codegen applies, no Python reaches the hot path. The same
+semantics are re-implemented independently in ANSI SQL by the oracle
+entries in plans/registry.py, so every operator is DuckDB-checked.
+
+Cross-engine determinism rules (shared with operators/dedup.py):
+- token hash = lower 32 bits of md5 (``tok32``) — both engines compute
+  the identical integer, unlike murmur3 (Spark) vs DuckDB's hash().
+- rolling fingerprint = left fold with fixed modulus; Spark ``aggregate``
+  and DuckDB ``list_reduce`` are both left folds, so values match bit-for-bit.
+
+Operators (brief: language-ID n-gram heuristic, quality scoring, token
+counting whitespace + BPE-ish regex, document fingerprinting rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: word pieces | digit runs | single punctuation
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+PUNCT_RE = r"[^a-z0-9 ]"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: marker words per language for the n-gram/stopword language-ID heuristic;
+#: order is the deterministic tie-break (first wins)
+LANG_MARKERS = (
+    ("en", ("the", "a", "of", "and", "is")),
+    ("de", ("der", "die", "das", "und", "ist")),
+    ("fr", ("le", "les", "des", "et", "est")),
+    ("es", ("el", "los", "las", "y", "es")),
+)
+
+FINGERPRINT_MOD = 2_147_483_647  # 2^31 - 1
+FINGERPRINT_MULT = 131
+
+
+def tok32(c: Column) -> Column:
+    """Stable 32-bit token hash both engines can compute: lower 32 bits of
+    md5. DuckDB equivalent: ``('0x' || substr(md5(t),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens (corpus is single-space separated)."""
+    return F.split(c, " ")
+
+
+def token_counts(c: Column) -> dict[str, Column]:
+    """Whitespace token count + BPE-ish subword count (regex pieces)."""
+    return {
+        "n_tokens_ws": F.size(tokens(c)),
+        "n_tokens_bpe": F.size(F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0))),
+    }
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Quality-scoring features + composite score in [0, 1].
+
+    The score formula is intentionally simple arithmetic over counts so the
+    oracle reproduces it exactly: longer docs (up to 50 tokens), higher
+    stopword share, and lower punctuation share score higher.
+    """
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), F.lit(0)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    # single-space-separated ⇒ total token chars = n_chars - (n_tokens - 1)
+    mean_tok_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.2
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over DISTINCT tokens."""
+    distinct_toks = F.array_distinct(tokens(c))
+    return {
+        lang: F.size(F.array_intersect(
+            distinct_toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS
+    }
+
+
+def predict_lang(c: Column, min_hits: int = 1) -> Column:
+    """argmax over lang_scores with first-wins tie-break; 'und' when no
+    language reaches ``min_hits`` markers."""
+    scores = lang_scores(c)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build the when-chain in REVERSE priority so earlier langs win ties
+    for lang, _ in reversed(LANG_MARKERS):
+        out = F.when((scores[lang] == best) & (best >= min_hits),
+                     F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(c: Column) -> Column:
+    """Rolling polynomial hash over token hashes:
+    ``h = fold(tokens, 0, (acc, t) -> (acc*131 + tok32(t)) % (2^31-1))``.
+
+    Order-sensitive (unlike a bag-of-words hash) so token reordering
+    changes the fingerprint — the document-identity primitive for exact
+    near-line dedup and incremental re-validation.
+    """
+    hashed = F.transform(tokens(c), lambda t: tok32(t))
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * FINGERPRINT_MULT + h, F.lit(FINGERPRINT_MOD)),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """One-pass per-group text profile (counts + quality + langid share)."""
+    c = F.col(text_col)
+    q = quality_features(c)
+    t = token_counts(c)
+    enriched = df.select(
+        *group_cols,
+        t["n_tokens_ws"].alias("n_tokens_ws"),
+        t["n_tokens_bpe"].alias("n_tokens_bpe"),
+        q["n_chars"].alias("n_chars"),
+        q["quality_score"].alias("quality_score"),
+        predict_lang(c).alias("predicted_lang"),
+    )
+    return enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_ws").alias("sum_tokens_ws"),
+        F.sum("n_tokens_bpe").alias("sum_tokens_bpe"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.sum((F.col("predicted_lang") == "en").cast("long")).alias("n_pred_en"),
+    )

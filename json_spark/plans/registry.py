@@ -525,3 +525,654 @@ def q_verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_verdict(num.verdict, boo.verdict).alias("row_verdict"),
     )
     return rollup_verdicts(df, "row_verdict", ["event_type"])
+
+
+# =========================================================================
+# Training-data pipeline operators (brief: dedup / similarity / multimodal
+# / text analysis). Text + dedup + ANN-exact are DuckDB-oracle-checked;
+# probabilistic ANN (IVF) and binary-decode stages are rows-only with
+# golden assertions in tests/.
+# =========================================================================
+
+from ..operators.dedup import (          # noqa: E402
+    cosine,
+    embedding_near_dups,
+    jaccard,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_pairs,
+)
+from ..operators.similarity import cosine_topk, ivf_topk, pick_centroids  # noqa: E402
+from ..operators.text import (           # noqa: E402
+    BPE_RE,
+    fingerprint,
+    predict_lang,
+    quality_features,
+    token_counts,
+)
+from ..operators.uniqueness import uniqueness_summary  # noqa: E402
+
+# ---- text analysis ------------------------------------------------------
+
+@register("text_token_stats", oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS sum_tokens_ws,
+       sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+         AS sum_tokens_bpe,
+       round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY source
+""")
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = token_counts(F.col("text"))
+    return d.select(
+        "source",
+        t["n_tokens_ws"].alias("ws"),
+        t["n_tokens_bpe"].alias("bpe"),
+        F.length("text").alias("nc"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("sum_tokens_ws"),
+        F.sum("bpe").alias("sum_tokens_bpe"),
+        F.round(F.avg("nc"), 6).alias("avg_chars"),
+    )
+
+
+@register("text_quality", oracle="""
+WITH f AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+  FROM documents),
+s AS (
+  SELECT source,
+         least(1.0, n_tokens / 50.0) * 0.5
+         + (n_stop::DOUBLE / n_tokens) * 0.3
+         + (1.0 - n_punct::DOUBLE / n_chars) * 0.2 AS score
+  FROM f)
+SELECT source, count(*) AS n_docs,
+       round(avg(score), 6) AS avg_quality,
+       round(min(score), 6) AS min_quality,
+       round(max(score), 6) AS max_quality
+FROM s GROUP BY source
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return d.select("source", q["quality_score"].alias("score")).groupBy(
+        "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_quality"),
+        F.round(F.min("score"), 6).alias("min_quality"),
+        F.round(F.max("score"), 6).alias("max_quality"),
+    )
+
+
+@register("text_langid", oracle="""
+WITH sc AS (
+  SELECT lang,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['the','a','of','and','is'])) AS s_en,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['der','die','das','und','ist'])) AS s_de,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['le','les','des','et','est'])) AS s_fr,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['el','los','las','y','es'])) AS s_es
+  FROM documents),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN s_en = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'en'
+      WHEN s_de = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'de'
+      WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'fr'
+      WHEN s_es = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'es'
+      ELSE 'und' END AS predicted_lang
+  FROM sc)
+SELECT lang, predicted_lang, count(*) AS n FROM p GROUP BY lang, predicted_lang
+""")
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "lang", predict_lang(F.col("text")).alias("predicted_lang")
+    ).groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("text_fingerprint", oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [('0x' || substr(md5(t), 1, 8))::BIGINT
+            for t in string_split(text, ' ')]),
+         (acc, h) -> (acc * 131 + h) % 2147483647) AS fp
+FROM documents
+""")
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---- deduplication ------------------------------------------------------
+
+def _docs_with_planted_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (every 10th doc, id+100000) — both engines
+    derive the identical union, then each runs its own dedup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return d.unionByName(copies)
+
+
+@register("dedup_exact", oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+counts AS (SELECT md5(text) AS k, count(*) AS c FROM all_docs GROUP BY 1)
+SELECT sum(c) AS n_rows, count(*) AS n_keys,
+       count(*) FILTER (WHERE c > 1) AS n_dup_keys,
+       coalesce(sum(c) FILTER (WHERE c > 1), 0) AS n_dup_rows
+FROM counts
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted_copies(spark, sf_dir)
+    return uniqueness_summary(docs.select(F.md5("text").alias("k")), "k")
+
+
+_SHINGLE3_SQL = """
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@register("dedup_minhash_lsh", oracle=f"""
+WITH s AS ({_SHINGLE3_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3,
+                              num_hashes=32, bands=16, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([('0x' || substr(md5(t), 1, 8))::BIGINT
+                        for t in string_split(text, ' ')]) AS hs
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           [CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                                for h in hs]) >= 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+            for b in generate_series(0, 31)]),
+           (a, x) -> a + x) AS sim
+  FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+""")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register("dedup_ngram_jaccard", oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 2
+           THEN [array_to_string(toks[i:i+1], ' ')
+                 for i in generate_series(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+j AS (
+  SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
+SELECT CAST(floor(10 * jac) AS BIGINT) AS bucket, count(*) AS n
+FROM j GROUP BY bucket
+""")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", shingles(F.col("text"), 2).alias("sh"))
+    a = s.alias("a")
+    b = s.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("sh").alias("sh_b")).alias("b")
+    pairs = a.join(b, "doc_id").select(
+        jaccard(F.col("sh"), F.col("sh_b")).alias("jac"))
+    return pairs.groupBy(
+        F.floor(10 * F.col("jac")).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_EMB_FOLD_DOT = """
+  list_reduce(list_prepend(0.0::DOUBLE,
+    [CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)
+     for i in generate_series(1, len(a.v))]), (x, y) -> x + y)
+"""
+
+_EMB_BASE_SQL = """
+  base AS (
+    SELECT vec_id, embedding AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           [CAST(embedding[i] AS DOUBLE)
+            + CASE WHEN i = 1 THEN 0.25 ELSE 0.0 END
+            for i in generate_series(1, len(embedding))]
+    FROM embeddings WHERE vec_id % 10 = 0),
+  normed AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             [CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)
+              for i in generate_series(1, len(v))]), (x, y) -> x + y)) AS nrm
+    FROM base)
+"""
+
+
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(0.25)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+
+
+@register("dedup_embedding_cosine", oracle=f"""
+WITH {_EMB_BASE_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_EMB_FOLD_DOT} / (a.nrm * b.nrm), 6) AS cos
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE {_EMB_FOLD_DOT} / (a.nrm * b.nrm) >= 0.9
+""")
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _emb_with_planted(spark, sf_dir)
+    return embedding_near_dups(base, "vec_id", "embedding", 0.9).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# ---- similarity search --------------------------------------------------
+
+@register("ann_cosine_topk", oracle="""
+WITH normed AS (
+  SELECT vec_id, embedding AS v,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+            for i in generate_series(1, len(embedding))]), (x, y) -> x + y))
+           AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           [CAST(q.v[i] AS DOUBLE) * CAST(n.v[i] AS DOUBLE)
+            for i in generate_series(1, len(q.v))]), (x, y) -> x + y)
+           / (q.nrm * n.nrm) AS cos
+  FROM normed q JOIN normed n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 0),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 10
+""")
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    out = cosine_topk(e, queries, "vec_id", "embedding", k=10)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", F.round("cos", 6).alias("cos"))
+
+
+@register("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probabilistic recall ⇒ rows-only driver check; tests/test_pipeline.py
+    # asserts recall vs the exact baseline
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    cents = pick_centroids(e, "vec_id", "embedding", every=37)
+    return ivf_topk(e, queries, "vec_id", "embedding", cents, k=10, nprobe=3)
+
+
+# ---- multimodal binary columns (rows-only: WAV decode not in SQL) -------
+
+@register("multimodal_meta")
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import extract_media_meta
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return extract_media_meta(clips).groupBy("container", "sr_hz").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("meta_dur_ms"), 3).alias("avg_dur_ms"),
+        F.sum("n_samples").alias("sum_samples"),
+    )
+
+
+@register("multimodal_audio_features")
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import audio_features
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return audio_features(clips).groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("zcr"), 4).alias("avg_zcr"),
+    )
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import frame_sample
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return frame_sample(clips).groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("frame_rms"), 4).alias("avg_rms"),
+    )
+
+
+# =========================================================================
+# §2.2 remaining coercion operators: integer / string / array / object /
+# time-of-day, plus §2.3 case detection. Raw inputs constructed
+# deterministically from driver tables; oracles re-derive the tolerance
+# semantics independently in SQL.
+# =========================================================================
+
+from ..config.rules import ArrayRules, RuleConfig  # noqa: E402
+from ..functions.coercion import (  # noqa: E402
+    coerce_array,
+    coerce_integer,
+    coerce_object,
+    coerce_string,
+    coerce_time_of_day,
+)
+from ..functions.keys import detect_case  # noqa: E402
+
+CFG_WRAP = RuleConfig(array_rules=ArrayRules(auto_wrap_single_values=True))
+
+
+def _dirty_int_raw():
+    m = F.pmod("o_orderkey", F.lit(8))
+    k = F.col("o_orderkey").cast("string")
+    return (
+        F.when(m == 0, k)
+        .when(m == 1, F.concat(k, F.lit(".7")))       # floor → o_orderkey
+        .when(m == 2, F.concat(F.lit(" "), k, F.lit(" ")))
+        .when(m == 3, F.lit("1,234"))
+        .when(m == 4, F.lit("true"))
+        .when(m == 5, F.lit(None).cast("string"))
+        .when(m == 6, F.concat(k, F.lit(".0")))
+        .otherwise(F.lit("x"))
+    )
+
+
+@register("coercion_integer", oracle=r"""
+WITH r AS (
+  SELECT CASE (o_orderkey % 8)
+    WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+    WHEN 1 THEN o_orderkey || '.7'
+    WHEN 2 THEN ' ' || o_orderkey || ' '
+    WHEN 3 THEN '1,234'
+    WHEN 4 THEN 'true'
+    WHEN 5 THEN NULL
+    WHEN 6 THEN o_orderkey || '.0'
+    ELSE 'x' END AS raw
+  FROM orders),
+c AS (
+  SELECT raw,
+    CASE
+      WHEN raw IS NULL THEN 'YELLOW'                       -- Number.FromNull
+      WHEN regexp_matches(raw, '^-?\d+$') THEN 'GREEN'     -- strict ParseInt
+      WHEN regexp_matches(replace(replace(trim(raw), ' ', ''), ',', ''),
+                          '^[+-]?(\d+\.?\d*|\.\d+)$') THEN 'YELLOW'
+      WHEN lower(trim(raw)) IN ('true', 'false') THEN 'YELLOW'
+      ELSE 'RED' END AS verdict,
+    CASE
+      WHEN raw IS NULL THEN 0
+      WHEN regexp_matches(raw, '^-?\d+$') THEN CAST(raw AS BIGINT)
+      WHEN regexp_matches(replace(replace(trim(raw), ' ', ''), ',', ''),
+                          '^[+-]?(\d+\.?\d*|\.\d+)$')
+        THEN CAST(floor(CAST(replace(replace(trim(raw), ' ', ''), ',', '')
+                             AS DOUBLE)) AS BIGINT)        -- RoundingAlgorithm=floor
+      WHEN lower(trim(raw)) = 'true' THEN 1
+      WHEN lower(trim(raw)) = 'false' THEN 0
+      ELSE NULL END AS coerced
+  FROM r)
+SELECT verdict, count(*) AS n, sum(coerced) AS sum_coerced
+FROM c GROUP BY verdict
+""")
+def q_coercion_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    res = coerce_integer(_dirty_int_raw(), CFG)
+    return od.select(res.coerced.alias("coerced"),
+                     res.verdict.alias("verdict")).groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("coerced").alias("sum_coerced"))
+
+
+@register("coercion_string", oracle="""
+WITH r AS (
+  SELECT event_type,
+         CASE (event_id % 3)
+           WHEN 0 THEN event_type
+           WHEN 1 THEN '  ' || event_type || ' '
+           ELSE NULL END AS raw
+  FROM events),
+c AS (
+  SELECT CASE
+           WHEN raw IS NULL THEN 'RED'          -- no String.FromNull rule
+           WHEN raw = trim(raw) THEN 'GREEN'
+           ELSE 'YELLOW' END AS verdict,        -- surrounding-space recovery
+         CASE WHEN raw IS NULL THEN NULL ELSE trim(raw) END AS coerced
+  FROM r)
+SELECT verdict, count(*) AS n, count(DISTINCT coerced) AS n_values,
+       sum(length(coerced)) AS sum_len
+FROM c GROUP BY verdict
+""")
+def q_coercion_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(3))
+    raw = (
+        F.when(m == 0, F.col("event_type"))
+        .when(m == 1, F.concat(F.lit("  "), F.col("event_type"), F.lit(" ")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    res = coerce_string(raw, CFG)
+    return ev.select(res.coerced.alias("coerced"),
+                     res.verdict.alias("verdict")).groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("coerced").alias("n_values"),
+        F.sum(F.length("coerced")).alias("sum_len"))
+
+
+@register("coercion_array", oracle="""
+WITH r AS (
+  SELECT CASE (event_id % 6)
+    WHEN 0 THEN '["a","b","c"]'
+    WHEN 1 THEN '["x"]'
+    WHEN 2 THEN '42'
+    WHEN 3 THEN NULL
+    WHEN 4 THEN '{"k":1}'
+    ELSE '["a",' END AS raw
+  FROM events),
+c AS (
+  SELECT CASE
+      WHEN raw IS NULL THEN 'GREEN'                        -- null allowed
+      WHEN json_valid(raw) AND json_type(raw::JSON) = 'ARRAY' THEN 'GREEN'
+      WHEN NOT regexp_matches(raw, '^\\s*[\\[{]') THEN 'YELLOW'  -- AutoWrap
+      ELSE 'RED' END AS verdict,
+    CASE
+      WHEN raw IS NULL THEN NULL
+      WHEN json_valid(raw) AND json_type(raw::JSON) = 'ARRAY'
+        THEN json_array_length(raw::JSON)
+      WHEN NOT regexp_matches(raw, '^\\s*[\\[{]') THEN 1   -- wrapped scalar
+      ELSE NULL END AS n_elems
+  FROM r)
+SELECT verdict, n_elems, count(*) AS n FROM c GROUP BY verdict, n_elems
+""")
+def q_coercion_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(6))
+    raw = (
+        F.when(m == 0, F.lit('["a","b","c"]'))
+        .when(m == 1, F.lit('["x"]'))
+        .when(m == 2, F.lit("42"))
+        .when(m == 3, F.lit(None).cast("string"))
+        .when(m == 4, F.lit('{"k":1}'))
+        .otherwise(F.lit('["a,'))
+    )
+    res = coerce_array(raw, CFG_WRAP)
+    return ev.select(F.size(res.coerced).alias("sz"),
+                     res.verdict.alias("verdict")).select(
+        F.when(F.col("sz") >= 0, F.col("sz")).alias("n_elems"),  # -1 → null
+        "verdict",
+    ).groupBy("verdict", "n_elems").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("coercion_object", oracle="""
+WITH r AS (
+  SELECT CASE (event_id % 5)
+    WHEN 0 THEN '{"a":"x","b":"y"}'
+    WHEN 1 THEN '{"k":"v"}'
+    WHEN 2 THEN NULL
+    WHEN 3 THEN '["a"]'
+    ELSE 'xyz' END AS raw
+  FROM events),
+c AS (
+  SELECT CASE
+      WHEN raw IS NULL THEN 'GREEN'
+      WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT' THEN 'GREEN'
+      ELSE 'RED' END AS verdict,
+    CASE WHEN raw IS NOT NULL AND json_valid(raw)
+              AND json_type(raw::JSON) = 'OBJECT'
+         THEN len(json_keys(raw::JSON)) END AS n_keys
+  FROM r)
+SELECT verdict, n_keys, count(*) AS n FROM c GROUP BY verdict, n_keys
+""")
+def q_coercion_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(5))
+    raw = (
+        F.when(m == 0, F.lit('{"a":"x","b":"y"}'))
+        .when(m == 1, F.lit('{"k":"v"}'))
+        .when(m == 2, F.lit(None).cast("string"))
+        .when(m == 3, F.lit('["a"]'))
+        .otherwise(F.lit("xyz"))
+    )
+    res = coerce_object(raw, CFG)
+    return ev.select(F.size(F.map_keys(res.coerced)).alias("sz"),
+                     res.verdict.alias("verdict")).select(
+        F.when(F.col("sz") >= 0, F.col("sz")).alias("n_keys"),
+        "verdict",
+    ).groupBy("verdict", "n_keys").agg(F.count(F.lit(1)).alias("n"))
+
+
+# NB: time-of-day truth is derived arithmetically from o_orderkey in BOTH
+# engines; only offset-LESS layouts are used so parse→hour() round-trips
+# are session-timezone-invariant (unix/null branches are TZ-dependent by
+# construction and covered by pytest under the fixed UTC session instead).
+
+@register("coercion_time", oracle="""
+WITH t AS (
+  SELECT (o_orderkey % 5) AS m,
+         (o_orderkey % 24) AS hh, (o_orderkey % 60) AS mi,
+         ((o_orderkey * 7) % 60) AS ss
+  FROM orders),
+c AS (
+  SELECT m,
+    CASE m WHEN 4 THEN 'RED' ELSE 'YELLOW' END AS verdict,
+    CASE m
+      WHEN 0 THEN hh * 3600 + mi * 60 + ss          -- 'HH:mm:ss'
+      WHEN 1 THEN hh * 3600 + mi * 60               -- 'HH:mm'
+      WHEN 2 THEN hh * 3600 + mi * 60 + ss          -- offset-less RFC3339-ish
+      WHEN 3 THEN (12 + (hh % 12)) * 3600 + mi * 60 -- 'h:mma' PM
+      ELSE NULL END AS secs
+  FROM t)
+SELECT m, verdict, count(*) AS n, sum(secs) AS sum_secs
+FROM c GROUP BY m, verdict
+""")
+def q_coercion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    m = F.pmod("o_orderkey", F.lit(5))
+    hh = F.pmod("o_orderkey", F.lit(24))
+    mi = F.pmod("o_orderkey", F.lit(60))
+    ss = F.pmod(F.col("o_orderkey") * 7, F.lit(60))
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    raw = (
+        F.when(m == 0, F.concat_ws(":", two(hh), two(mi), two(ss)))
+        .when(m == 1, F.concat_ws(":", two(hh), two(mi)))
+        .when(m == 2, F.concat(F.lit("1970-01-01T"),
+                               F.concat_ws(":", two(hh), two(mi), two(ss))))
+        .when(m == 3, F.concat(F.pmod(hh, F.lit(12)).cast("string"), F.lit(":"),
+                               two(mi), F.lit("PM")))
+        .otherwise(F.lit("not-a-time"))
+    )
+    # 'h:mma' is 12-hour: hour token must be 1-12, so 0 PM → 12 PM
+    raw = F.when(
+        (m == 3) & (F.pmod(hh, F.lit(12)) == 0),
+        F.concat(F.lit("12:"), two(mi), F.lit("PM")),
+    ).otherwise(raw)
+    res = coerce_time_of_day(raw, CFG)
+    return od.select(m.alias("m"), res.coerced.alias("secs"),
+                     res.verdict.alias("verdict")).groupBy("m", "verdict").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("secs").alias("sum_secs"))
+
+
+@register("case_detection", oracle="""
+WITH k AS (
+  SELECT CASE (event_id % 8)
+    WHEN 0 THEN 'user_name'  WHEN 1 THEN 'userName'
+    WHEN 2 THEN 'UserName'   WHEN 3 THEN 'user-name'
+    WHEN 4 THEN 'User-Name'  WHEN 5 THEN 'User_Name'
+    WHEN 6 THEN 'user Name2' ELSE 'XML$Parser' END AS key
+  FROM events),
+d AS (
+  SELECT CASE
+    WHEN regexp_matches(key, '^[a-z0-9]+(_[a-z0-9]+)*$') THEN 'snake'
+    WHEN regexp_matches(key, '^[a-z][a-z0-9]*([A-Z][a-z0-9]*)*$') THEN 'camel'
+    WHEN regexp_matches(key, '^([A-Z][a-z0-9]*)+$') THEN 'pascal'
+    WHEN regexp_matches(key, '^[a-z0-9]+(-[a-z0-9]+)*$') THEN 'kebab'
+    WHEN regexp_matches(key, '^[A-Z][a-z0-9]*(-[A-Z][a-z0-9]*)*$') THEN 'header'
+    WHEN regexp_matches(key, '^[A-Z][a-z0-9]*(_[A-Z][a-z0-9]*)*$') THEN 'title_snake'
+    WHEN regexp_matches(key, '^[A-Za-z0-9]+([-_ ][A-Za-z0-9]+)+$') THEN 'hybrid'
+    ELSE 'unknown' END AS convention
+  FROM k)
+SELECT convention, count(*) AS n FROM d GROUP BY convention
+""")
+def q_case_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(8))
+    key = (
+        F.when(m == 0, F.lit("user_name")).when(m == 1, F.lit("userName"))
+        .when(m == 2, F.lit("UserName")).when(m == 3, F.lit("user-name"))
+        .when(m == 4, F.lit("User-Name")).when(m == 5, F.lit("User_Name"))
+        .when(m == 6, F.lit("user Name2")).otherwise(F.lit("XML$Parser"))
+    )
+    return ev.select(detect_case(key).alias("convention")).groupBy(
+        "convention").agg(F.count(F.lit(1)).alias("n"))

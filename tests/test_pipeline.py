@@ -1,0 +1,182 @@
+"""Training-data pipeline operators: dedup / similarity / text / multimodal.
+
+Golden semantics on literal rows + planted-defect recovery on the driver
+testdata (documents has 25 near-duplicate docs: another doc's text plus a
+trailing " dup" token; embeddings get deterministic perturbed copies).
+Cross-engine value equality is covered by the DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the Spark-side semantics and the
+probabilistic paths the oracle can't (IVF recall, decode fallbacks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.operators import dedup, multimodal, similarity, text
+from json_spark.fixtures.gen import generate_clips
+from json_spark.fixtures.signal import pcm16_wav_bytes
+
+
+# ---------------------------------------------------------------- text ops
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame([("the quick brown fox, it is 42 ok",)], "t string")
+    t = text.token_counts(F.col("t"))
+    q = text.quality_features(F.col("t"))
+    row = df.select(
+        t["n_tokens_ws"].alias("ws"), t["n_tokens_bpe"].alias("bpe"),
+        q["n_chars"].alias("nc"), q["stopword_ratio"].alias("sr"),
+        q["quality_score"].alias("score"),
+    ).collect()[0]
+    assert row["ws"] == 8
+    # pieces: the|quick|brown|fox|,|it|is|42|ok = 9
+    assert row["bpe"] == 9
+    assert row["nc"] == 32
+    # stopwords among ws tokens: the, it, is — but "fox," is not "fox"
+    assert row["sr"] == pytest.approx(3 / 8)
+    assert 0.0 < row["score"] <= 1.0
+
+
+def test_predict_lang_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat is on a mat",), ("der hund und die katze ist",),
+         ("le chat et les oiseaux est",), ("el gato y los perros es",),
+         ("zzz qqq www",)], "t string")
+    out = [r[0] for r in df.select(text.predict_lang(F.col("t"))).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c", "a b c", "c b a")],
+                               "x string, y string, z string")
+    row = df.select(
+        text.fingerprint(F.col("x")).alias("fx"),
+        text.fingerprint(F.col("y")).alias("fy"),
+        text.fingerprint(F.col("z")).alias("fz"),
+    ).collect()[0]
+    assert row["fx"] == row["fy"]
+    assert row["fx"] != row["fz"]
+    assert 0 <= row["fx"] < 2_147_483_647
+
+
+# ------------------------------------------------------------- dedup ops
+
+def test_shingles_fallback_short_doc(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "t string")
+    rows = df.select(dedup.shingles(F.col("t"), 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["a b"]
+    assert sorted(rows[1]["sh"]) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    threshold=0.5).collect()
+    # every ' dup'-suffixed doc is another doc's text + one token
+    planted = docs.filter(F.col("text").rlike(" dup$")).count()
+    assert planted > 0
+    assert len(pairs) >= planted  # recall 1 on high-jaccard planted pairs
+    assert all(p["jaccard"] >= 0.5 for p in pairs)
+
+
+def test_simhash_exact_vs_bruteforce(spark):
+    # chunk banding must return EXACTLY the hamming<=3 pairs (pigeonhole)
+    data = [(i, f"w{i} common tokens shared by all docs here") for i in range(20)]
+    data += [(100, "w1 common tokens shared by all docs here")]  # dup of id 1
+    df = spark.createDataFrame(data, "id long, t string")
+    sims = {r["id"]: r["s"] for r in
+            df.select("id", dedup.simhash32(F.col("t")).alias("s")).collect()}
+    expect = {(a, b) for a in sims for b in sims if a < b
+              and bin(sims[a] ^ sims[b]).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_pairs(df, "id", "t", max_hamming=3).collect()}
+    assert got == expect
+    assert (1, 100) in got  # identical token multiset → hamming 0
+
+
+def test_embedding_near_dups_planted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: x.cast("double")
+                    + F.when(i == 0, F.lit(0.25)).otherwise(F.lit(0.0))
+                    ).alias("embedding"))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+    n_planted = planted.count()
+    pairs = dedup.embedding_near_dups(base, "vec_id", "embedding", 0.9).collect()
+    assert len(pairs) == n_planted
+    assert all(p["id_b"] == p["id_a"] + 100000 for p in pairs)
+    assert all(p["cos"] > 0.95 for p in pairs)
+
+
+# --------------------------------------------------------- similarity ops
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    cents = similarity.pick_centroids(emb, "vec_id", "embedding", every=37)
+    approx = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                                 cents, k=10, nprobe=3)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(truth)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    # random-data worst case for IVF; random top-10 would score ~0.02
+    assert mean_recall >= 0.2, f"IVF mean recall {mean_recall:.2f}"
+
+
+# --------------------------------------------------------- multimodal ops
+
+def test_media_meta_real_wav_header(spark):
+    clips = generate_clips(spark, 64, partitions=2)
+    meta = multimodal.extract_media_meta(clips).collect()
+    assert len(meta) == 64
+    assert all(m["container"] == "wav" for m in meta)
+    assert all(m["bits"] == 16 and m["channels"] == 1 for m in meta)
+    assert all(m["sr_hz"] in (8000, 16000, 22050, 44100, 48000) for m in meta)
+    # header-implied duration tracks dur_ms for non-null rows (50-200ms)
+    assert all(40 <= m["meta_dur_ms"] <= 210 for m in meta)
+
+
+def test_audio_features_and_decode_fallback(spark):
+    clips = generate_clips(spark, 32, partitions=2)
+    feats = multimodal.audio_features(clips).collect()
+    assert len(feats) == 32
+    assert all(f["decoded"] for f in feats)       # fixture stores real WAV
+    assert all(0.0 < f["rms"] < 1.0 for f in feats)
+    # undecodable payload → deterministic fake, decoded=false
+    bad = spark.createDataFrame([("x", "opus", bytearray(b"not-audio"))],
+                                "clip_id string, codec string, bytes binary")
+    row = multimodal.audio_features(bad).collect()[0]
+    assert row["decoded"] is False
+    assert row["rms"] > 0.0                        # fake is a real signal
+    again = multimodal.audio_features(bad).collect()[0]
+    assert again["rms"] == row["rms"]              # deterministic
+
+
+def test_decode_external_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_external(b"\x00\x01", "opus")
+
+
+def test_frame_sample_bounded(spark):
+    sig = np.linspace(-0.5, 0.5, 16000).astype(np.float32)
+    wav = pcm16_wav_bytes(sig, 16000)  # 1s at 16 kHz → 40 25ms frames
+    df = spark.createDataFrame([("c1", "pcm_s16le", bytearray(wav))],
+                               "clip_id string, codec string, bytes binary")
+    frames = multimodal.frame_sample(df, frame_ms=25, max_frames=8).collect()
+    assert len(frames) == 8                        # bounded fan-out
+    assert all(f["frame_rms"] >= 0.0 for f in frames)
+    assert len({f["frame_idx"] for f in frames}) == 8

@@ -50,7 +50,12 @@ def main():
     import __spark_entry__ as e
     from json_spark.session import get_spark
 
-    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    # SPARK_GRAFT_TZ simulates the driver's arbitrary session timezone
+    # (the external verify may not run UTC — queries must be TZ-invariant)
+    tz = os.environ.get("SPARK_GRAFT_TZ")
+    extra = {"spark.sql.session.timeZone": tz} if tz else None
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8,
+                      extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
