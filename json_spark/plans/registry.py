@@ -1176,3 +1176,140 @@ def q_case_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(detect_case(key).alias("convention")).groupBy(
         "convention").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =========================================================================
+# §3.1 flagship decode pipeline on an embedded-JSON column: clean-first
+# typed pass, dirty stringly+coercion fallback, columnar merge
+# (functions/embedded.py). The DuckDB oracle distinguishes strict vs
+# stringified values via json_type(), i.e. a fully independent
+# re-implementation of the clean/dirty split.
+# =========================================================================
+
+from ..functions.embedded import EmbeddedField, decode_embedded  # noqa: E402
+
+
+def _embedded_raw():
+    """Deterministic embedded doc per event: strict / stringified /
+    messy-recoverable / null variants keyed on event_id."""
+    m = F.pmod("event_id", F.lit(4))
+    q = F.pmod("event_id", F.lit(100)).cast("string")
+    b = F.when(F.pmod("event_id", F.lit(2)) == 0, "true").otherwise("false")
+    s = F.pmod("event_id", F.lit(10)).cast("string")
+    return (
+        F.when(m == 0, F.concat(
+            F.lit('{"qty":'), q, F.lit(',"active":'), b,
+            F.lit(',"score":'), s, F.lit('.5}')))
+        .when(m == 1, F.concat(
+            F.lit('{"qty":"'), q, F.lit('","active":"yes","score":" '),
+            s, F.lit('.5 "}')))
+        .when(m == 2, F.concat(
+            F.lit('{"qty":"'), q, F.lit(',000","active":"off","score":"bad"}')))
+        .otherwise(F.lit('{"qty":null,"active":null,"score":null}'))
+    )
+
+
+_EMBEDDED_RAW_SQL = """
+  CASE (event_id % 4)
+    WHEN 0 THEN '{"qty":' || (event_id % 100) || ',"active":'
+                || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+                || ',"score":' || (event_id % 10) || '.5}'
+    WHEN 1 THEN '{"qty":"' || (event_id % 100)
+                || '","active":"yes","score":" ' || (event_id % 10) || '.5 "}'
+    WHEN 2 THEN '{"qty":"' || (event_id % 100)
+                || ',000","active":"off","score":"bad"}'
+    ELSE '{"qty":null,"active":null,"score":null}' END
+"""
+
+
+@register("embedded_decode", oracle=f"""
+WITH r AS (SELECT {_EMBEDDED_RAW_SQL} AS raw FROM events),
+c AS (
+  SELECT
+    -- qty: strict iff the JSON token is an integer; tolerant path strips
+    -- spaces/commas then floor-parses; null → 0 (Number.FromNull)
+    CASE
+      WHEN json_type(raw, '$.qty') IN ('BIGINT', 'UBIGINT') THEN 'GREEN'
+      WHEN json_type(raw, '$.qty') = 'NULL' THEN 'YELLOW'
+      WHEN json_type(raw, '$.qty') = 'VARCHAR'
+           AND regexp_matches(replace(replace(trim(
+                 json_extract_string(raw, '$.qty')), ' ', ''), ',', ''),
+               '^[+-]?(\\d+\\.?\\d*|\\.\\d+)$') THEN 'YELLOW'
+      ELSE 'RED' END AS v_qty,
+    CASE
+      WHEN json_type(raw, '$.qty') IN ('BIGINT', 'UBIGINT')
+        THEN json_extract(raw, '$.qty')::VARCHAR::BIGINT
+      WHEN json_type(raw, '$.qty') = 'NULL' THEN 0
+      WHEN json_type(raw, '$.qty') = 'VARCHAR'
+           AND regexp_matches(replace(replace(trim(
+                 json_extract_string(raw, '$.qty')), ' ', ''), ',', ''),
+               '^[+-]?(\\d+\\.?\\d*|\\.\\d+)$')
+        THEN CAST(floor(CAST(replace(replace(trim(
+               json_extract_string(raw, '$.qty')), ' ', ''), ',', '')
+               AS DOUBLE)) AS BIGINT)
+      END AS c_qty,
+    -- active: strict iff JSON bool; custom true/false lists; null → false
+    CASE
+      WHEN json_type(raw, '$.active') = 'BOOLEAN' THEN 'GREEN'
+      WHEN json_type(raw, '$.active') = 'NULL' THEN 'YELLOW'
+      WHEN lower(trim(json_extract_string(raw, '$.active')))
+           IN ('true', 'yes', 'on', 'false', 'no', 'off', '') THEN 'YELLOW'
+      ELSE 'YELLOW' END AS v_active,            -- FallbackValue=false
+    CASE
+      WHEN json_type(raw, '$.active') = 'BOOLEAN'
+        THEN json_extract(raw, '$.active')::VARCHAR::BOOLEAN
+      WHEN json_type(raw, '$.active') = 'NULL' THEN FALSE
+      WHEN lower(trim(json_extract_string(raw, '$.active')))
+           IN ('true', 'yes', 'on') THEN TRUE
+      ELSE FALSE END AS c_active,
+    -- score: strict iff JSON number; spacing tolerated; null → 0.0
+    CASE
+      WHEN json_type(raw, '$.score') IN ('DOUBLE', 'BIGINT', 'UBIGINT')
+        THEN 'GREEN'
+      WHEN json_type(raw, '$.score') = 'NULL' THEN 'YELLOW'
+      WHEN json_type(raw, '$.score') = 'VARCHAR'
+           AND regexp_matches(replace(replace(trim(
+                 json_extract_string(raw, '$.score')), ' ', ''), ',', ''),
+               '^[+-]?(\\d+\\.?\\d*|\\.\\d+)$') THEN 'YELLOW'
+      ELSE 'RED' END AS v_score,
+    CASE
+      WHEN json_type(raw, '$.score') IN ('DOUBLE', 'BIGINT', 'UBIGINT')
+        THEN json_extract(raw, '$.score')::VARCHAR::DOUBLE
+      WHEN json_type(raw, '$.score') = 'NULL' THEN 0.0
+      WHEN json_type(raw, '$.score') = 'VARCHAR'
+           AND regexp_matches(replace(replace(trim(
+                 json_extract_string(raw, '$.score')), ' ', ''), ',', ''),
+               '^[+-]?(\\d+\\.?\\d*|\\.\\d+)$')
+        THEN CAST(replace(replace(trim(json_extract_string(raw, '$.score')),
+                  ' ', ''), ',', '') AS DOUBLE)
+      END AS c_score
+  FROM r)
+SELECT v_qty, v_active, v_score, count(*) AS n,
+       sum(c_qty) AS sum_qty,
+       sum(CASE WHEN c_active THEN 1 ELSE 0 END) AS n_active,
+       round(sum(c_score), 6) AS sum_score
+FROM c GROUP BY v_qty, v_active, v_score
+""")
+def q_embedded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fields = [
+        EmbeddedField("qty", "integer"),
+        EmbeddedField("active", "bool"),
+        EmbeddedField("score", "number"),
+    ]
+    res = decode_embedded(
+        _embedded_raw(), "qty bigint, active boolean, score double",
+        fields, CFG)
+    return ev.select(
+        res["qty"].verdict.alias("v_qty"),
+        res["active"].verdict.alias("v_active"),
+        res["score"].verdict.alias("v_score"),
+        res["qty"].coerced.alias("c_qty"),
+        res["active"].coerced.alias("c_active"),
+        res["score"].coerced.alias("c_score"),
+    ).groupBy("v_qty", "v_active", "v_score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_qty").alias("sum_qty"),
+        F.sum(F.col("c_active").cast("long")).alias("n_active"),
+        F.round(F.sum("c_score"), 6).alias("sum_score"),
+    )

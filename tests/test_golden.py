@@ -1,0 +1,137 @@
+"""Golden end-to-end decode test mirroring the reference's sample1.
+
+The reference decodes tests/testdata/1.clean.json (all-green) and
+1.dirty-yellow.json (stringified numbers/bools recovered to the same
+clean struct) — tests/sample1_test.go:12-91. Here the same document
+lives in an embedded-JSON string column: from_json with a stringly
+nested schema, then the §2.2 coercion predicates per declared field.
+The invariant is the reference's: dirty decode == clean decode, with
+GREEN verdicts on the clean doc and YELLOW on every recovered field.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.config import default_config
+from json_spark.functions.embedded import EmbeddedField, decode_embedded
+
+CFG = default_config()
+
+#: tests/testdata/1.clean.json (values re-typed as the engine's golden)
+CLEAN_DOC = {
+    "id": 1,
+    "name": "Item 1",
+    "is_active": True,
+    "details": {
+        "description": "Description for item 1",
+        "score": 9.5,
+        "was_verified": False,
+        "info": {
+            "category": "Category A",
+            "rating": 4,
+            "features": ["fast", "reliable"],
+            "options": [{"key": "priority", "value": "high"}],
+        },
+    },
+    "tags": ["alpha", "beta"],
+}
+
+#: tests/testdata/1.dirty-yellow.json — same doc, number/bool fields
+#: stringified (recoverable under the default rule set)
+DIRTY_DOC = {
+    "id": 1,
+    "name": "Item 1",
+    "is_active": "true",
+    "details": {
+        "description": "Description for item 1",
+        "score": "9.5",
+        "was_verified": "false",
+        "info": {
+            "category": "Category A",
+            "rating": "4",
+            "features": ["fast", "reliable"],
+            "options": [{"key": "priority", "value": "high"}],
+        },
+    },
+    "tags": ["alpha", "beta"],
+}
+
+#: TYPED schema — the clean-pass decode target; the dirty pass derives
+#: its stringly twin automatically (functions/embedded.stringly)
+TYPED_SCHEMA = (
+    "id bigint, name string, is_active boolean, "
+    "details struct<description string, score double, was_verified boolean, "
+    "info struct<category string, rating bigint, features array<string>, "
+    "options array<struct<key string, value string>>>>, "
+    "tags array<string>"
+)
+
+FIELDS = [
+    EmbeddedField("id", "integer"),
+    EmbeddedField("is_active", "bool"),
+    EmbeddedField("details.score", "number"),
+    EmbeddedField("details.was_verified", "bool"),
+    EmbeddedField("details.info.rating", "integer"),
+]
+
+
+@pytest.fixture(scope="module")
+def decoded(spark):
+    df = spark.createDataFrame(
+        [("clean", json.dumps(CLEAN_DOC)), ("dirty", json.dumps(DIRTY_DOC))],
+        "variant string, raw string",
+    )
+    results = decode_embedded(F.col("raw"), TYPED_SCHEMA, FIELDS, CFG)
+    alias = {"id": "id", "is_active": "is_active", "details_score": "score",
+             "details_was_verified": "was_verified",
+             "details_info_rating": "rating"}
+    typed = F.from_json("raw", TYPED_SCHEMA).alias("d")
+    rows = df.select(
+        "variant",
+        typed.getField("name").alias("name"),
+        typed.getField("details").getField("description").alias("description"),
+        typed.getField("details").getField("info").getField("category").alias("category"),
+        typed.getField("details").getField("info").getField("features").alias("features"),
+        typed.getField("tags").alias("tags"),
+        *[c for name, res in results.items()
+          for c in res.with_prefix(alias[name])],
+    ).collect()
+    return {r["variant"]: r for r in rows}
+
+
+def test_clean_doc_is_all_green(decoded):
+    c = decoded["clean"]
+    for f in ("id", "is_active", "score", "was_verified", "rating"):
+        assert c[f + "__verdict"] == "GREEN", f
+
+
+def test_dirty_doc_recovers_to_clean_values(decoded):
+    c, d = decoded["clean"], decoded["dirty"]
+    # every coerced dirty value equals the clean decode (sample1_test.go:72-90)
+    for f in ("id", "is_active", "score", "was_verified", "rating"):
+        assert d[f + "__coerced"] == c[f + "__coerced"], f
+    # untouched fields pass through identically
+    for f in ("name", "description", "category", "features", "tags"):
+        assert d[f] == c[f], f
+
+
+def test_dirty_doc_fields_are_yellow(decoded):
+    d = decoded["dirty"]
+    # id stays a clean JSON number in 1.dirty-yellow.json → GREEN
+    assert d["id__verdict"] == "GREEN"
+    for f in ("is_active", "score", "was_verified", "rating"):
+        assert d[f + "__verdict"] == "YELLOW", f
+
+
+def test_expected_golden_values(decoded):
+    c = decoded["clean"]
+    assert c["id__coerced"] == 1
+    assert c["is_active__coerced"] is True
+    assert c["score__coerced"] == 9.5
+    assert c["was_verified__coerced"] is False
+    assert c["rating__coerced"] == 4
+    assert c["tags"] == ["alpha", "beta"]
