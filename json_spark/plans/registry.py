@@ -1313,3 +1313,45 @@ def q_embedded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_active").cast("long")).alias("n_active"),
         F.round(F.sum("c_score"), 6).alias("sum_score"),
     )
+
+
+# =========================================================================
+# §2.4/§2.5 remaining physical strategies: HLL++ approximate uniqueness
+# (sketch ⇒ rows-only + relative-error pytest) and the large-manifest
+# referential path (merge join + runtime bloom filter — same oracle as
+# the broadcast path, different physical plan).
+# =========================================================================
+
+from ..operators.referential import orphans_large_dim  # noqa: E402
+from ..operators.uniqueness import approx_uniqueness  # noqa: E402
+
+
+@register("uniqueness_approx")
+def q_uniqueness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ sketch estimate — approximate by design, so no value oracle;
+    # tests/test_pipeline.py bounds the relative error vs the exact count
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_uniqueness(li, "l_orderkey", rsd=0.01,
+                             partition_cols=["l_returnflag"])
+
+
+@register("referential_orphans_large", oracle="""
+SELECT o.o_custkey, count(*) AS n_orphan_rows
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 <> 3)
+GROUP BY o.o_custkey
+""")
+def q_referential_orphans_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical semantics to referential_orphans, but through the
+    # too-big-to-broadcast plan: repartition-on-key + merge-hint anti-join
+    # with Catalyst's runtime bloom filter pruning the fact scan
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    manifest = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.pmod("c_custkey", F.lit(7)) != 3)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orphans_large_dim(orders, manifest, "o_custkey").groupBy(
+        "o_custkey").agg(F.count(F.lit(1)).alias("n_orphan_rows"))

@@ -180,3 +180,20 @@ def test_frame_sample_bounded(spark):
     assert len(frames) == 8                        # bounded fan-out
     assert all(f["frame_rms"] >= 0.0 for f in frames)
     assert len({f["frame_idx"] for f in frames}) == 8
+
+
+# ------------------------------------------------------- sketch accuracy
+
+def test_hll_approx_uniqueness_error_bound(spark, sf_dir):
+    from json_spark.operators.uniqueness import approx_uniqueness
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = {r["l_returnflag"]: r["approx_distinct"]
+              for r in approx_uniqueness(
+                  li, "l_orderkey", rsd=0.01,
+                  partition_cols=["l_returnflag"]).collect()}
+    exact = {r["l_returnflag"]: r["n"]
+             for r in li.groupBy("l_returnflag").agg(
+                 F.countDistinct("l_orderkey").alias("n")).collect()}
+    for k, n in exact.items():
+        rel_err = abs(approx[k] - n) / n
+        assert rel_err < 0.05, f"{k}: {approx[k]} vs {n} ({rel_err:.3f})"

@@ -1,0 +1,125 @@
+"""Physical-plan audit for the headline queries.
+
+Prints the checks the 100 TB design depends on, per query:
+- column pruning     : parquet scan ReadSchema carries only needed columns
+- predicate pushdown : PushedFilters non-empty where the query filters the scan
+- join strategy      : broadcast for small dims, sort-merge for the large path
+- JVM-only hot path  : no *EvalPython / MapInArrow except the declared
+                       Python stages (SNR, multimodal, IVF assignment)
+- whole-stage codegen: coercion projections live inside codegen spans
+
+Run: python tools/explain_audit.py [sf_dir] [query ...]
+Exit code 1 if any REQUIRED property fails (same checks as
+tests/test_plans.py — this tool is the human-readable view).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def get_plan(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+#: query -> list of (description, required, predicate(plan_text) -> bool)
+CHECKS = {
+    "stats_lineitem": [
+        ("scan pruned to 4 columns", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 4),
+        ("no Python stage", True, lambda p: "Python" not in p and "Arrow" not in p),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("whole-stage codegen", True,
+         lambda p: "Found 0 WholeStageCodegen" not in p.split("== CODEGEN ==")[-1]
+         and "WholeStageCodegen" in p.split("== CODEGEN ==")[-1]),
+    ],
+    "referential_orphans": [
+        ("broadcast anti-join", True,
+         lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p),
+        ("dim filter pushed to scan", True, lambda p: "PushedFilters: [" in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "referential_orphans_large": [
+        ("sort-merge anti-join (no broadcast of dim)", True,
+         lambda p: "SortMergeJoin" in p and "LeftAnti" in p),
+        ("runtime bloom/DPP-style pruning attempted", False,
+         lambda p: "bloom" in p.lower()),
+    ],
+    "coercion_number": [
+        ("no Python stage (pure Column exprs)", True,
+         lambda p: "Python" not in p and "Arrow" not in p),
+        ("whole-stage codegen", True,
+         lambda p: "Found 0 WholeStageCodegen" not in p.split("== CODEGEN ==")[-1]
+         and "WholeStageCodegen" in p.split("== CODEGEN ==")[-1]),
+        ("scan pruned (no value/props columns)", True,
+         lambda p: "props" not in p.split("ReadSchema")[-1][:200]),
+    ],
+    "verdict_rollup": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "dedup_minhash_lsh": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("equality join on band key (no cartesian)", True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+    ],
+    "ann_cosine_topk": [
+        ("queries broadcast", True, lambda p: "Broadcast" in p),
+        ("windowed top-k", True, lambda p: "Window" in p),
+    ],
+    "text_fingerprint": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to doc_id,text", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as e
+    from json_spark.session import get_spark
+
+    # AQE off for the audit ONLY: pre-execution AdaptiveSparkPlan hides
+    # codegen subtrees and final join strategies; production sessions keep
+    # AQE on (session.py) — the static plan is what we assert on here.
+    spark = get_spark("explain-audit", cores=4, shuffle_partitions=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  "spark.sql.adaptive.enabled": "false"})
+    queries = e.queries()
+    failed = 0
+    for name, checks in CHECKS.items():
+        if only and name not in only:
+            continue
+        df = queries[name](spark, sf_dir)
+        plan = get_plan(df) + "\n== CODEGEN ==\n" + get_plan(df, "codegen")
+        print(f"\n== {name}")
+        for desc, required, pred in checks:
+            try:
+                ok = bool(pred(plan))
+            except Exception:
+                ok = False
+            mark = "PASS" if ok else ("FAIL" if required else "info:absent")
+            if required and not ok:
+                failed += 1
+            print(f"  [{mark}] {desc}")
+    spark.stop()
+    print(f"\n{failed} required plan properties failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
