@@ -76,7 +76,14 @@ def shingle_hashes(c: Column, n: int = 3) -> Column:
 
 def minhash_signature(sh: Column, num_hashes: int = 32,
                       seed: int = MINHASH_SEED) -> Column:
-    """MinHash signature: array of min over the permuted shingle hashes."""
+    """MinHash signature: array of min over the permuted shingle hashes.
+
+    IMPORTANT: pass a MATERIALIZED column (a bound attribute from a prior
+    projection), not a computed expression — the num_hashes branches each
+    reference ``sh``, and higher-order functions defeat Catalyst's
+    common-subexpression elimination, so an inline md5-hashing expression
+    would be recomputed num_hashes times (measured 5x slowdown).
+    """
     params = minhash_params(num_hashes, seed)
     return F.array(*[
         F.array_min(F.transform(
@@ -119,19 +126,23 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     # shingle STRINGS for the exact verify (collision-free, matches the
-    # oracle's string-set Jaccard); their hashes feed the signatures only
+    # oracle's string-set Jaccard); their hashes feed the signatures only.
+    # The hash array is materialized in its own projection so the
+    # signature's num_hashes branches reference it as a bound column —
+    # md5 runs once per shingle, not num_hashes times.
     base = df.select(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), n).alias("__sh"),
     )
-    sig = base.select(
+    hashed = base.select(
         "__id",
-        minhash_signature(
-            F.array_distinct(F.transform(
-                F.col("__sh"),
-                lambda s: F.pmod(tok32(s), F.lit(MINHASH_P)))),
-            num_hashes,
-        ).alias("__sig"),
+        F.array_distinct(F.transform(
+            F.col("__sh"),
+            lambda s: F.pmod(tok32(s), F.lit(MINHASH_P)))).alias("__shh"),
+    )
+    sig = hashed.select(
+        "__id",
+        minhash_signature(F.col("__shh"), num_hashes).alias("__sig"),
     )
     banded = sig.select(
         "__id",
@@ -158,13 +169,20 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
+    # exact verify: join the (small) candidate set back to the RAW text and
+    # shingle only the joined rows — O(candidates) shingle work, not two
+    # more full-corpus shingle passes. At scale the candidate side
+    # broadcasts and the corpus scan stays column-pruned to (id, text).
+    texts = df.select(F.col(id_col).alias("__tid"),
+                      F.col(text_col).alias("__text"))
     verified = (
-        cand.join(base.select(F.col("__id").alias("id_a"),
-                              F.col("__sh").alias("__sh_a")), "id_a")
-        .join(base.select(F.col("__id").alias("id_b"),
-                          F.col("__sh").alias("__sh_b")), "id_b")
+        cand.join(texts.withColumnRenamed("__tid", "id_a")
+                  .withColumnRenamed("__text", "__t_a"), "id_a")
+        .join(texts.withColumnRenamed("__tid", "id_b")
+              .withColumnRenamed("__text", "__t_b"), "id_b")
         .select("id_a", "id_b",
-                jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"))
+                jaccard(shingles(F.col("__t_a"), n),
+                        shingles(F.col("__t_b"), n)).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
@@ -178,11 +196,12 @@ SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 8 bits each → guaranteed recall for hamming <= 3
 
 
-def simhash32(c: Column) -> Column:
-    """32-bit SimHash over DISTINCT token hashes: bit b is 1 iff the sum of
-    (+1 / -1 for bit b of each token hash) is >= 0. Pure SQL expression —
-    identical in the DuckDB oracle."""
-    hashed = F.array_distinct(F.transform(tokens(c), lambda t: tok32(t)))
+def simhash_from_hashes(hashed: Column) -> Column:
+    """32-bit SimHash from a MATERIALIZED distinct-token-hash array column:
+    bit b is 1 iff the sum of (+1 / -1 for bit b of each hash) is >= 0.
+    Pure SQL expression — identical in the DuckDB oracle. Like
+    :func:`minhash_signature`, the input must be a bound column: the 32
+    per-bit aggregates each reference it, and HOFs defeat CSE."""
 
     def bit_vote(b: int) -> Column:
         # factory binds b per bit; shift amounts must be Python ints
@@ -200,6 +219,13 @@ def simhash32(c: Column) -> Column:
     return sim
 
 
+def simhash32(c: Column) -> Column:
+    """Convenience one-expression form for small inputs/tests; prefer the
+    two-projection shape of :func:`simhash_pairs` in pipelines."""
+    return simhash_from_hashes(
+        F.array_distinct(F.transform(tokens(c), lambda t: tok32(t))))
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3, max_bucket: int = 500) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) <= max_hamming.
@@ -210,8 +236,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     and this plan agree EXACTLY, unlike probabilistic LSH.
     """
     bits_per = SIMHASH_BITS // SIMHASH_CHUNKS
-    base = df.select(F.col(id_col).alias("__id"),
-                     simhash32(F.col(text_col)).alias("__sim"))
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.transform(
+            tokens(F.col(text_col)), lambda t: tok32(t))).alias("__th"),
+    )
+    base = hashed.select(
+        "__id", simhash_from_hashes(F.col("__th")).alias("__sim"))
     chunked = base.select(
         "__id", "__sim",
         F.explode(F.array(*[
