@@ -1355,3 +1355,38 @@ def q_referential_orphans_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orphans_large_dim(orders, manifest, "o_custkey").groupBy(
         "o_custkey").agg(F.count(F.lit(1)).alias("n_orphan_rows"))
+
+
+# =========================================================================
+# §2.7 checkpoint ledger — resume demo visible to the driver: run the
+# audio suite with a ledger twice; the second pass must find every
+# partition DONE and process nothing. Not SQL-expressible (stateful
+# across runs) ⇒ rows-only; the golden path is tests/test_suite.py::
+# test_ledger_resume.
+# =========================================================================
+
+@register("ledger_resume")
+def q_ledger_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..fixtures.gen import generate_clips, generate_manifest
+    from ..plans.suite import SuiteConfig, ValidationSuite
+
+    clips = generate_clips(spark, 400, partitions=4)
+    manifest = generate_manifest(spark, 400, partitions=2)
+    cfg = SuiteConfig()
+    with tempfile.TemporaryDirectory(prefix="json_spark_ledger_") as tmp:
+        ledger_path = f"{tmp}/ledger"
+        suite = ValidationSuite(cfg)
+        r1 = suite.run(spark, clips, manifest, ledger_path=ledger_path,
+                       input_path=tmp)
+        n1 = r1.partition_verdicts.count()
+        r1.unpersist()
+        r2 = suite.run(spark, clips, manifest, ledger_path=ledger_path,
+                       input_path=tmp)
+        n2 = r2.partition_verdicts.count()  # 0: everything already DONE
+        r2.unpersist()
+        return spark.createDataFrame(
+            [(n1, n2, n2 == 0)],
+            "first_run_partition_checks long, resumed_run_pending long, "
+            "resume_skipped_all boolean")

@@ -1,0 +1,102 @@
+"""Structured Streaming wrapper: validate an append-only ingest stream.
+
+The reference is strictly batch (one ``[]byte`` in, one struct out —
+dirty.go:15-19), and the engine's primary resumability story is the
+checkpoint ledger (plans/ledger.py) over batch re-runs. This module
+covers the remaining ingest shape: data arriving CONTINUOUSLY, where
+verdicts should be emitted per event-time window without waiting for a
+batch boundary.
+
+Because every coercion predicate is a pure stateless Column expression
+(functions/coercion.py), the SAME compiled rules run unchanged on a
+streaming DataFrame — no re-implementation, exactly Spark's
+batch/streaming unification. The only streaming-specific pieces are the
+watermark (bounded state for late data) and the tumbling-window rollup
+(the streaming twin of the per-partition verdict rollup).
+
+Scale notes: the windowed aggregation is a standard partial+final
+streaming state store agg keyed on (window, partition_col); state size
+is O(windows x partitions), independent of row volume. Use
+``trigger(availableNow=True)`` for catch-up runs and checkpointLocation
+for exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config.rules import RuleConfig
+from ..functions.coercion import verdict_rank
+
+
+def streaming_row_verdicts(
+    stream: DataFrame,
+    rules: dict[str, "Column"],
+) -> DataFrame:
+    """Attach per-row verdicts to a streaming DataFrame.
+
+    ``rules`` maps output column name → verdict Column (built from the
+    §2.2 coercion predicates over the stream's columns). The worst rank
+    across rules becomes ``row_verdict``.
+    """
+    out = stream
+    worst = F.lit(0)
+    for name, verdict_col in rules.items():
+        out = out.withColumn(f"{name}__verdict", verdict_col)
+        worst = F.greatest(worst, verdict_rank(F.col(f"{name}__verdict")))
+    return out.withColumn(
+        "row_verdict",
+        F.when(worst == 2, "RED").when(worst == 1, "YELLOW").otherwise("GREEN"),
+    )
+
+
+def streaming_windowed_verdicts(
+    stream: DataFrame,
+    rules: dict[str, Column],
+    event_time_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Windowed GREEN/YELLOW/RED rollup over an append-only stream.
+
+    Late rows within ``watermark`` still land in their event-time window;
+    later ones are dropped (bounded state — the streaming analogue of the
+    ledger's partition granularity). Output mode: append (finalized
+    windows only) or update (early results).
+    """
+    parts = list(partition_cols or [])
+    with_verdicts = streaming_row_verdicts(
+        stream.withWatermark(event_time_col, watermark), rules)
+    rank = verdict_rank(F.col("row_verdict"))
+    return (
+        with_verdicts
+        .groupBy(F.window(event_time_col, window_duration), *parts)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((rank == 0).cast("long")).alias("n_green"),
+            F.sum((rank == 1).cast("long")).alias("n_yellow"),
+            F.sum((rank == 2).cast("long")).alias("n_red"),
+            F.max(rank).alias("__worst"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *parts,
+            "n_rows", "n_green", "n_yellow", "n_red",
+            F.when(F.col("__worst") == 2, "RED")
+            .when(F.col("__worst") == 1, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+        )
+    )
+
+
+def default_stream_rules(cfg: RuleConfig, number_col: str,
+                         bool_col: str) -> dict[str, Column]:
+    """Convenience rule set for the test/demo stream shape."""
+    from ..functions.coercion import coerce_bool, coerce_number
+    return {
+        number_col: coerce_number(F.col(number_col), cfg).verdict,
+        bool_col: coerce_bool(F.col(bool_col), cfg).verdict,
+    }

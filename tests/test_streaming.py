@@ -1,0 +1,131 @@
+"""Streaming ingest validation: windowed verdicts with watermark + late data.
+
+Deterministic end-to-end: parquet micro-batches → readStream →
+coercion verdicts → tumbling-window rollup → memory sink, driven with
+``trigger(availableNow=True)`` so each batch is fully processed before
+assertions (no timing races).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.config import default_config
+from json_spark.streaming import streaming_windowed_verdicts
+from json_spark.streaming.validate import default_stream_rules
+
+CFG = default_config()
+
+SCHEMA = "ts timestamp, codec string, raw_num string, raw_bool string"
+
+#: batch 1: minute-0 window clean+dirty, minute-1 window with a RED row
+BATCH1 = [
+    ("2026-01-01 00:00:05", "wav", "1.5", "true"),
+    ("2026-01-01 00:00:15", "wav", " 2.5 ", "yes"),     # YELLOW (space, list)
+    ("2026-01-01 00:00:25", "mp3", "3.5", "false"),
+    ("2026-01-01 00:01:10", "wav", "not-a-number", "true"),   # RED
+    ("2026-01-01 00:01:20", "mp3", "4.0", "off"),             # YELLOW
+]
+
+#: batch 2: minute-2 rows that advance the watermark past minute 0,
+#: plus a LATE minute-0 row still inside the 2-minute watermark
+BATCH2 = [
+    ("2026-01-01 00:02:30", "wav", "5.0", "true"),
+    ("2026-01-01 00:00:45", "mp3", "6,000", "no"),      # late but in-watermark
+]
+
+#: batch 3: advances event time again — append mode finalizes windows
+#: against the watermark committed by the PREVIOUS batch, so this batch
+#: is what flushes the minute-0 windows downstream
+BATCH3 = [
+    ("2026-01-01 00:04:00", "wav", "7.0", "true"),
+]
+
+
+def _write_batch(spark, rows, path):
+    raw = spark.createDataFrame(
+        rows, "ts string, codec string, raw_num string, raw_bool string")
+    raw.select(F.to_timestamp("ts").alias("ts"), "codec", "raw_num",
+               "raw_bool").coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src, sink, chk):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_windowed_verdicts(
+        stream,
+        default_stream_rules(CFG, "raw_num", "raw_bool"),
+        event_time_col="ts",
+        window_duration="1 minute",
+        watermark="2 minutes",
+        partition_cols=["codec"],
+    )
+    # file sink: supports exactly-once restart from the checkpoint — the
+    # production shape (memory sink cannot recover across restarts)
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .outputMode("append").option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def _read_sink(spark, sink):
+    try:
+        return spark.read.parquet(sink).collect()
+    except Exception:
+        return []
+
+
+def test_streaming_windowed_verdicts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+    _write_batch(spark, BATCH1, src)
+    _run_stream(spark, src, sink, chk)
+    # append mode emits only watermark-finalized windows — none yet
+    # (max event time 00:01:20, watermark 2 min → nothing closed)
+    assert len(_read_sink(spark, sink)) == 0
+
+    _write_batch(spark, BATCH2, src)
+    _run_stream(spark, src, sink, chk)
+    # batch 2 RAISES the watermark to 00:00:30 but emission in a batch
+    # uses the watermark committed by the batch before it → still nothing
+    assert len(_read_sink(spark, sink)) == 0
+
+    _write_batch(spark, BATCH3, src)
+    _run_stream(spark, src, sink, chk)
+    rows = {(r["window_start"].strftime("%H:%M"), r["codec"]): r
+            for r in _read_sink(spark, sink)}
+    # batch 3 runs with watermark 00:00:30 → the minute-0 windows close,
+    # INCLUDING batch 2's late-but-in-watermark 00:00:45 row
+    assert ("00:00", "wav") in rows and ("00:00", "mp3") in rows
+    wav0 = rows[("00:00", "wav")]
+    assert wav0["n_rows"] == 2
+    assert wav0["n_green"] == 1 and wav0["n_yellow"] == 1
+    assert wav0["verdict"] == "YELLOW"
+    mp30 = rows[("00:00", "mp3")]
+    # includes the late-but-in-watermark 00:00:45 row from batch 2
+    assert mp30["n_rows"] == 2
+    assert mp30["n_yellow"] == 1       # "6,000"/"no" row is YELLOW
+    assert mp30["verdict"] == "YELLOW"
+    # availableNow's trailing no-data microbatch applies the batch-3
+    # watermark (00:02:00), closing the minute-1 windows too
+    wav1 = rows[("00:01", "wav")]
+    assert wav1["n_rows"] == 1 and wav1["n_red"] == 1
+    assert wav1["verdict"] == "RED"          # the not-a-number row
+    mp31 = rows[("00:01", "mp3")]
+    assert mp31["verdict"] == "YELLOW"       # "4.0"/"off" row
+    # windows at/after the watermark stay open
+    assert not any(k[0] in ("00:02", "00:04") for k in rows)
+
+
+def test_streaming_same_rules_as_batch(spark):
+    """The identical rule Columns evaluate on a batch frame — Spark's
+    batch/streaming unification, no separate rule compilation."""
+    df = spark.createDataFrame(
+        BATCH1, "ts string, codec string, raw_num string, raw_bool string"
+    ).select(F.to_timestamp("ts").alias("ts"), "codec", "raw_num", "raw_bool")
+    from json_spark.streaming import streaming_row_verdicts
+    out = streaming_row_verdicts(df, default_stream_rules(CFG, "raw_num", "raw_bool"))
+    verdicts = [r["row_verdict"] for r in out.orderBy("ts").collect()]
+    assert verdicts == ["GREEN", "YELLOW", "GREEN", "RED", "YELLOW"]
