@@ -18,8 +18,10 @@ Layout
 - ``json_spark.operators``  stats, uniqueness, referential, drift, dedup,
                             similarity, SNR, verdict roll-up
 - ``json_spark.plans``      ValidationSuite runner + checkpoint ledger
+- ``json_spark.streaming``  watermarked windowed verdicts for append-only ingest
 - ``json_spark.sources``    table loading (Iceberg-try, parquet fallback)
 - ``json_spark.fixtures``   deterministic audio-clip fixture generator
+- ``json_spark.cli``        spark-submit entry point (``python -m json_spark``)
 """
 
 __version__ = "0.1.0"
