@@ -1,0 +1,43 @@
+"""spark-submit CLI end-to-end: run, outputs, ledger resume.
+
+Runs in a subprocess because cli.main owns (and stops) its session —
+calling it in-process would tear down the shared test session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "json_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_run_and_resume(spark, tmp_path):
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    # >= 1000 rows so the planted-defect moduli (983..1000) actually fire
+    write_fixtures(spark, fixture, 2000, partitions=4)
+
+    common = ["--clips", f"{fixture}/clips", "--manifest", f"{fixture}/manifest",
+              "--baseline", "self", "--ledger", str(tmp_path / "ledger"),
+              "--cores", "4"]
+    first = _cli([*common, "--out", str(tmp_path / "out1")])
+    assert first["n_partition_checks"] == 24       # 4 codecs x 6 checks
+    assert first["n_violations"] > 0               # planted defects surface
+
+    resumed = _cli([*common, "--out", str(tmp_path / "out2")])
+    assert resumed["n_partition_checks"] == 0      # ledger marked all DONE
+
+    rerun = _cli([*common, "--out", str(tmp_path / "out3"), "--no-resume"])
+    assert rerun["n_partition_checks"] == 24       # --no-resume reprocesses
