@@ -134,11 +134,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), n).alias("__sh"),
     )
+    # xxhash64, not md5/tok32: the signature is engine-internal (only the
+    # exact string-Jaccard verify is oracle-compared), so the cheap native
+    # hash is correct here — md5 would triple the signature stage's cost
     hashed = base.select(
         "__id",
         F.array_distinct(F.transform(
             F.col("__sh"),
-            lambda s: F.pmod(tok32(s), F.lit(MINHASH_P)))).alias("__shh"),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))).alias("__shh"),
     )
     sig = hashed.select(
         "__id",

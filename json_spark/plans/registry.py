@@ -856,7 +856,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
     cents = pick_centroids(e, "vec_id", "embedding", every=37)
-    return ivf_topk(e, queries, "vec_id", "embedding", cents, k=10, nprobe=3)
+    return ivf_topk(e, queries, "vec_id", "embedding", cents, k=10, nprobe=5)
 
 
 # ---- multimodal binary columns (rows-only: WAV decode not in SQL) -------

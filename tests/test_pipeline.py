@@ -123,7 +123,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
     cents = similarity.pick_centroids(emb, "vec_id", "embedding", every=37)
     approx = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
-                                 cents, k=10, nprobe=3)
+                                 cents, k=10, nprobe=5)
     truth: dict[int, set] = {}
     for r in exact.collect():
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -133,8 +133,9 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert set(got) == set(truth)
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     mean_recall = sum(recalls) / len(recalls)
-    # random-data worst case for IVF; random top-10 would score ~0.02
-    assert mean_recall >= 0.2, f"IVF mean recall {mean_recall:.2f}"
+    # random-data worst case for IVF (no cluster structure to exploit);
+    # measured ~0.55 at nprobe=5/13 centroids; random top-10 would be ~0.02
+    assert mean_recall >= 0.35, f"IVF mean recall {mean_recall:.2f}"
 
 
 # --------------------------------------------------------- multimodal ops
