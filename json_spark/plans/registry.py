@@ -1390,3 +1390,24 @@ def q_ledger_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(n1, n2, n2 == 0)],
             "first_run_partition_checks long, resumed_run_pending long, "
             "resume_skipped_all boolean")
+
+
+# =========================================================================
+# §2.4 quantile sketch path — percentile_approx (mergeable KLL-style
+# sketch) is the production plan; approximate by design ⇒ rows-only,
+# with a pytest error bound vs the exact percentiles (the exact variant
+# is oracle-checked as stats_quantiles).
+# =========================================================================
+
+@register("stats_quantiles_sketch")
+def q_stats_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = column_stats(li, ["l_extendedprice"], ["l_returnflag"],
+                         quantiles=(0.25, 0.5, 0.75), accuracy=10_000,
+                         approx=True)
+    return stats.select(
+        "l_returnflag",
+        F.col("l_extendedprice__quantiles").getItem(0).alias("p25"),
+        F.col("l_extendedprice__quantiles").getItem(1).alias("p50"),
+        F.col("l_extendedprice__quantiles").getItem(2).alias("p75"),
+    )

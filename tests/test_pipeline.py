@@ -198,3 +198,21 @@ def test_hll_approx_uniqueness_error_bound(spark, sf_dir):
     for k, n in exact.items():
         rel_err = abs(approx[k] - n) / n
         assert rel_err < 0.05, f"{k}: {approx[k]} vs {n} ({rel_err:.3f})"
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """percentile_approx (KLL-style mergeable sketch) must track the exact
+    percentiles within the accuracy bound at every partition group."""
+    from json_spark.operators.stats import column_stats
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = (0.25, 0.5, 0.75)
+    approx = {r["l_returnflag"]: r["l_extendedprice__quantiles"]
+              for r in column_stats(li, ["l_extendedprice"], ["l_returnflag"],
+                                    quantiles=qs, approx=True).collect()}
+    exact = {r["l_returnflag"]: r["l_extendedprice__quantiles"]
+             for r in column_stats(li, ["l_extendedprice"], ["l_returnflag"],
+                                   quantiles=qs, approx=False).collect()}
+    for k in exact:
+        spread = max(exact[k]) - min(exact[k]) or 1.0
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / spread < 0.02, (k, a, e)
