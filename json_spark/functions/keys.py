@@ -72,3 +72,77 @@ def is_case(c: Column, convention: str) -> Column:
     if convention not in _CASE_RES:
         raise ValueError(f"unknown case convention: {convention}")
     return c.rlike(_CASE_RES[convention])
+
+
+# ---------------------------------------------------------------------------
+# Embedded-JSON key normalization (the executor-side FlexKeys path)
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = r"^\s*\{"
+_ARR_RE = r"^\s*\["
+
+
+def _quote_scalar(v: Column) -> Column:
+    """Re-quote a raw scalar string as a JSON string literal with correct
+    escaping: to_json(array(v)) = '["<escaped>"]' minus the brackets."""
+    arr = F.to_json(F.array(v))
+    return F.substring(arr, 2, F.length(arr) - 2)
+
+
+def normalize_embedded_keys(c: Column, depth: int = 3) -> Column:
+    """Chameleon-normalize every object key inside an embedded-JSON string.
+
+    The reference applies FlexKeys only in the DIRTY pass (the reflective
+    decode, decoder.go:141, key matching 242-262) — and its own chameleon
+    end-to-end golden is skipped (tests/sample1_test.go:93-145). This is
+    the working Spark equivalent: parse each object level as
+    ``map<string,string>`` (Spark stringifies nested values, preserving
+    their raw JSON text), normalize the keys, recurse into object values
+    and array elements up to ``depth``, and rebuild the JSON text.
+
+    Scalars come back re-quoted (the map parse erases the quoted/bare
+    distinction), so a normalized document routes through the stringly +
+    coercion pass wholesale — recoverable fields land YELLOW, which is
+    exactly the reference's semantics for key-flexed documents.
+    """
+    if depth <= 0:
+        return c
+
+    def render_value(v: Column) -> Column:
+        out = _quote_scalar(v)
+        if depth > 1:
+            out = (
+                F.when(v.rlike(_OBJ_RE), normalize_embedded_keys(v, depth - 1))
+                .when(v.rlike(_ARR_RE), _normalize_array(v, depth - 1))
+                .otherwise(out)
+            )
+        return out
+
+    m = F.from_json(c, "map<string,string>")
+    entries = F.transform(
+        F.map_entries(m),
+        lambda e: F.concat(
+            _quote_scalar(chameleon_key(e.getField("key"))),
+            F.lit(":"),
+            F.when(e.getField("value").isNull(), F.lit("null"))
+            .otherwise(render_value(e.getField("value"))),
+        ),
+    )
+    rebuilt = F.concat(F.lit("{"), F.concat_ws(",", entries), F.lit("}"))
+    return F.when(m.isNotNull(), rebuilt)
+
+
+def _normalize_array(c: Column, depth: int) -> Column:
+    """Normalize object elements inside a JSON array (depth-bounded)."""
+    if depth <= 0:
+        return c
+    arr = F.from_json(c, "array<string>")
+    elems = F.transform(
+        arr,
+        lambda v: F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(_OBJ_RE), normalize_embedded_keys(v, depth))
+        .when(v.rlike(_ARR_RE) & F.lit(depth > 1), _normalize_array(v, depth - 1))
+        .otherwise(_quote_scalar(v)),
+    )
+    rebuilt = F.concat(F.lit("["), F.concat_ws(",", elems), F.lit("]"))
+    return F.when(arr.isNotNull(), rebuilt).otherwise(c)

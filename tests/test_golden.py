@@ -135,3 +135,85 @@ def test_expected_golden_values(decoded):
     assert c["was_verified__coerced"] is False
     assert c["rating__coerced"] == 4
     assert c["tags"] == ["alpha", "beta"]
+
+
+# ---------------------------------------------------------------------------
+# chameleon-keys golden — the e2e the reference itself skips
+# (tests/sample1_test.go:93-145, t.Skip) — working here
+# ---------------------------------------------------------------------------
+
+#: tests/testdata/1.dirty-yellow.keys.json — same doc, keys re-cased
+#: across camel/kebab/upper conventions, values stringified
+KEYS_DOC = {
+    "id": 1,
+    "name": "Item 1",
+    "isActive": "true",
+    "details": {
+        "description": "Description for item 1",
+        "score": "9.5",
+        "was-verified": "false",
+        "INFO": {
+            "CATegory": "Category A",
+            "rating": "4",
+            "features": ["fast", "reliable"],
+            "options": [
+                {"KEY": "priority", "VALUE": "high"},
+                {"key": "limit", "value": 10},
+            ],
+        },
+    },
+    "tags": ["alpha", "beta"],
+}
+
+#: typed schema keyed by CHAMELEON-normalized names (the driver-side twin
+#: normalize_name applied to the clean model's fields)
+NORM_SCHEMA = (
+    "id bigint, name string, isactive boolean, "
+    "details struct<description string, score double, wasverified boolean, "
+    "info struct<category string, rating bigint, features array<string>, "
+    "options array<struct<key string, value string>>>>, "
+    "tags array<string>"
+)
+
+
+def test_chameleon_keys_golden(spark):
+    from json_spark.functions.keys import normalize_embedded_keys
+
+    df = spark.createDataFrame([(json.dumps(KEYS_DOC),)], "raw string")
+    norm = normalize_embedded_keys(F.col("raw"), depth=4)
+    fields = [
+        EmbeddedField("id", "integer"),
+        EmbeddedField("isactive", "bool"),
+        EmbeddedField("details.score", "number"),
+        EmbeddedField("details.wasverified", "bool"),
+        EmbeddedField("details.info.rating", "integer"),
+    ]
+    res = decode_embedded(norm, NORM_SCHEMA, fields, CFG)
+    typed = F.from_json(norm, NORM_SCHEMA).alias("d")
+    row = df.select(
+        typed.getField("name").alias("name"),
+        typed.getField("details").getField("info").getField("category")
+        .alias("category"),
+        typed.getField("details").getField("info").getField("features")
+        .alias("features"),
+        typed.getField("details").getField("info").getField("options")
+        .alias("options"),
+        *[c for f in fields for c in res[f.name].with_prefix(f.name)],
+    ).collect()[0]
+
+    # every scalar recovered to the clean golden (sample1 keys case)
+    assert row["id__coerced"] == 1
+    assert row["isactive__coerced"] is True
+    assert row["details_score__coerced"] == 9.5
+    assert row["details_wasverified__coerced"] is False
+    assert row["details_info_rating__coerced"] == 4
+    # key-flexed docs decode through the dirty pass → YELLOW, never RED
+    for f in ("id", "isactive", "details_score", "details_wasverified",
+              "details_info_rating"):
+        assert row[f + "__verdict"] == "YELLOW", f
+    # strings/arrays pass through; nested-array object keys normalized too
+    assert row["name"] == "Item 1"
+    assert row["category"] == "Category A"
+    assert row["features"] == ["fast", "reliable"]
+    assert [(o["key"], o["value"]) for o in row["options"]] == [
+        ("priority", "high"), ("limit", "10")]
