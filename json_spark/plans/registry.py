@@ -108,10 +108,11 @@ def q_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH counts AS (
   SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
 )
-SELECT sum(cnt) AS n_rows,
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
        count(*) AS n_keys,
        count(*) FILTER (WHERE cnt > 1) AS n_dup_keys,
-       coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS n_dup_rows
+       CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
+         AS n_dup_rows
 FROM counts
 """)
 def q_uniqueness_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,8 +558,9 @@ from ..operators.uniqueness import uniqueness_summary  # noqa: E402
 @register("text_token_stats", oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS sum_tokens_ws,
-       sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens_ws,
+       CAST(sum(len(regexp_extract_all(
+           text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
          AS sum_tokens_bpe,
        round(avg(length(text)), 6) AS avg_chars
 FROM documents GROUP BY source
@@ -673,9 +675,9 @@ WITH all_docs AS (
   UNION ALL
   SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
 counts AS (SELECT md5(text) AS k, count(*) AS c FROM all_docs GROUP BY 1)
-SELECT sum(c) AS n_rows, count(*) AS n_keys,
+SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
        count(*) FILTER (WHERE c > 1) AS n_dup_keys,
-       coalesce(sum(c) FILTER (WHERE c > 1), 0) AS n_dup_rows
+       CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_rows
 FROM counts
 """)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,7 +966,7 @@ c AS (
       WHEN lower(trim(raw)) = 'false' THEN 0
       ELSE NULL END AS coerced
   FROM r)
-SELECT verdict, count(*) AS n, sum(coerced) AS sum_coerced
+SELECT verdict, count(*) AS n, CAST(sum(coerced) AS BIGINT) AS sum_coerced
 FROM c GROUP BY verdict
 """)
 def q_coercion_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,7 +994,7 @@ c AS (
          CASE WHEN raw IS NULL THEN NULL ELSE trim(raw) END AS coerced
   FROM r)
 SELECT verdict, count(*) AS n, count(DISTINCT coerced) AS n_values,
-       sum(length(coerced)) AS sum_len
+       CAST(sum(length(coerced)) AS BIGINT) AS sum_len
 FROM c GROUP BY verdict
 """)
 def q_coercion_string(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,7 +1036,8 @@ c AS (
       WHEN NOT regexp_matches(raw, '^\\s*[\\[{]') THEN 1   -- wrapped scalar
       ELSE NULL END AS n_elems
   FROM r)
-SELECT verdict, n_elems, count(*) AS n FROM c GROUP BY verdict, n_elems
+SELECT verdict, CAST(n_elems AS BIGINT) AS n_elems, count(*) AS n
+FROM c GROUP BY verdict, n_elems
 """)
 def q_coercion_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1045,12 +1048,13 @@ def q_coercion_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.lit("42"))
         .when(m == 3, F.lit(None).cast("string"))
         .when(m == 4, F.lit('{"k":1}'))
-        .otherwise(F.lit('["a,'))
+        .otherwise(F.lit('["a",'))
     )
     res = coerce_array(raw, CFG_WRAP)
     return ev.select(F.size(res.coerced).alias("sz"),
                      res.verdict.alias("verdict")).select(
-        F.when(F.col("sz") >= 0, F.col("sz")).alias("n_elems"),  # -1 → null
+        F.when(F.col("sz") >= 0, F.col("sz")).cast("long")
+         .alias("n_elems"),  # -1 → null
         "verdict",
     ).groupBy("verdict", "n_elems").agg(F.count(F.lit(1)).alias("n"))
 
@@ -1073,7 +1077,8 @@ c AS (
               AND json_type(raw::JSON) = 'OBJECT'
          THEN len(json_keys(raw::JSON)) END AS n_keys
   FROM r)
-SELECT verdict, n_keys, count(*) AS n FROM c GROUP BY verdict, n_keys
+SELECT verdict, CAST(n_keys AS BIGINT) AS n_keys, count(*) AS n
+FROM c GROUP BY verdict, n_keys
 """)
 def q_coercion_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1088,7 +1093,7 @@ def q_coercion_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = coerce_object(raw, CFG)
     return ev.select(F.size(F.map_keys(res.coerced)).alias("sz"),
                      res.verdict.alias("verdict")).select(
-        F.when(F.col("sz") >= 0, F.col("sz")).alias("n_keys"),
+        F.when(F.col("sz") >= 0, F.col("sz")).cast("long").alias("n_keys"),
         "verdict",
     ).groupBy("verdict", "n_keys").agg(F.count(F.lit(1)).alias("n"))
 
@@ -1114,7 +1119,7 @@ c AS (
       WHEN 3 THEN (12 + (hh % 12)) * 3600 + mi * 60 -- 'h:mma' PM
       ELSE NULL END AS secs
   FROM t)
-SELECT m, verdict, count(*) AS n, sum(secs) AS sum_secs
+SELECT m, verdict, count(*) AS n, CAST(sum(secs) AS BIGINT) AS sum_secs
 FROM c GROUP BY m, verdict
 """)
 def q_coercion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,8 +1290,8 @@ c AS (
       END AS c_score
   FROM r)
 SELECT v_qty, v_active, v_score, count(*) AS n,
-       sum(c_qty) AS sum_qty,
-       sum(CASE WHEN c_active THEN 1 ELSE 0 END) AS n_active,
+       CAST(sum(c_qty) AS BIGINT) AS sum_qty,
+       CAST(sum(CASE WHEN c_active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
        round(sum(c_score), 6) AS sum_score
 FROM c GROUP BY v_qty, v_active, v_score
 """)

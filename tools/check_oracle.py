@@ -38,6 +38,26 @@ def norm_cell(v):
     return str(v)
 
 
+_TYPE_ALIASES = {
+    "long": "int64", "bigint": "int64", "int": "int32", "integer": "int32",
+    "double": "float64", "float": "float32", "string": "string",
+    "large_string": "string", "boolean": "bool",
+}
+
+
+def _norm_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("array<") or t.startswith("list<") or t.startswith("list("):
+        return "list"
+    if t.startswith("map") or t.startswith("struct"):
+        return t.split("<")[0].split("(")[0]
+    if t.startswith("date"):
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return _TYPE_ALIASES.get(t, t)
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return Counter(tuple(norm_cell(r[i]) for i in idx) for r in rows)
@@ -76,6 +96,18 @@ def main():
         dres = con.execute(oracles[name])
         dcols = [d[0] for d in dres.description]
         drows = dres.fetchall()
+        # type parity: the driver's value hash distinguishes physical types
+        # (e.g. DuckDB HUGEINT→decimal128 vs Spark bigint), which the string
+        # normalization below cannot see — compare normalized type names too.
+        dtypes = {f.name: _norm_type(str(f.type))
+                  for f in con.execute(oracles[name]).fetch_arrow_table().schema}
+        stypes = {c: _norm_type(t) for c, t in sdf.dtypes}
+        ok_types = all(stypes.get(c) == dtypes.get(c) for c in scols)
+        if not ok_types:
+            diff = {c: (stypes.get(c), dtypes.get(c))
+                    for c in scols if stypes.get(c) != dtypes.get(c)}
+            print(f"  {name:28s} TYPE-MISMATCH {diff}")
+            failures.append(name)
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = ok_cols and norm_rows(scols, srows) == norm_rows(dcols, drows)
