@@ -104,19 +104,42 @@ def normalize_embedded_keys(c: Column, depth: int = 3) -> Column:
     distinction), so a normalized document routes through the stringly +
     coercion pass wholesale — recoverable fields land YELLOW, which is
     exactly the reference's semantics for key-flexed documents.
-    """
-    if depth <= 0:
-        return c
 
-    def render_value(v: Column) -> Column:
-        out = _quote_scalar(v)
-        if depth > 1:
-            out = (
-                F.when(v.rlike(_OBJ_RE), normalize_embedded_keys(v, depth - 1))
-                .when(v.rlike(_ARR_RE), _normalize_array(v, depth - 1))
-                .otherwise(out)
-            )
-        return out
+    Failure contract (a validator must never silently drop a field): a
+    string value that merely LOOKS like a container ('{'/'['-prefixed but
+    unparseable) falls back to its re-quoted scalar form, and a document
+    that fails the top-level parse passes through unchanged — never null.
+    """
+    return F.coalesce(_normalize_object(c, depth), c)
+
+
+def _container_or_scalar(v: Column, obj_depth: int, arr_depth: int) -> Column:
+    """Normalize v as object/array if it parses as one; else re-quote it.
+
+    The coalesce fallbacks are what stop a '{'-prefixed unparseable scalar
+    from nulling the whole entry (which concat_ws would then silently drop)
+    and a '['-prefixed one from being re-emitted unquoted. Depths are split
+    because object elements inside an array recurse at the array's own
+    depth (an array level is not an object level), while arrays always
+    strictly decrement to bound plan-build recursion.
+    """
+    expr = F.when(F.lit(False), F.lit(None).cast("string"))
+    if obj_depth > 0:
+        expr = expr.when(
+            v.rlike(_OBJ_RE),
+            F.coalesce(_normalize_object(v, obj_depth), _quote_scalar(v)))
+    if arr_depth > 0:
+        expr = expr.when(
+            v.rlike(_ARR_RE),
+            F.coalesce(_normalize_array(v, arr_depth), _quote_scalar(v)))
+    return expr.otherwise(_quote_scalar(v))
+
+
+def _normalize_object(c: Column, depth: int) -> Column:
+    """Internal object normalizer: NULL when c does not parse as an object
+    (callers coalesce to their own fallback)."""
+    if depth <= 0:
+        return F.lit(None).cast("string")
 
     m = F.from_json(c, "map<string,string>")
     entries = F.transform(
@@ -125,7 +148,8 @@ def normalize_embedded_keys(c: Column, depth: int = 3) -> Column:
             _quote_scalar(chameleon_key(e.getField("key"))),
             F.lit(":"),
             F.when(e.getField("value").isNull(), F.lit("null"))
-            .otherwise(render_value(e.getField("value"))),
+            .otherwise(_container_or_scalar(
+                e.getField("value"), depth - 1, depth - 1)),
         ),
     )
     rebuilt = F.concat(F.lit("{"), F.concat_ws(",", entries), F.lit("}"))
@@ -133,16 +157,15 @@ def normalize_embedded_keys(c: Column, depth: int = 3) -> Column:
 
 
 def _normalize_array(c: Column, depth: int) -> Column:
-    """Normalize object elements inside a JSON array (depth-bounded)."""
+    """Internal array normalizer: NULL when c does not parse as an array
+    (callers coalesce to their own fallback)."""
     if depth <= 0:
-        return c
+        return F.lit(None).cast("string")
     arr = F.from_json(c, "array<string>")
     elems = F.transform(
         arr,
         lambda v: F.when(v.isNull(), F.lit("null"))
-        .when(v.rlike(_OBJ_RE), normalize_embedded_keys(v, depth))
-        .when(v.rlike(_ARR_RE) & F.lit(depth > 1), _normalize_array(v, depth - 1))
-        .otherwise(_quote_scalar(v)),
+        .otherwise(_container_or_scalar(v, depth, depth - 1)),
     )
     rebuilt = F.concat(F.lit("["), F.concat_ws(",", elems), F.lit("]"))
-    return F.when(arr.isNotNull(), rebuilt).otherwise(c)
+    return F.when(arr.isNotNull(), rebuilt)

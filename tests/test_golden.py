@@ -217,3 +217,33 @@ def test_chameleon_keys_golden(spark):
     assert row["features"] == ["fast", "reliable"]
     assert [(o["key"], o["value"]) for o in row["options"]] == [
         ("priority", "high"), ("limit", "10")]
+
+
+def test_normalize_keys_container_lookalike_scalars(spark):
+    """A validator must never silently drop a field: string values that
+    merely LOOK like JSON containers ('{'/'['-prefixed but unparseable)
+    must survive as quoted scalars, and unparseable documents must pass
+    through unchanged (never null)."""
+    from json_spark.functions.keys import normalize_embedded_keys
+
+    docs = [
+        ('{"Note":"{unbalanced","OK":1}',),
+        ('{"Note":"[not json","OK":1}',),
+        ('{"Outer-Key":{"Inner_Key":"{oops","N":[1,"[x",{"Deep_K":2}]}}',),
+        ("not json at all",),
+    ]
+    df = spark.createDataFrame(docs, "raw string")
+    rows = df.select(
+        "raw", normalize_embedded_keys(F.col("raw"), depth=4).alias("norm")
+    ).collect()
+    by_raw = {r["raw"]: r["norm"] for r in rows}
+
+    assert json.loads(by_raw['{"Note":"{unbalanced","OK":1}']) == {
+        "note": "{unbalanced", "ok": "1"}
+    assert json.loads(by_raw['{"Note":"[not json","OK":1}']) == {
+        "note": "[not json", "ok": "1"}
+    assert json.loads(
+        by_raw['{"Outer-Key":{"Inner_Key":"{oops","N":[1,"[x",{"Deep_K":2}]}}']
+    ) == {"outerkey": {"innerkey": "{oops", "n": ["1", "[x", {"deepk": "2"}]}}
+    # top-level unparseable: raw text passes through, never null
+    assert by_raw["not json at all"] == "not json at all"
