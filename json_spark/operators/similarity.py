@@ -7,13 +7,22 @@ Two paths, mirroring the brief's similarity-search requirement:
   broadcast; the scan over the vector table is embarrassingly parallel;
   per-query top-k is a window over the (small) query-candidate product.
 - ``ivf_topk``     : IVF (inverted-file) variant — the 100 TB path.
-  A deterministic centroid subset partitions the space; every vector is
-  assigned to its nearest centroid by a VECTORIZED numpy matmul inside a
-  ``mapInArrow`` stage (one BLAS call per Arrow batch — no per-row
-  Python); queries probe only the ``nprobe`` nearest centroid lists, so
-  the exact-cosine work drops from O(n_q * n) to O(n_q * n * nprobe/n_c).
-  Probabilistic recall ⇒ rows-only driver check + a pytest recall floor
-  vs the brute-force baseline.
+  ``pick_centroids`` bootstraps exactly-k centroids with a hash-ordered
+  top-k (bounded driver payload: k×dim floats, NEVER O(n)) and refines
+  them with distributed Lloyd iterations whose update step is a map-side
+  partial-sum aggregation (shuffle volume = partitions × k × dim, not n).
+  Every vector lands in its ``vec_nprobe`` nearest centroid lists
+  (multi-assignment — the standard recall boost when the corpus has weak
+  cluster structure); queries probe their ``nprobe`` nearest lists; the
+  equality join on centroid_id yields candidates and the exact cosine
+  re-ranks. Probabilistic recall ⇒ rows-only driver check + a pytest
+  recall floor vs the brute-force baseline (≥0.85 measured on the
+  isotropic fixture — ANN's worst case; clustered corpora do better at a
+  lower scan fraction).
+
+Assignment runs as a VECTORIZED numpy matmul inside ``mapInArrow`` (one
+BLAS call per Arrow batch, outputs built with np.repeat/ravel — no
+per-row Python anywhere).
 
 The exact kernel (``dedup.cosine``) is a sequential double fold so the
 oracle (list_reduce) matches bit-for-bit; ranking ties are broken by id.
@@ -56,52 +65,130 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def _batch_matrix(batch: pa.RecordBatch, vec_name: str) -> np.ndarray:
+    """(rows x dim) float64 matrix from a fixed-dim list<float> column —
+    zero-copy flatten, one reshape."""
+    vec_col = batch.column(vec_name)
+    if isinstance(vec_col, pa.ChunkedArray):
+        vec_col = vec_col.combine_chunks()
+    flat = np.asarray(vec_col.flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
 def _assign_stage(centroids: np.ndarray, nprobe: int, id_name: str):
     """mapInArrow closure: nearest-``nprobe`` centroid ids per vector via
-    one (batch x dim) @ (dim x n_centroids) matmul per Arrow batch."""
+    one (batch x dim) @ (dim x n_centroids) matmul per Arrow batch; the
+    exploded (id, centroid_id) output is built with np.repeat/ravel —
+    no per-row Python."""
     cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_name)
-            vec_col = batch.column("__vec")
-            # zero-copy flatten of the fixed-dim list<float> column
-            mat = np.asarray(vec_col.flatten(), dtype=np.float64).reshape(
-                batch.num_rows, -1)
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(id_name), dtype=np.int64)
+            mat = _batch_matrix(batch, "__vec")
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ cnorm.T                      # vectorized, no per-row
-            top = np.argsort(-sims, axis=1)[:, :nprobe]
-            out_ids, out_cent = [], []
-            for j in range(len(top)):
-                for c in top[j]:
-                    out_ids.append(ids[j].as_py())
-                    out_cent.append(int(c))
+            if nprobe == 1:
+                top = np.argmax(sims, axis=1).reshape(-1, 1)
+            else:
+                top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, ids.type), pa.array(out_cent, pa.int32())],
+                [pa.array(np.repeat(ids, top.shape[1]), pa.int64()),
+                 pa.array(top.ravel().astype(np.int32), pa.int32())],
                 [id_name, "centroid_id"])
 
     return assign
 
 
+def _partial_sum_stage(centroids: np.ndarray):
+    """mapInArrow closure for the Lloyd update: per Arrow batch, assign
+    every vector to its nearest centroid and emit AT MOST n_centroids
+    partial rows (centroid_id, n, sum_vec). The downstream groupBy is
+    map-side combinable, so shuffle volume is partitions×k×dim — never
+    a function of the row count."""
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    k, dim = centroids.shape
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mat = _batch_matrix(batch, "__vec")
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            a = np.argmax(mat @ cnorm.T, axis=1)
+            counts = np.bincount(a, minlength=k)
+            sums = np.zeros((k, dim))
+            np.add.at(sums, a, mat)
+            nz = np.nonzero(counts)[0]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz.astype(np.int32), pa.int32()),
+                 pa.array(counts[nz].astype(np.int64), pa.int64()),
+                 pa.array(list(sums[nz]), pa.list_(pa.float64()))],
+                ["centroid_id", "n", "sum_vec"])
+
+    return partials
+
+
 def pick_centroids(vectors: DataFrame, id_col: str, vec_col: str,
-                   every: int = 37) -> list[list[float]]:
-    """Deterministic centroid subset: every ``every``-th id. (Production
-    would k-means-refine these; a fixed subset keeps runs reproducible
-    and is the standard IVF bootstrap.)"""
-    rows = (vectors.filter(F.pmod(id_col, F.lit(every)) == 0)
-            .orderBy(id_col).select(vec_col).collect())
-    return [list(r[0]) for r in rows]
+                   k: int = 16, refine_iters: int = 2) -> list[list[float]]:
+    """Exactly-k deterministic centroids, Lloyd-refined.
+
+    Bootstrap: the k rows with the smallest xxhash64(id) — a stable
+    pseudo-random sample that Spark executes as TakeOrderedAndProject
+    (per-partition top-k then driver merge of k rows per partition;
+    the driver never sees more than that, unlike a filter+collect whose
+    payload grows with n).
+
+    Refinement: ``refine_iters`` distributed Lloyd steps — assignment and
+    per-batch partial sums inside mapInArrow, combined by an element-wise
+    groupBy over posexploded (centroid_id, pos, val) rows (k×dim groups,
+    map-side partial aggregation), collecting only k×dim cells per step.
+    Empty cells keep their previous centroid.
+    """
+    base = vectors.select(F.col(id_col).alias("__id"),
+                          F.col(vec_col).alias("__vec"))
+    rows = (base.orderBy(F.xxhash64("__id"), F.col("__id"))
+            .limit(k).select("__vec").collect())
+    cents = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(refine_iters):
+        partial = base.select("__vec").mapInArrow(
+            _partial_sum_stage(cents),
+            "centroid_id int, n long, sum_vec array<double>")
+        cells = (
+            partial.select(
+                "centroid_id", "n",
+                F.posexplode("sum_vec").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.sum("n").alias("cnt"))
+            .collect()
+        )
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in cells:
+            sums[r["centroid_id"], r["pos"]] = r["s"]
+            counts[r["centroid_id"]] = r["cnt"]
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    return [list(c) for c in cents]
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, centroids: list[list[float]], k: int = 10,
-             nprobe: int = 3) -> DataFrame:
+             nprobe: int = 8, vec_nprobe: int = 2) -> DataFrame:
     """IVF ANN: centroid-bucketed candidate generation + exact re-rank.
 
-    vectors → 1 bucket each (nprobe=1); queries → ``nprobe`` buckets;
-    equality join on centroid_id yields the candidate lists, the exact
-    cosine + window re-ranks. All shuffles key on centroid_id — at
-    corpus scale that is the partitioning axis of the index table.
+    vectors → their ``vec_nprobe`` nearest buckets (multi-assignment:
+    index size ×vec_nprobe, recall up sharply when cluster structure is
+    weak); queries → ``nprobe`` buckets; equality join on centroid_id
+    yields the candidate lists, the exact cosine + window re-ranks. All
+    shuffles key on centroid_id — at corpus scale that is the
+    partitioning axis of the index table.
     """
     cents = np.asarray(centroids, dtype=np.float64)
     v_in = vectors.select(F.col(id_col).alias("neighbor_id"),
@@ -109,7 +196,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     q_in = queries.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("__vec"))
     v_assigned = v_in.mapInArrow(
-        _assign_stage(cents, 1, "neighbor_id"),
+        _assign_stage(cents, vec_nprobe, "neighbor_id"),
         "neighbor_id long, centroid_id int")
     q_assigned = q_in.mapInArrow(
         _assign_stage(cents, nprobe, "query_id"),

@@ -857,8 +857,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserts recall vs the exact baseline
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
-    cents = pick_centroids(e, "vec_id", "embedding", every=37)
-    return ivf_topk(e, queries, "vec_id", "embedding", cents, k=10, nprobe=5)
+    cents = pick_centroids(e, "vec_id", "embedding", k=16, refine_iters=2)
+    return ivf_topk(e, queries, "vec_id", "embedding", cents,
+                    k=10, nprobe=8, vec_nprobe=2)
 
 
 # ---- multimodal binary columns (rows-only: WAV decode not in SQL) -------
