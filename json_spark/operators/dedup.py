@@ -1,36 +1,45 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five families, each expressed Spark-first (Column expressions + joins;
-no Python in the hot path) with an independent DuckDB oracle in
-plans/registry.py:
+Six families, each expressed Spark-first (Column expressions + joins;
+Arrow-batched numpy only for the vector signatures) with an independent
+DuckDB oracle in plans/registry.py:
 
-- exact dedup      : hash-groupBy on a content key (salted two-phase via
-                     operators/uniqueness.py — same skew-proof shape)
+- exact dedup      : hash-groupBy on a content key (via
+                     operators/uniqueness.py)
 - MinHash + LSH    : shingle → minhash signature → band-bucket self-join →
                      exact-Jaccard verify of candidates
 - SimHash          : 32-bit signature over distinct token hashes;
                      chunk-banding gives GUARANTEED recall for hamming <= 3
                      (pigeonhole: 4 chunks, <=3 differing bits ⇒ one equal)
 - n-gram Jaccard   : exact set similarity on shingle arrays
-- embedding cosine : near-dup pairs by cosine over array<float> columns
+- embedding cosine : exact all-pairs cosine (the O(n^2) oracle twin)
+- embedding LSH    : random-hyperplane buckets + exact cosine verify
+                     (the production path for embedding columns)
 
 Scale shape: every pair-generating step is a key-equality self-join
-(band bucket / simhash chunk), never a cross join; the exact verify runs
-only on LSH candidates, so cost is O(candidates), not O(n^2). Hot buckets
-(boilerplate shingles) are the skew risk — ``max_bucket`` caps the rows
-per bucket the self-join will expand (AQE skew-join splits the rest).
+(band bucket / simhash chunk / hyperplane chunk), never a cross join; the
+exact verify runs only on LSH candidates, so cost is O(candidates), not
+O(n^2). Hot buckets (boilerplate shingles) are the skew risk —
+``max_bucket`` caps the rows per bucket the self-join will expand (AQE
+skew-join splits the rest).
 
-Cross-engine determinism: token/shingle hashes use operators/text.tok32
-(md5 lower-32), MinHash params are driver-side literals from a seeded
-generator, and cosine is a sequential left-fold in doubles — Spark
-``aggregate`` and DuckDB ``list_reduce`` produce bit-identical results,
-so thresholds can't flip between the engine and its oracle.
+Cross-engine determinism: only EXACT-verify stages are oracle-compared
+(string-set Jaccard; cosine as a sequential left-fold in doubles — Spark
+``aggregate`` and DuckDB ``list_reduce`` produce bit-identical results).
+Signatures are engine-internal: MinHash runs on native xxhash64 shingle
+hashes with seeded driver-side (a, b) literals, SimHash on text.tok32
+token hashes (its chunk banding makes the FULL operator exactly
+oracle-comparable), and the hyperplane matrix is regenerated from a fixed
+numpy seed inside each task.
 """
 
 from __future__ import annotations
 
 import random
+from collections.abc import Iterator
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -64,13 +73,6 @@ def shingles(c: Column, n: int = 3) -> Column:
     )
     return F.array_distinct(
         F.when(k >= 1, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
-
-
-def shingle_hashes(c: Column, n: int = 3) -> Column:
-    """Distinct shingle hashes reduced mod P (minhash input domain)."""
-    return F.array_distinct(
-        F.transform(shingles(c, n), lambda s: F.pmod(tok32(s), F.lit(MINHASH_P)))
     )
 
 
@@ -290,24 +292,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
 
 
+def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vector, norm) — the norm folded ONCE per vector (same
+    expression the per-pair form would evaluate, so downstream cosines
+    are bit-identical to the oracle's normed-CTE shape)."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    ).withColumn("__nrm", F.sqrt(dot_fold(F.col("__v"), F.col("__v"))))
+
+
+def verify_pairs_cosine(cand: DataFrame, df: DataFrame, id_col: str,
+                        vec_col: str, threshold: float) -> DataFrame:
+    """Exact cosine over a candidate (id_a, id_b) frame: join the (small)
+    candidate set back to the vectors — O(candidates) fold work — and
+    keep pairs >= threshold. Bit-identical to the O(n^2) oracle on the
+    pairs it sees, so LSH ∩ exact == LSH candidates that verify."""
+    normed = _normed(df, id_col, vec_col)
+    a = normed.select(F.col("__id").alias("id_a"),
+                      F.col("__v").alias("__va"),
+                      F.col("__nrm").alias("__na"))
+    b = normed.select(F.col("__id").alias("id_b"),
+                      F.col("__v").alias("__vb"),
+                      F.col("__nrm").alias("__nb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                (dot_fold(F.col("__va"), F.col("__vb"))
+                 / (F.col("__na") * F.col("__nb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.9) -> DataFrame:
     """All pairs with cosine >= threshold via self-join.
 
-    This is the exact (verification) kernel; at corpus scale the pair
-    space is first cut by bucketing (similarity.ivf_topk's centroid
-    assignment is the same trick) — here the driver-checked operator
-    stays exact so the oracle is O(n^2) comparable.
+    This is the exact (verification) kernel kept O(n^2) so the DuckDB
+    oracle is directly comparable; :func:`embedding_lsh_pairs` is the
+    production-scale twin (bucketed candidates, same verify).
 
-    Norms are folded ONCE per vector before the join (same expression
-    the per-pair form would evaluate, so values are bit-identical to the
-    oracle's normed-CTE shape) — per-pair work drops from three array
-    folds to one fold plus two multiplies (measured 3x at sf0.1).
+    Norms are folded ONCE per vector before the join — per-pair work
+    drops from three array folds to one fold plus two multiplies
+    (measured 3x at sf0.1).
     """
-    normed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-    ).withColumn("__nrm", F.sqrt(dot_fold(F.col("__v"), F.col("__v"))))
+    normed = _normed(df, id_col, vec_col)
     left = normed.select(F.col("__id").alias("id_a"),
                          F.col("__v").alias("__va"),
                          F.col("__nrm").alias("__na"))
@@ -321,3 +350,96 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
                  / (F.col("__na") * F.col("__nb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH (random hyperplanes) — the 100 TB embedding-dedup path
+# ---------------------------------------------------------------------------
+
+RH_SEED = 0x9E37
+
+
+def _rh_sig_stage(num_bits: int, chunks: int, seed: int, id_name: str):
+    """mapInArrow closure: signed-random-projection signature per vector,
+    emitted pre-exploded as (id, chunk, key) rows.
+
+    The hyperplane matrix is regenerated from the fixed seed inside every
+    task (RandomState is platform-deterministic), sized to the vector dim
+    discovered from the first batch — nothing data-sized crosses the
+    driver. One (batch x dim) @ (dim x num_bits) matmul per Arrow batch;
+    bit packing and the explode are numpy reshapes, no per-row Python.
+    """
+    bits_per = num_bits // chunks
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        weights = (1 << np.arange(bits_per)).astype(np.int64)
+        chunk_ids = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(id_name), dtype=np.int64)
+            vec_col = batch.column("__vec")
+            mat = np.asarray(vec_col.flatten(), dtype=np.float64).reshape(
+                batch.num_rows, -1)
+            if planes is None:
+                rng = np.random.RandomState(seed)
+                planes = rng.standard_normal((num_bits, mat.shape[1]))
+                chunk_ids = np.arange(chunks, dtype=np.int32)
+            bits = (mat @ planes.T) >= 0.0            # (rows, num_bits)
+            keys = (bits.reshape(batch.num_rows, chunks, bits_per)
+                    .astype(np.int64) @ weights)      # (rows, chunks)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, chunks), pa.int64()),
+                 pa.array(np.tile(chunk_ids, batch.num_rows), pa.int32()),
+                 pa.array(keys.ravel(), pa.int64())],
+                [id_name, "__chunk", "__key"])
+
+    return gen
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_bits: int = 128,
+    chunks: int = 16,
+    seed: int = RH_SEED,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: random-hyperplane LSH candidates +
+    exact cosine verify — the scale path :func:`embedding_near_dups`
+    deliberately isn't.
+
+    A pair at angle θ disagrees on each signature bit with p = θ/π
+    (signed random projections), so it shares a given 8-bit chunk with
+    probability (1-p)^8 and is missed by ALL 16 chunks with probability
+    (1 - (1-p)^8)^16 — for cosine 0.97 (the planted-dup regime) that is
+    ~1e-5; false positives are removed entirely by the exact verify, so
+    precision is exact and recall is the only probabilistic edge.
+
+    Scale shape: signature generation is map-only; candidate generation
+    is a key-equality self-join on (chunk, key) — never a cross join —
+    with ``max_bucket`` capping degenerate buckets exactly like
+    :func:`minhash_lsh_pairs`; the exact verify touches O(candidates)
+    vectors. Every shuffle keys on (chunk, key) or pair ids.
+    """
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__vec"))
+    sig = base.mapInArrow(
+        _rh_sig_stage(num_bits, chunks, seed, "__id"),
+        "__id long, __chunk int, __key long")
+    sized = sig.withColumn(
+        "__bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("__chunk", "__key")),
+    ).filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n")
+    left = sized.alias("l")
+    right = sized.alias("r")
+    cand = (
+        left.join(right, ["__chunk", "__key"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return verify_pairs_cosine(cand, df, id_col, vec_col, threshold)

@@ -537,6 +537,7 @@ def q_verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.dedup import (          # noqa: E402
     cosine,
+    embedding_lsh_pairs,
     embedding_near_dups,
     jaccard,
     minhash_lsh_pairs,
@@ -814,6 +815,24 @@ WHERE {_EMB_FOLD_DOT} / (a.nrm * b.nrm) >= 0.9
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _emb_with_planted(spark, sf_dir)
     return embedding_near_dups(base, "vec_id", "embedding", 0.9).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register("dedup_embedding_lsh", oracle=f"""
+WITH {_EMB_BASE_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_EMB_FOLD_DOT} / (a.nrm * b.nrm), 6) AS cos
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE {_EMB_FOLD_DOT} / (a.nrm * b.nrm) >= 0.9
+""")
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bucketed production path, held to the SAME exhaustive oracle as
+    # dedup_embedding_cosine: the exact verify makes precision exact, and
+    # the planted-pair cosine (~0.97) puts per-pair LSH miss probability
+    # at ~1e-5 with the seeded hyperplanes — tests/test_pipeline.py
+    # additionally asserts LSH == exact on the planted fixture
+    base = _emb_with_planted(spark, sf_dir)
+    return embedding_lsh_pairs(base, "vec_id", "embedding", 0.9).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 

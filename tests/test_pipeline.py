@@ -114,6 +114,14 @@ def test_embedding_near_dups_planted(spark, sf_dir):
     assert all(p["id_b"] == p["id_a"] + 100000 for p in pairs)
     assert all(p["cos"] > 0.95 for p in pairs)
 
+    # the bucketed production path must agree with the exhaustive kernel
+    # on the planted fixture: same pairs, bit-identical cosines (the
+    # verify stage shares the exact fold), i.e. full recall here — the
+    # per-pair LSH miss probability at cosine ~0.97 is ~1e-5
+    lsh = dedup.embedding_lsh_pairs(base, "vec_id", "embedding", 0.9).collect()
+    assert {(p["id_a"], p["id_b"], p["cos"]) for p in lsh} == {
+        (p["id_a"], p["id_b"], p["cos"]) for p in pairs}
+
 
 # --------------------------------------------------------- similarity ops
 
