@@ -1,19 +1,20 @@
-"""Uniqueness checks: HLL++ approximate + exact two-phase salted group-by.
+"""Uniqueness checks: HLL++ approximate + exact hash group-by.
 
 North-rule ops (BASELINE.json:6): uniqueness of ``clip_id`` via
 - ``approx_uniqueness``: HyperLogLog++ (`approx_count_distinct`) — one agg
   pass, constant memory, mergeable across 1000 executors; the cheap gate.
-- ``exact_duplicates`` / ``uniqueness_summary``: exact, skew-proof.
+- ``exact_duplicates`` / ``uniqueness_summary``: exact, one shuffle.
 
-Why two-phase salting: a naive ``groupBy(key).count()`` shuffles every row
-to the reducer that owns its key. When one key is pathologically hot (the
-reference fixture plants a 70% codec; real clip_id dups cluster too), one
-reducer gets the world. Phase 1 groups on ``(salt, key)`` where
-``salt = pmod(hash(key, seed), S)`` — wait, salting the KEY ITSELF only
-helps when the same key appears many times; we salt on a row-hash so each
-hot key's rows spread over S reducers and each emits a partial count;
-phase 2 re-groups the ≤S partial rows per key. For mostly-unique keys AQE
-just coalesces the tiny phase-2 shuffle.
+Why a single ``groupBy(key).count()`` is already skew-proof HERE: Spark's
+hash aggregate does map-side partial aggregation, so a pathologically hot
+key emits ONE partial row per map task — the reducer that owns the key
+receives at most ``numPartitions`` rows for it, never the raw row stream.
+Manual two-phase salting (group on (salt, key), then re-group on key)
+pays a second shuffle for nothing when the aggregate is map-combinable
+like count/sum. Salting earns its keep only for aggregates without
+partial merge (collect_list, exact percentile buffers) or for JOINS on a
+hot key — those sit in operators/referential.py and session.py's AQE
+skew-join config.
 """
 
 from __future__ import annotations
@@ -37,29 +38,22 @@ def approx_uniqueness(df: DataFrame, key: str, rsd: float = 0.01,
     )
 
 
-def exact_duplicates(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame:
-    """Exact duplicate keys: two-phase salted aggregation.
+def exact_duplicates(df: DataFrame, key: str) -> DataFrame:
+    """Exact duplicate keys (count > 1): one partial+final hash aggregate.
 
-    Phase 1: ``groupBy(salt, key).count()`` — the salt is derived from a
-    row-unique expression so a hot key fans out over ``salt_buckets``
-    reducers (map-side combine shrinks each partial to one row per
-    (salt, key) per task). Phase 2: ``groupBy(key).sum(partial)`` over at
-    most ``salt_buckets`` rows per key. Returns keys with count > 1.
+    Map-side combine bounds each task's output to one row per distinct
+    key it saw, so the single shuffle carries partial counts, not rows —
+    the plan a 10^12-row clip_id audit wants.
     """
-    salted = df.select(
-        F.col(key),
-        (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))).alias("__salt"),
-    )
-    phase1 = salted.groupBy("__salt", key).agg(F.count(F.lit(1)).alias("__partial"))
-    phase2 = (
-        phase1.groupBy(key)
-        .agg(F.sum("__partial").alias("dup_count"))
+    return (
+        df.select(F.col(key))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
-    return phase2
 
 
-def uniqueness_summary(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame:
+def uniqueness_summary(df: DataFrame, key: str) -> DataFrame:
     """One-row exact summary: n_rows, n_keys, n_dup_keys, n_dup_rows."""
     counts = (
         df.select(F.col(key))

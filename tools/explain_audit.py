@@ -69,6 +69,14 @@ CHECKS = {
         ("partial+final hash aggregate", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "duplicate_keys": [
+        ("single exchange (map-side combine, no manual salt)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "dedup_minhash_lsh": [
         ("no Python stage", True, lambda p: "Python" not in p),
         ("equality join on band key (no cartesian)", True,
