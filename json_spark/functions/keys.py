@@ -75,6 +75,106 @@ def is_case(c: Column, convention: str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Word splitting and case transforms (cases/cases.go:279-342, 361-375)
+# ---------------------------------------------------------------------------
+
+#: separator runes (cases.go:306 separatorRunes; \x00 appears only in the
+#: hybrid-case internals and never in real JSON keys)
+_SEP_SPLIT_RE = "[-_ \\x00]"
+
+
+def _camel_split(p: Column) -> Column:
+    """splitCamelCase (cases.go:361-375): boundary before an uppercase
+    letter preceded by a lowercase letter or digit."""
+    return F.split(
+        F.regexp_replace(p, "(?<=[a-z0-9])(?=[A-Z])", "\u0001"), "\u0001")
+
+
+def _has_mixed_case(p: Column) -> Column:
+    """hasMixedCase (cases.go:344-358): at least one upper AND one lower."""
+    return p.rlike("[A-Z]") & p.rlike("[a-z]")
+
+
+def split_words(c: Column) -> Column:
+    """``cases.SplitWords`` (cases.go:308-341) as a Column expression.
+
+    Separator-delimited parts are camel-split only when they mix cases;
+    a separator-free string is always camel-split; strings with no
+    valuable symbols (only separators / empty) yield an empty array.
+    ASCII case classes, like the detectors above (JSON keys in this
+    engine's domain are ASCII identifiers).
+    """
+    parts = F.filter(F.split(c, _SEP_SPLIT_RE), lambda p: p != F.lit(""))
+    by_sep = F.flatten(F.transform(
+        parts,
+        lambda p: F.when(_has_mixed_case(p), _camel_split(p))
+        .otherwise(F.array(p)),
+    ))
+    words = F.when(c.rlike(_SEP_SPLIT_RE), by_sep).otherwise(_camel_split(c))
+    # hasValuableSymbols (cases.go:24-32)
+    return F.when(c.rlike("[^-_ ]"), words).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _capitalize(w: Column) -> Column:
+    """capitalizeWords element (cases.go:387-397): Upper(first)+lower(rest)."""
+    return F.concat(F.upper(F.substring(w, 1, 1)),
+                    F.lower(F.substring(w, 2, 0x7FFFFFFF)))
+
+
+#: transform target -> words joiner (cases.go:279-303)
+_TRANSFORMS = ("snake", "camel", "pascal", "kebab", "header", "title_snake")
+
+
+def transform_to(c: Column, target: str) -> Column:
+    """``cases.TransformTo`` (cases.go:279-303) as a Column expression.
+
+    Determined conventions only — 'hybrid' raises, like the reference's
+    panic (TransformToHybrid is RNG-driven dirtifier machinery, not a
+    deterministic engine transform).
+    """
+    if target not in _TRANSFORMS:
+        raise ValueError(
+            f"transform_to supports {_TRANSFORMS}, got {target!r}")
+    words = split_words(c)
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    cap_words = F.transform(words, lambda w: _capitalize(w))
+    if target == "snake":
+        return F.array_join(lower_words, "_")
+    if target == "kebab":
+        return F.array_join(lower_words, "-")
+    if target == "header":
+        return F.array_join(cap_words, "-")
+    if target == "title_snake":
+        return F.array_join(cap_words, "_")
+    if target == "pascal":
+        return F.array_join(cap_words, "")
+    # camel: lower(words[0]) + joinCapitalized(words[1:]); "" when no words
+    rest = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    return F.when(F.size(words) == 0, F.lit("")).otherwise(
+        F.concat(F.lower(F.element_at(words, 1)),
+                 F.array_join(F.transform(rest, lambda w: _capitalize(w)), ""))
+    )
+
+
+def unknown_key_count(raw: Column, expected: list[str],
+                      chameleon: bool = True) -> Column:
+    """Per-document count of JSON keys that match NO expected field.
+
+    The reference silently skips unmatched fields
+    (internal/dirtyjson/decoder.go:221-226); a validator must surface
+    them, so this is the promised extra-column stat (SURVEY §2.3).
+    Matching uses the same normalization as field lookup (chameleon or
+    case-insensitive). NULL for unparseable documents.
+    """
+    norm = sorted({normalize_name(k, chameleon) for k in expected})
+    keys = F.map_keys(F.from_json(raw, "map<string,string>"))
+    normalize = chameleon_key if chameleon else case_insensitive_key
+    unknown = F.size(F.filter(keys, lambda k: ~normalize(k).isin(norm)))
+    return F.when(keys.isNotNull(), unknown)
+
+
+# ---------------------------------------------------------------------------
 # Embedded-JSON key normalization (the executor-side FlexKeys path)
 # ---------------------------------------------------------------------------
 

@@ -934,7 +934,11 @@ from ..functions.coercion import (  # noqa: E402
     coerce_string,
     coerce_time_of_day,
 )
-from ..functions.keys import detect_case  # noqa: E402
+from ..functions.keys import (  # noqa: E402
+    detect_case,
+    transform_to,
+    unknown_key_count,
+)
 
 CFG_WRAP = RuleConfig(array_rules=ArrayRules(auto_wrap_single_values=True))
 
@@ -1201,6 +1205,95 @@ def q_case_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(detect_case(key).alias("convention")).groupBy(
         "convention").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("key_style_stats", oracle="""
+WITH k AS (
+  SELECT CASE (event_id % 8)
+    WHEN 0 THEN 'user_name'  WHEN 1 THEN 'userName'
+    WHEN 2 THEN 'UserName'   WHEN 3 THEN 'user-name'
+    WHEN 4 THEN 'User-Name'  WHEN 5 THEN 'User_Name'
+    WHEN 6 THEN 'user Name2' ELSE 'XML$Parser' END AS key
+  FROM events),
+-- expected values hand-derived from the reference's TransformTo/SplitWords
+-- (cases/cases.go:279-342), independent of the Spark implementation
+t AS (
+  SELECT
+    CASE key
+      WHEN 'user_name' THEN 'snake'  WHEN 'userName' THEN 'camel'
+      WHEN 'UserName' THEN 'pascal'  WHEN 'user-name' THEN 'kebab'
+      WHEN 'User-Name' THEN 'header' WHEN 'User_Name' THEN 'title_snake'
+      WHEN 'user Name2' THEN 'hybrid' ELSE 'unknown' END AS convention,
+    CASE key WHEN 'user Name2' THEN 'user_name2'
+             WHEN 'XML$Parser' THEN 'xml$parser'
+             ELSE 'user_name' END AS snake,
+    CASE key WHEN 'user Name2' THEN 'userName2'
+             WHEN 'XML$Parser' THEN 'xml$parser'
+             ELSE 'userName' END AS camel,
+    CASE key WHEN 'user Name2' THEN 'UserName2'
+             WHEN 'XML$Parser' THEN 'Xml$parser'
+             ELSE 'UserName' END AS pascal,
+    CASE key WHEN 'user Name2' THEN 'User-Name2'
+             WHEN 'XML$Parser' THEN 'Xml$parser'
+             ELSE 'User-Name' END AS header
+  FROM k)
+SELECT convention, snake, camel, pascal, header, count(*) AS n
+FROM t GROUP BY convention, snake, camel, pascal, header
+""")
+def q_key_style_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-style reporting: detected convention + TransformTo renderings
+    (cases/cases.go:279-342) over the same synthetic key stream as
+    case_detection."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(8))
+    key = (
+        F.when(m == 0, F.lit("user_name")).when(m == 1, F.lit("userName"))
+        .when(m == 2, F.lit("UserName")).when(m == 3, F.lit("user-name"))
+        .when(m == 4, F.lit("User-Name")).when(m == 5, F.lit("User_Name"))
+        .when(m == 6, F.lit("user Name2")).otherwise(F.lit("XML$Parser"))
+    )
+    return ev.select(
+        detect_case(key).alias("convention"),
+        transform_to(key, "snake").alias("snake"),
+        transform_to(key, "camel").alias("camel"),
+        transform_to(key, "pascal").alias("pascal"),
+        transform_to(key, "header").alias("header"),
+    ).groupBy("convention", "snake", "camel", "pascal", "header").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+@register("unknown_keys", oracle="""
+WITH r AS (
+  SELECT CASE (event_id % 4)
+    WHEN 0 THEN '{"qty":1,"active":true}'
+    WHEN 1 THEN '{"QTY":2,"Active":false,"Debug-Flag":1}'
+    WHEN 2 THEN '{"qty":3,"score":1.5,"legacy_id":7,"Extra Key":0}'
+    ELSE 'not json' END AS raw
+  FROM events),
+c AS (
+  SELECT CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT' THEN
+    CAST(len(list_filter(json_keys(raw::JSON),
+      k -> lower(replace(replace(replace(k, '-', ''), '_', ''), ' ', ''))
+           NOT IN ('qty', 'active', 'score'))) AS BIGINT)
+  END AS n_unknown FROM r)
+SELECT n_unknown, count(*) AS n_docs FROM c GROUP BY n_unknown
+""")
+def q_unknown_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra-column stat: the reference silently skips unmatched fields
+    (internal/dirtyjson/decoder.go:221-226); this surfaces a per-document
+    unknown-key count under chameleon matching (NULL = unparseable doc)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(4))
+    raw = (
+        F.when(m == 0, F.lit('{"qty":1,"active":true}'))
+        .when(m == 1, F.lit('{"QTY":2,"Active":false,"Debug-Flag":1}'))
+        .when(m == 2, F.lit('{"qty":3,"score":1.5,"legacy_id":7,"Extra Key":0}'))
+        .otherwise(F.lit("not json"))
+    )
+    return ev.select(
+        unknown_key_count(raw, ["qty", "active", "score"])
+        .cast("long").alias("n_unknown")
+    ).groupBy("n_unknown").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 # =========================================================================

@@ -247,3 +247,81 @@ def test_normalize_keys_container_lookalike_scalars(spark):
     ) == {"outerkey": {"innerkey": "{oops", "n": ["1", "[x", {"deepk": "2"}]}}
     # top-level unparseable: raw text passes through, never null
     assert by_raw["not json at all"] == "not json at all"
+
+
+def test_split_words_goldens(spark):
+    """Goldens ported from the reference's SplitWordsSuite
+    (cases/cases_test.go:139-196) plus splitCamelCase edge cases."""
+    from json_spark.functions.keys import split_words
+
+    cases = {
+        "": [],
+        "helloWorld": ["hello", "World"],
+        "HelloWorld": ["Hello", "World"],
+        "hello_world_test": ["hello", "world", "test"],
+        "hello-world-test": ["hello", "world", "test"],
+        "hello_World-TestExample": ["hello", "World", "Test", "Example"],
+        "hello__world--Test": ["hello", "world", "Test"],
+        # splitCamelCase: boundary also after a digit (cases.go:368)
+        "user Name2": ["user", "Name2"],
+        "ABC1Def": ["ABC1", "Def"],
+        # no valuable symbols -> empty
+        "___": [],
+        "- _": [],
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    got = {r["s"]: r["w"]
+           for r in df.select("s", split_words(F.col("s")).alias("w")).collect()}
+    for s, expect in cases.items():
+        assert got[s] == expect, f"split_words({s!r})"
+
+
+def test_transform_to_goldens(spark):
+    """cases.TransformTo semantics (cases/cases.go:279-303) across all six
+    determined conventions."""
+    from json_spark.functions.keys import transform_to
+
+    targets = ("snake", "camel", "pascal", "kebab", "header", "title_snake")
+    expect = {
+        "user_name": ("user_name", "userName", "UserName",
+                      "user-name", "User-Name", "User_Name"),
+        "userName": ("user_name", "userName", "UserName",
+                     "user-name", "User-Name", "User_Name"),
+        "X-Header-Name": ("x_header_name", "xHeaderName", "XHeaderName",
+                          "x-header-name", "X-Header-Name", "X_Header_Name"),
+        "user Name2": ("user_name2", "userName2", "UserName2",
+                       "user-name2", "User-Name2", "User_Name2"),
+        # no separators, no camel boundary -> single word
+        "XML$Parser": ("xml$parser", "xml$parser", "Xml$parser",
+                       "xml$parser", "Xml$parser", "Xml$parser"),
+        "": ("", "", "", "", "", ""),
+    }
+    df = spark.createDataFrame([(k,) for k in expect], "s string")
+    rows = df.select(
+        "s", *[transform_to(F.col("s"), t).alias(t) for t in targets]
+    ).collect()
+    for r in rows:
+        for t, want in zip(targets, expect[r["s"]]):
+            assert r[t] == want, f"transform_to({r['s']!r}, {t})"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        transform_to(F.col("s"), "hybrid")
+
+
+def test_unknown_key_count(spark):
+    from json_spark.functions.keys import unknown_key_count
+
+    docs = [
+        ('{"qty":1,"active":true}', 0),
+        ('{"QTY":1,"is-active":2,"extra":3}', 2),   # is-active/extra unmatched
+        ('{"Qty":1,"Active":2,"Extra_Key":3}', 1),  # chameleon matches 2 of 3
+        ("not json", None),
+    ]
+    df = spark.createDataFrame([(d,) for d, _ in docs], "raw string")
+    got = {r["raw"]: r["n"] for r in df.select(
+        "raw",
+        unknown_key_count(F.col("raw"), ["qty", "active"]).alias("n"),
+    ).collect()}
+    for d, want in docs:
+        assert got[d] == want, f"unknown_key_count({d!r})"
