@@ -372,14 +372,20 @@ def coerce_time_of_day(c: Column, cfg: RuleConfig) -> CoercionResult:
 # arrays / objects (embedded JSON in string columns)
 # --------------------------------------------------------------------------
 
-def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string") -> CoercionResult:
+def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string",
+                 fixed_len: int | None = None) -> CoercionResult:
     """Strict: JSON array or null (dirtytypes.go:457-482). AutoWrapSingleValues
-    (config-declared only in the reference, config.go:141-146) wraps scalars."""
+    (config-declared only in the reference, config.go:141-146) wraps scalars.
+
+    ``fixed_len`` mirrors the reference's fixed-length Go-array target
+    (decoder.go:302-341): too few elements is an error (RED); extra
+    elements are dropped — the reference skips them silently, a validator
+    reports the tolerance, so a truncated array is YELLOW.
+    """
     parsed = F.from_json(c, f"array<{element_type}>")
     is_array_token = c.rlike(r"^\s*\[")
-    strict = F.when(c.isNull() | (is_array_token & parsed.isNotNull()), parsed)
-    # strict verdict needs a non-null marker for the null-input case
     strict_ok = c.isNull() | (is_array_token & parsed.isNotNull())
+    strict = F.when(strict_ok, parsed)
 
     tolerant = F.lit(None).cast(f"array<{element_type}>")
     if not cfg.array_rules.disabled and cfg.array_rules.auto_wrap_single_values:
@@ -391,18 +397,49 @@ def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string") -> Co
         .when(tolerant.isNotNull(), YELLOW())
         .otherwise(RED())
     )
-    return CoercionResult(
-        strict=strict,
-        coerced=F.coalesce(strict, tolerant),
-        verdict=verdict,
-    )
+    coerced = F.coalesce(strict, tolerant)
+
+    if fixed_len is not None:
+        # not enough elements -> error (decoder.go:316-318); extras
+        # skipped via slice-to-N (decoder.go:324-330)
+        too_short = coerced.isNotNull() & (F.size(coerced) < fixed_len)
+        truncated = coerced.isNotNull() & (F.size(coerced) > fixed_len)
+        coerced = F.when(~too_short, F.slice(coerced, 1, fixed_len))
+        strict = F.when(strict.isNotNull() & ~too_short & ~truncated, strict)
+        verdict = (
+            F.when(too_short, RED())
+            .when(truncated, YELLOW())
+            .otherwise(verdict)
+        )
+    return CoercionResult(strict=strict, coerced=coerced, verdict=verdict)
 
 
-def coerce_object(c: Column, cfg: RuleConfig) -> CoercionResult:
-    """Strict: JSON object or null (dirtytypes.go:485-510) → map<string,string>."""
+def coerce_object(c: Column, cfg: RuleConfig,
+                  key_type: str = "string") -> CoercionResult:
+    """Strict: JSON object or null (dirtytypes.go:485-510) → map<string,string>.
+
+    ``key_type`` mirrors decoder.go:374-385: for non-string map key types
+    the reference re-parses each JSON key string as the target type and
+    errors when any key fails — here any non-castable key makes the whole
+    object RED, castable keys yield map<key_type,string>.
+    """
     parsed = F.from_json(c, "map<string,string>")
     is_obj_token = c.rlike(r"^\s*\{")
     strict_ok = c.isNull() | (is_obj_token & parsed.isNotNull())
     strict = F.when(strict_ok, parsed)
     verdict = F.when(strict_ok, GREEN()).otherwise(RED())
-    return CoercionResult(strict=strict, coerced=strict, verdict=verdict)
+    if key_type == "string":
+        return CoercionResult(strict=strict, coerced=strict, verdict=verdict)
+
+    keys_ok = F.size(F.filter(
+        F.map_keys(strict),
+        lambda k: k.try_cast(key_type).isNull())) == 0
+    typed = F.when(
+        strict.isNotNull() & keys_ok,
+        F.transform_keys(strict, lambda k, _v: k.cast(key_type)))
+    bad_keys = strict.isNotNull() & ~keys_ok
+    return CoercionResult(
+        strict=typed,
+        coerced=typed,
+        verdict=F.when(bad_keys, RED()).otherwise(verdict),
+    )

@@ -1059,9 +1059,20 @@ c AS (
         THEN json_array_length(raw::JSON)
       WHEN NOT regexp_matches(raw, '^\\s*[\\[{]') THEN 1   -- wrapped scalar
       ELSE NULL END AS n_elems
-  FROM r)
-SELECT verdict, CAST(n_elems AS BIGINT) AS n_elems, count(*) AS n
-FROM c GROUP BY verdict, n_elems
+  FROM r),
+-- fixed-length target (decoder.go:302-341): len < 2 -> RED (not enough
+-- elements), len > 2 -> extras dropped (YELLOW), exactly 2 -> unchanged
+f AS (
+  SELECT verdict, n_elems,
+    CASE WHEN n_elems IS NULL THEN verdict
+         WHEN n_elems < 2 THEN 'RED'
+         WHEN n_elems > 2 THEN 'YELLOW'
+         ELSE verdict END AS verdict_f2,
+    CASE WHEN n_elems >= 2 THEN 2 END AS n_f2
+  FROM c)
+SELECT verdict, CAST(n_elems AS BIGINT) AS n_elems,
+       verdict_f2, CAST(n_f2 AS BIGINT) AS n_f2, count(*) AS n
+FROM f GROUP BY verdict, n_elems, verdict_f2, n_f2
 """)
 def q_coercion_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1075,12 +1086,18 @@ def q_coercion_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit('["a",'))
     )
     res = coerce_array(raw, CFG_WRAP)
+    res2 = coerce_array(raw, CFG_WRAP, fixed_len=2)
     return ev.select(F.size(res.coerced).alias("sz"),
-                     res.verdict.alias("verdict")).select(
+                     res.verdict.alias("verdict"),
+                     F.size(res2.coerced).alias("sz2"),
+                     res2.verdict.alias("verdict_f2")).select(
         F.when(F.col("sz") >= 0, F.col("sz")).cast("long")
          .alias("n_elems"),  # -1 → null
         "verdict",
-    ).groupBy("verdict", "n_elems").agg(F.count(F.lit(1)).alias("n"))
+        "verdict_f2",
+        F.when(F.col("sz2") >= 0, F.col("sz2")).cast("long").alias("n_f2"),
+    ).groupBy("verdict", "n_elems", "verdict_f2", "n_f2").agg(
+        F.count(F.lit(1)).alias("n"))
 
 
 @register("coercion_object", oracle="""

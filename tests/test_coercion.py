@@ -253,3 +253,29 @@ def test_object(spark):
         ("[1]", None, "RED"),
         ("notjson", None, "RED"),
     ])
+
+
+def test_array_fixed_len(spark):
+    """Fixed-length array target (decoder.go:302-341): extra elements are
+    skipped via slice-to-N (324-330, YELLOW here — a validator reports
+    the tolerance), too few is an error (316-318)."""
+    run_cases(spark, lambda c, cfg: coerce_array(c, cfg, fixed_len=2), [
+        ('["a","b"]', ["a", "b"], "GREEN"),        # exact fit
+        ('["a","b","c"]', ["a", "b"], "YELLOW"),   # extras dropped
+        ('["a"]', None, "RED"),                    # not enough elements
+        (None, None, "GREEN"),                     # null still allowed
+        ('{"a":1}', None, "RED"),                  # not an array
+    ])
+
+
+def test_object_numeric_keys(spark):
+    """Non-string map keys (decoder.go:374-385): each JSON key string is
+    re-parsed as the key type; any failure errors the whole object."""
+    run_cases(spark, lambda c, cfg: coerce_object(c, cfg, key_type="bigint"), [
+        ('{"1": "a", "2": "b"}', {1: "a", 2: "b"}, "GREEN"),
+        ('{"10": 5}', {10: "5"}, "GREEN"),
+        ('{"x": "a"}', None, "RED"),               # non-numeric key
+        ('{"1": "a", "x": "b"}', None, "RED"),     # one bad key errors all
+        (None, None, "GREEN"),
+        ("[1]", None, "RED"),
+    ])
