@@ -14,6 +14,7 @@ from .rules import (
     strict_config,
 )
 from .loader import load_config, config_from_dict
+from .random import random_config
 
 __all__ = [
     "BoolFromNull",
@@ -31,4 +32,5 @@ __all__ = [
     "strict_config",
     "load_config",
     "config_from_dict",
+    "random_config",
 ]

@@ -130,3 +130,169 @@ def test_red_cases_stay_red(spark):
         res = fn(F.col("raw"), CFG)
         rows = df.select(res.coerced.alias("c"), res.verdict.alias("v")).collect()
         assert all(r["v"] == "RED" and r["c"] is None for r in rows), fn.__name__
+
+
+# --------------------------------------------------------------------------
+# RandomConfig harness (dirtytesting.go:14-77): random rule sets × cases
+# whose expected outcome is derived from the rule semantics, so flag
+# interactions (spacing_allowed=False × inner spaces, rounding algorithms,
+# custom bool lists, fallback vs RED, FromNull inverse) are exercised.
+# --------------------------------------------------------------------------
+
+import math
+
+from json_spark.config.random import random_config
+
+N_CONFIGS = 48
+
+
+def _num_cases(cfg, rng):
+    """(raw, expected_double) — expected None means RED."""
+    nr = cfg.number_rules
+    fs = nr.from_strings
+    str_path = not nr.disabled and not fs.disabled
+    v = float(np.round(rng.uniform(-99999, 99999), 3))
+    big = float(rng.integers(1000, 999999))
+    cases = [
+        (repr(v), v),                                   # strict token: always
+        (f" {v!r} ", v if str_path else None),          # outer trim
+        # inner space grouping: forgiven ONLY by spacing_allowed
+        ("1 234.5", 1234.5 if str_path and fs.spacing_allowed else None),
+        # thousands commas: forgiven ONLY by commas_allowed
+        (f"{big:,.1f}", big if str_path and fs.commas_allowed else None),
+        ("true", 1.0 if not nr.disabled and not nr.from_bools_disabled
+         else None),
+        ("false", 0.0 if not nr.disabled and not nr.from_bools_disabled
+         else None),
+        (None, 0.0 if not nr.disabled and not nr.from_null_disabled
+         else None),
+        ("x9z", None),                                  # garbage stays RED
+    ]
+    return cases
+
+
+def _int_cases(cfg, rng):
+    nr = cfg.number_rules
+    fs = nr.from_strings
+    str_path = not nr.disabled and not fs.disabled
+    v = int(rng.integers(-99999, 99999))
+
+    def rounded(x):
+        if not str_path:
+            return None
+        if fs.rounding_algorithm == "floor":
+            return math.floor(x)
+        if fs.rounding_algorithm == "round":  # Go math.Round: half away from 0
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        return int(x) if x == int(x) else None          # "none"
+
+    frac = abs(v) + 0.7
+    cases = [
+        (str(v), v),                                    # strict int token
+        (f" {v} ", v if str_path else None),
+        (f"{abs(v)}.0", rounded(float(abs(v)))),        # zero-decimal float
+        (f"{frac}", rounded(frac)),                     # rounding algorithms
+        (f"-{frac}", rounded(-frac)),
+        ("1 234", 1234 if str_path and fs.spacing_allowed else None),
+        ("7,000", 7000 if str_path and fs.commas_allowed else None),
+    ]
+    return cases
+
+
+def _bool_cases(cfg, rng):
+    br = cfg.bool_rules
+    fs = br.from_strings
+    str_path = not br.disabled and not fs.disabled
+    fallback = br.fallback_value if (str_path and
+                                     br.fallback_value is not None) else None
+
+    def from_num(tok):
+        """_bool_from_number_expr semantics (bool-from-num.go:17-45)."""
+        x = float(tok)
+        alg = br.from_numbers.parse_func
+        if alg == "positive_negative":
+            return x > 0
+        if alg == "sign_of_one":
+            return True if x == 1 else (False if x == -1 else None)
+        return True if x == 1 else (False if x == 0 else None)
+
+    num_path = (str_path and fs.respect_from_numbers_logic
+                and not br.from_numbers.disabled)
+    cases = [
+        ("true", True), ("false", False),               # raw tokens: always
+        ("zzz", fallback),                              # unmatched -> fallback
+        (None, (bool(br.from_null.inverse)
+                if not br.disabled and not br.from_null.disabled else None)),
+    ]
+    if str_path:
+        # a custom-list token (skip ''/true/false which strict also covers)
+        for tok, val in [(t, True) for t in fs.true_list] + [
+                (f, False) for f in fs.false_list]:
+            if tok in ("", "true", "false"):
+                continue
+            raw = tok.upper() if fs.case_insensitive else tok
+            exp = val
+            if not fs.case_insensitive and raw != tok:
+                exp = fallback
+            # numeric list tokens ('1'/'0') are list-matched before numbers
+            cases.append((raw, exp))
+            break
+    # numeric tokens NOT in any dictionary: pure numbers-logic probes
+    for tok in ("7", "-1", "2"):
+        if num_path:
+            got = from_num(tok)
+            cases.append((tok, got if got is not None else fallback))
+        elif str_path:
+            cases.append((tok, fallback))
+        elif not br.disabled and not fs.disabled:
+            pass
+        elif not br.disabled and fs.disabled and not br.from_numbers.disabled:
+            got = from_num(tok)
+            cases.append((tok, got))                     # no fallback here
+        else:
+            cases.append((tok, None))
+    return cases
+
+
+def test_random_config_roundtrips(spark):
+    """≥1000 randomized (config, case) round-trips: for every seeded random
+    rule set, each case's expected value is derived from the reference's
+    rule semantics — a forgiven corruption must recover exactly (never
+    RED), an unforgiven one must be RED with null coercion."""
+    total = 0
+    failures = []
+    for seed in range(N_CONFIGS):
+        cfg = random_config(seed)
+        rng = np.random.default_rng(1000 + seed)
+        rows, expects = [], []
+        for kind, cases in (("num", _num_cases(cfg, rng)),
+                            ("int", _int_cases(cfg, rng)),
+                            ("bool", _bool_cases(cfg, rng))):
+            for raw, exp in cases:
+                rows.append((len(rows), kind, raw))
+                expects.append(exp)
+        df = spark.createDataFrame(rows, "i long, kind string, raw string")
+        rn = coerce_number(F.col("raw"), cfg)
+        ri = coerce_integer(F.col("raw"), cfg)
+        rb = coerce_bool(F.col("raw"), cfg)
+        got = {r["i"]: r for r in df.select(
+            "i", "kind", "raw",
+            rn.coerced.alias("num"), rn.verdict.alias("num_v"),
+            ri.coerced.alias("int"), ri.verdict.alias("int_v"),
+            rb.coerced.alias("bool"), rb.verdict.alias("bool_v"),
+        ).collect()}
+        for (i, kind, raw), exp in zip(rows, expects):
+            r = got[i]
+            val, verdict = r[kind if kind != "int" else "int"], r[f"{kind}_v"]
+            total += 1
+            if exp is None:
+                ok = val is None and verdict == "RED"
+            elif kind == "num":
+                ok = (val is not None and abs(val - exp) < 1e-9
+                      and verdict != "RED")
+            else:
+                ok = val == exp and verdict != "RED"
+            if not ok:
+                failures.append((seed, kind, raw, exp, val, verdict))
+    assert total >= 1000, total
+    assert not failures, f"{len(failures)}/{total} failed: {failures[:8]}"
