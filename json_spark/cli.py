@@ -39,7 +39,11 @@ def main(argv: list[str] | None = None) -> int:
                          "transcript checks)")
     ap.add_argument("--baseline", default=None,
                     help="baseline histogram-shares path (enables drift); "
-                         "'self' builds it from the non-drifted population")
+                         "'self' builds it from this run's own population")
+    ap.add_argument("--baseline-exclude", default=None, metavar="VALUE",
+                    help="with --baseline self: partition value to exclude "
+                         "from the self-baseline (a known-drifted "
+                         "population); default excludes nothing")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--ledger", default=None,
                     help="checkpoint ledger path (enables resume)")
@@ -61,8 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     cfg = SuiteConfig(partition_col=args.partition_col,
                       snr_threshold_db=args.snr_threshold_db)
     if args.baseline == "self":
-        baseline = build_baseline_shares(
-            clips.filter(F.col(cfg.partition_col) != "opus"), cfg)
+        base_pop = clips
+        if args.baseline_exclude is not None:
+            base_pop = clips.filter(
+                F.col(cfg.partition_col) != args.baseline_exclude)
+        baseline = build_baseline_shares(base_pop, cfg)
     elif args.baseline:
         baseline = spark.read.parquet(args.baseline)
     else:

@@ -334,11 +334,18 @@ class ValidationSuite:
             for check in active_checks:
                 p = pending_partitions(parts, ledger, check)
                 pend = p if pend is None else pend.unionByName(p)
-            pending_ids = [r["partition_id"] for r in pend.distinct().collect()]
-            work = clips.filter(
-                F.col(c.partition_col).cast("string").isin(pending_ids)
+            # semi-join, not collect+isin: partition ids stay executor-side
+            # (an Iceberg table can have 10^5 partitions; the pending frame
+            # is small enough to broadcast but not to ship through the
+            # driver as a literal filter)
+            pending = pend.distinct()
+            work = clips.join(
+                F.broadcast(pending),
+                on=clips[c.partition_col].cast("string")
+                == pending["partition_id"],
+                how="leftsemi",
             )
-            if not pending_ids:
+            if pending.limit(1).count() == 0:
                 return SuiteResult(
                     partition_verdicts=spark.createDataFrame(
                         [], "partition_id string, check_name string, "

@@ -30,7 +30,8 @@ def test_cli_run_and_resume(spark, tmp_path):
     write_fixtures(spark, fixture, 2000, partitions=4)
 
     common = ["--clips", f"{fixture}/clips", "--manifest", f"{fixture}/manifest",
-              "--baseline", "self", "--ledger", str(tmp_path / "ledger"),
+              "--baseline", "self", "--baseline-exclude", "opus",
+              "--ledger", str(tmp_path / "ledger"),
               "--cores", "4"]
     first = _cli([*common, "--out", str(tmp_path / "out1")])
     assert first["n_partition_checks"] == 24       # 4 codecs x 6 checks
