@@ -1321,7 +1321,7 @@ def q_unknown_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-implementation of the clean/dirty split.
 # =========================================================================
 
-from ..functions.embedded import EmbeddedField, decode_embedded  # noqa: E402
+from ..functions.embedded import EmbeddedField, decode_embedded_df  # noqa: E402
 
 
 def _embedded_raw():
@@ -1432,8 +1432,8 @@ def q_embedded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         EmbeddedField("active", "bool"),
         EmbeddedField("score", "number"),
     ]
-    res = decode_embedded(
-        _embedded_raw(), "qty bigint, active boolean, score double",
+    ev, res = decode_embedded_df(
+        ev, _embedded_raw(), "qty bigint, active boolean, score double",
         fields, CFG)
     return ev.select(
         res["qty"].verdict.alias("v_qty"),
