@@ -193,6 +193,25 @@ def minhash_lsh_pairs(
     return verified
 
 
+def verify_pairs_jaccard_exhaustive(df: DataFrame, id_col: str, text_col: str,
+                                    n: int = 3,
+                                    threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs shingle Jaccard — the O(n^2) TEST/ORACLE twin of
+    :func:`minhash_lsh_pairs` (never the production path). Used to assert
+    the probabilistic contract: LSH output ⊆ this set with identical
+    jaccard values, and full recall on high-j pairs."""
+    base = df.select(F.col(id_col).alias("__id"),
+                     shingles(F.col(text_col), n).alias("__sh"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                jaccard(F.col("__sa"), F.col("__sb")).alias("j"))
+        .filter(F.col("j") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -80,6 +80,22 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
     assert len(pairs) >= planted  # recall 1 on high-jaccard planted pairs
     assert all(p["jaccard"] >= 0.5 for p in pairs)
 
+    # the probabilistic contract, independent of fixture luck:
+    # (1) precision is EXACT — every emitted pair is in the exhaustive
+    #     >=threshold set with the same jaccard (the verify stage computes
+    #     the true value); (2) recall is complete on high-j pairs, where
+    #     the 16x2 banding miss probability is (1-j^2)^16 < 1e-7
+    exhaustive = {(r["id_a"], r["id_b"]): r["j"] for r in
+                  dedup.verify_pairs_jaccard_exhaustive(
+                      docs, "doc_id", "text").collect()}
+    got = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert set(got) <= set(exhaustive)
+    for k, j in got.items():
+        assert j == exhaustive[k]
+    missed_high = {k for k, j in exhaustive.items()
+                   if j >= 0.8 and k not in got}
+    assert not missed_high
+
 
 def test_simhash_exact_vs_bruteforce(spark):
     # chunk banding must return EXACTLY the hamming<=3 pairs (pigeonhole)
