@@ -38,7 +38,11 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
+    "embedded_decode",
+    "key_style_stats",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -132,11 +132,21 @@ def transform_to(c: Column, target: str) -> Column:
     Determined conventions only — 'hybrid' raises, like the reference's
     panic (TransformToHybrid is RNG-driven dirtifier machinery, not a
     deterministic engine transform).
+
+    Rendering several conventions of the same key? Materialize
+    :func:`split_words` in its own projection and call :func:`join_words`
+    per target — HOF chains defeat Catalyst's subexpression elimination,
+    so N transform_to calls re-split N times (measured 3x on the
+    key_style_stats query).
     """
+    return join_words(split_words(c), target)
+
+
+def join_words(words: Column, target: str) -> Column:
+    """TransformTo's join step over an already-split words array."""
     if target not in _TRANSFORMS:
         raise ValueError(
             f"transform_to supports {_TRANSFORMS}, got {target!r}")
-    words = split_words(c)
     lower_words = F.transform(words, lambda w: F.lower(w))
     cap_words = F.transform(words, lambda w: _capitalize(w))
     if target == "snake":

@@ -936,7 +936,8 @@ from ..functions.coercion import (  # noqa: E402
 )
 from ..functions.keys import (  # noqa: E402
     detect_case,
-    transform_to,
+    join_words,
+    split_words,
     unknown_key_count,
 )
 
@@ -1269,12 +1270,17 @@ def q_key_style_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.lit("User-Name")).when(m == 5, F.lit("User_Name"))
         .when(m == 6, F.lit("user Name2")).otherwise(F.lit("XML$Parser"))
     )
+    # split once into a bound column; join per convention (see
+    # transform_to's CSE note)
     return ev.select(
         detect_case(key).alias("convention"),
-        transform_to(key, "snake").alias("snake"),
-        transform_to(key, "camel").alias("camel"),
-        transform_to(key, "pascal").alias("pascal"),
-        transform_to(key, "header").alias("header"),
+        split_words(key).alias("__w"),
+    ).select(
+        "convention",
+        join_words(F.col("__w"), "snake").alias("snake"),
+        join_words(F.col("__w"), "camel").alias("camel"),
+        join_words(F.col("__w"), "pascal").alias("pascal"),
+        join_words(F.col("__w"), "header").alias("header"),
     ).groupBy("convention", "snake", "camel", "pascal", "header").agg(
         F.count(F.lit(1)).alias("n"))
 
