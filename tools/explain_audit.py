@@ -86,6 +86,29 @@ CHECKS = {
         ("queries broadcast", True, lambda p: "Broadcast" in p),
         ("windowed top-k", True, lambda p: "Window" in p),
     ],
+    "dedup_embedding_lsh": [
+        ("equality join on (chunk, key) — no cartesian", True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("one Arrow stage per side (signatures), none in verify", True,
+         lambda p: p.split("== CODEGEN ==")[0].count("ArrowEvalPython")
+         + p.split("== CODEGEN ==")[0].count("MapInArrow") <= 2),
+    ],
+    "embedded_decode": [
+        ("no Python stage (pure Column exprs)", True,
+         lambda p: "Python" not in p and "Arrow" not in p),
+        ("both parses materialized once (single project of from_json pair)",
+         True,
+         lambda p: p.split("== CODEGEN ==")[0].count("from_json") <= 2),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "key_style_stats": [
+        ("no Python stage", True,
+         lambda p: "Python" not in p and "Arrow" not in p),
+        ("scan pruned to event_id", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 1),
+    ],
     "text_fingerprint": [
         ("no Python stage", True, lambda p: "Python" not in p),
         ("scan pruned to doc_id,text", True,
