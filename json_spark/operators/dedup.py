@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.tables import ensure_parallelism
 from .text import tok32, tokens
 
 #: MinHash modulus: 2^31-1 (prime). Shingle hashes are reduced mod P first
@@ -100,6 +101,52 @@ def jaccard(a: Column, b: Column) -> Column:
             / F.size(F.array_union(a, b)))
 
 
+def _minhash_band_stage(params: list[tuple[int, int]], bands: int, r: int):
+    """mapInArrow closure: minhash signatures + banded keys per row.
+
+    HOF lambdas (transform/aggregate) fall back to interpreted eval — the
+    32 array_min folds dominated the LSH runtime (~2s of 4.8s at sf0.1).
+    Here the ragged hash arrays flatten once per Arrow batch and each
+    hash function is one vectorized (a*x+b) % P + np.minimum.reduceat —
+    identical integers to the SQL formulation (pure int64 math, same
+    xxhash64 inputs). Band keys pack the r per-band minima into one int64
+    (each min < P < 2^31, so r=2 fits: hi*P + lo < 2^62).
+    """
+    a_arr = np.array([a for a, _ in params], dtype=np.int64)
+    b_arr = np.array([b for _, b in params], dtype=np.int64)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column("__id"), dtype=np.int64)
+            col = batch.column("__shh")
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            flat = np.asarray(col.values, dtype=np.int64)
+            starts = offsets[:-1]
+            # shingles() guarantees >= 1 element per doc, so every
+            # reduceat segment is non-empty
+            sig = np.empty((len(params), batch.num_rows), dtype=np.int64)
+            for i in range(len(params)):
+                h = (flat * a_arr[i] + b_arr[i]) % MINHASH_P
+                sig[i] = np.minimum.reduceat(h, starts)
+            keys = np.empty((bands, batch.num_rows), dtype=np.int64)
+            for b in range(bands):
+                k = sig[b * r]
+                for j in range(1, r):
+                    k = k * MINHASH_P + sig[b * r + j]
+                keys[b] = k
+            band_ids = np.repeat(np.arange(bands, dtype=np.int32),
+                                 batch.num_rows)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.tile(ids, bands), pa.int64()),
+                 pa.array(band_ids, pa.int32()),
+                 pa.array(keys.ravel(), pa.int64())],
+                ["__id", "__band", "__key"])
+
+    return gen
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -127,40 +174,29 @@ def minhash_lsh_pairs(
     precision) trade recorded by the caller if needed.
     """
     r = num_hashes // bands
+    if r > 2:
+        raise ValueError("packed int64 band keys support r <= 2 "
+                         "(num_hashes/bands); use more bands")
     # shingle STRINGS for the exact verify (collision-free, matches the
     # oracle's string-set Jaccard); their hashes feed the signatures only.
-    # The hash array is materialized in its own projection so the
-    # signature's num_hashes branches reference it as a bound column —
-    # md5 runs once per shingle, not num_hashes times.
-    base = df.select(
+    # ensure_parallelism: signature hashing is the heavy map stage and
+    # must not serialize on under-split small files (no-op at scale)
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), n).alias("__sh"),
     )
     # xxhash64, not md5/tok32: the signature is engine-internal (only the
     # exact string-Jaccard verify is oracle-compared), so the cheap native
-    # hash is correct here — md5 would triple the signature stage's cost
+    # JVM hash feeds the vectorized Arrow signature stage
     hashed = base.select(
         "__id",
         F.array_distinct(F.transform(
             F.col("__sh"),
             lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))).alias("__shh"),
     )
-    sig = hashed.select(
-        "__id",
-        minhash_signature(F.col("__shh"), num_hashes).alias("__sig"),
-    )
-    banded = sig.select(
-        "__id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.concat_ws("_", F.slice(F.col("__sig"), b * r + 1, r))
-                .alias("key"),
-            ),
-        )).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("__band"),
-             F.col("bk.key").alias("__key"))
+    banded = hashed.mapInArrow(
+        _minhash_band_stage(minhash_params(num_hashes), bands, r),
+        "__id long, __band int, __key long")
     # cap pathological buckets before the self-join expands them
     sized = banded.withColumn(
         "__bucket_n",
@@ -260,7 +296,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     and this plan agree EXACTLY, unlike probabilistic LSH.
     """
     bits_per = SIMHASH_BITS // SIMHASH_CHUNKS
-    hashed = df.select(
+    hashed = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.transform(
             tokens(F.col(text_col)), lambda t: tok32(t))).alias("__th"),
@@ -444,8 +480,8 @@ def embedding_lsh_pairs(
     :func:`minhash_lsh_pairs`; the exact verify touches O(candidates)
     vectors. Every shuffle keys on (chunk, key) or pair ids.
     """
-    base = df.select(F.col(id_col).alias("__id"),
-                     F.col(vec_col).alias("__vec"))
+    base = ensure_parallelism(df).select(F.col(id_col).alias("__id"),
+                                         F.col(vec_col).alias("__vec"))
     sig = base.mapInArrow(
         _rh_sig_stage(num_bits, chunks, seed, "__id"),
         "__id long, __chunk int, __key long")

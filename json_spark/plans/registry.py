@@ -35,7 +35,7 @@ from ..operators.referential import orphans, referential_summary
 from ..operators.stats import column_stats
 from ..operators.uniqueness import exact_duplicates, uniqueness_summary
 from ..operators.verdicts import rollup_verdicts, row_verdict
-from ..sources.tables import load_table
+from ..sources.tables import ensure_parallelism, load_table
 
 CFG = default_config()
 
@@ -329,7 +329,9 @@ SELECT fmt_id, verdict, count(*) AS n,
 FROM c GROUP BY fmt_id, verdict
 """)
 def q_coercion_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
+    # counts-only output -> partitioning-independent; parallelize the
+    # 17-layout parse chain on under-split inputs
+    od = ensure_parallelism(load_table(spark, sf_dir, "orders"))
     m = F.pmod("o_orderkey", F.lit(5))
     truth_d = F.date_add(
         F.to_date(F.lit("1995-01-01")),
@@ -1213,7 +1215,7 @@ d AS (
 SELECT convention, count(*) AS n FROM d GROUP BY convention
 """)
 def q_case_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     m = F.pmod("event_id", F.lit(8))
     key = (
         F.when(m == 0, F.lit("user_name")).when(m == 1, F.lit("userName"))
@@ -1262,7 +1264,7 @@ def q_key_style_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-style reporting: detected convention + TransformTo renderings
     (cases/cases.go:279-342) over the same synthetic key stream as
     case_detection."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     m = F.pmod("event_id", F.lit(8))
     key = (
         F.when(m == 0, F.lit("user_name")).when(m == 1, F.lit("userName"))

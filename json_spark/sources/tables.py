@@ -30,6 +30,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is badly under-split.
+
+    Small single-row-group parquet files (the sandbox fixtures) produce
+    one-task scans, serializing every map-side stage before the first
+    shuffle — signature hashing, coercion chains — regardless of core
+    count. A production 10^12-row table has >> defaultParallelism splits,
+    so this is a no-op there; the repartition cost (one pass over the
+    already-small input) only ever applies to under-split inputs.
+
+    Use ONLY for plans whose outputs are partitioning-independent
+    (integer counts, per-row values, per-pair kernels). Double SUMs
+    re-associate under different partitionings and can wobble the last
+    bits vs a sequential oracle — keep those on the scan's natural
+    splits.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
