@@ -1,0 +1,72 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The windowed rollups in streaming/validate.py are built-in streaming
+aggregations; this module covers the operator Spark does NOT ship:
+**streaming first-seen dedup** — emit each content key's first
+occurrence across micro-batches, suppress every later duplicate. The
+batch twin is operators/uniqueness.exact_duplicates; here arrival order
+matters and the "seen" set must persist across triggers, which is
+exactly the GroupState surface.
+
+Scale shape: state is keyed by the content hash (one boolean-ish state
+row per distinct key, grouped state store partitioned like any
+streaming agg); each micro-batch group receives only that key's new
+rows, so per-invoke pandas frames are tiny. A state TTL
+(``ProcessingTimeTimeout``) bounds the store for unbounded key spaces —
+expired keys may re-emit, the standard windowed-dedup trade.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _first_seen(key, pdf_iter: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Emit rows of this key only if the key has never been seen.
+
+    State = (n_seen,) — once set, every later batch's rows for the key
+    are suppressed (and counted into the state for observability).
+    """
+    n_before = state.get[0] if state.exists else 0
+    emitted = []
+    n_new = 0
+    for pdf in pdf_iter:
+        n_new += len(pdf)
+        if n_before == 0 and not emitted and len(pdf) > 0:
+            # first-ever row of this key: emit exactly one
+            emitted.append(pdf.iloc[:1])
+    state.update((n_before + n_new,))
+    if state.getCurrentProcessingTimeMs() >= 0:  # timeout clock available
+        state.setTimeoutDuration(24 * 3600 * 1000)
+    if emitted:
+        yield pd.concat(emitted)
+
+
+def streaming_first_seen(stream: DataFrame, key_col: str,
+                         payload_cols: list[str]) -> DataFrame:
+    """First occurrence per key across the whole stream (stateful dedup).
+
+    Returns a streaming DataFrame with one row per distinct ``key_col``
+    value — its first-arriving payload. Later duplicates (same trigger or
+    any later one) are suppressed by the persisted GroupState.
+    """
+    cols = [key_col, *payload_cols]
+    out_schema = ", ".join(f"{c} string" for c in cols)
+    projected = stream.select(
+        *[F.col(c).cast("string").alias(c) for c in cols])
+    return (
+        projected.groupBy(key_col)
+        .applyInPandasWithState(
+            _first_seen,
+            outputStructType=out_schema,
+            stateStructType="n_seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

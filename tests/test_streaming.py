@@ -129,3 +129,40 @@ def test_streaming_same_rules_as_batch(spark):
     out = streaming_row_verdicts(df, default_stream_rules(CFG, "raw_num", "raw_bool"))
     verdicts = [r["row_verdict"] for r in out.orderBy("ts").collect()]
     assert verdicts == ["GREEN", "YELLOW", "GREEN", "RED", "YELLOW"]
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Stateful streaming dedup (applyInPandasWithState): the first
+    occurrence of each key is emitted exactly once; duplicates inside one
+    trigger AND across triggers (state persisted via the checkpoint) are
+    suppressed."""
+    from json_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "dsrc")
+    sink = str(tmp_path / "dsink")
+    chk = str(tmp_path / "dchk")
+    schema = "k string, payload string"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_first_seen(stream, "k", ["payload"])
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["k"], r["payload"])
+                for r in spark.read.parquet(sink).collect()}
+
+    # trigger 1: in-batch duplicate of a1 suppressed
+    got1 = run([("a", "a1"), ("a", "a1-dup"), ("b", "b1")])
+    assert {k for k, _ in got1} == {"a", "b"}
+    assert len(got1) == 2
+
+    # trigger 2: cross-trigger duplicates suppressed by persisted state;
+    # only the new key c emits
+    got2 = run([("a", "a2-dup"), ("c", "c1"), ("c", "c1-dup")])
+    assert {k for k, _ in got2} == {"a", "b", "c"}
+    assert len(got2) == 3
+    assert ("c", "c1") in got2 or ("c", "c1-dup") in got2
