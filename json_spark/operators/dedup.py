@@ -408,6 +408,70 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Connected components over (id_a, id_b) near-dup pairs: every
+    member labeled with its component's MINIMUM id — the canonical
+    representative a dedup pipeline keeps (drop rows where
+    id != cluster_id).
+
+    Min-label propagation: each round, every vertex takes the min of its
+    own label and its neighbors' labels (one join + one map-combinable
+    min aggregate per round); converges in O(component diameter) rounds.
+    Near-dup clusters are shallow (stars/cliques around a source doc),
+    so 2-3 rounds is typical; ``max_iter`` bounds adversarial chains —
+    the large-star/small-star contraction (O(log n) rounds) is the
+    upgrade path if chain-shaped components ever dominate.
+
+    Per-round driver work is ONE scalar (the converged? count); labels
+    are persisted each round and the previous round unpersisted, so
+    lineage stays flat.
+    """
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        und.select(F.col("u").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und["u"] == labels["id"])
+            .select(F.col("v").alias("id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.select("id", "cluster_id").unionByName(msgs)
+            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_representatives(pairs: DataFrame) -> DataFrame:
+    """Cluster summary for the keep/drop decision: one row per duplicate
+    cluster with its representative (min id) and member count."""
+    return (
+        duplicate_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding LSH (random hyperplanes) — the 100 TB embedding-dedup path
 # ---------------------------------------------------------------------------
 

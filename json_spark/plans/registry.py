@@ -539,6 +539,7 @@ def q_verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.dedup import (          # noqa: E402
     cosine,
+    duplicate_clusters,
     embedding_lsh_pairs,
     embedding_near_dups,
     jaccard,
@@ -818,6 +819,32 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _emb_with_planted(spark, sf_dir)
     return embedding_near_dups(base, "vec_id", "embedding", 0.9).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register("dedup_clusters", oracle=f"""
+WITH RECURSIVE {_EMB_BASE_SQL},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+  WHERE {_EMB_FOLD_DOT} / (a.nrm * b.nrm) >= 0.9),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact embedding near-dup pairs:
+    the keep/drop labeling of a dedup pipeline (keep id == cluster_id).
+    Spark runs min-label propagation (O(diameter) rounds); the oracle is
+    an independent recursive-CTE reachability closure."""
+    base = _emb_with_planted(spark, sf_dir)
+    pairs = embedding_near_dups(base, "vec_id", "embedding", 0.9)
+    return duplicate_clusters(pairs).select("id", "cluster_id")
 
 
 @register("dedup_embedding_lsh", oracle=f"""

@@ -242,3 +242,23 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
         spread = max(exact[k]) - min(exact[k]) or 1.0
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / spread < 0.02, (k, a, e)
+
+
+def test_duplicate_clusters_components(spark):
+    """Min-label propagation must find full components, not just direct
+    neighbors: a 4-chain (10-11-12-13) needs multiple rounds; singleton
+    pairs and a triangle keep their own minima."""
+    pairs = spark.createDataFrame(
+        [(11, 10), (11, 12), (13, 12),       # chain, min 10
+         (20, 21),                           # pair, min 20
+         (30, 31), (31, 32), (30, 32)],      # triangle, min 30
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20,
+                   30: 30, 31: 30, 32: 30}
+
+    reps = {(r["cluster_id"], r["n_members"])
+            for r in dedup.dedup_representatives(pairs).collect()}
+    assert reps == {(10, 4), (20, 2), (30, 3)}
