@@ -30,7 +30,12 @@ from ..functions.coercion import (
     coerce_timestamp,
 )
 from ..functions.keys import chameleon_key
-from ..operators.drift import histogram, ks_statistic, psi
+from ..operators.drift import (
+    categorical_histogram,
+    histogram,
+    ks_statistic,
+    psi,
+)
 from ..operators.referential import orphans, referential_summary
 from ..operators.stats import column_stats
 from ..operators.uniqueness import exact_duplicates, uniqueness_summary
@@ -434,6 +439,36 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = histogram(ev.filter(F.pmod("event_id", F.lit(2)) == 1),
                      "value", 0.0, 500.0, 10)
     return psi(cur, base, on=["bucket"]).select(F.round("psi", 6).alias("psi"))
+
+
+@register("drift_psi_categorical", oracle="""
+WITH cur AS (
+  SELECT event_type AS category,
+         count(*) / CAST((SELECT count(*) FROM events
+                          WHERE event_id % 3 = 0) AS DOUBLE) AS ps
+  FROM events WHERE event_id % 3 = 0 GROUP BY event_type),
+base AS (
+  SELECT event_type AS category,
+         count(*) / CAST((SELECT count(*) FROM events
+                          WHERE event_id % 3 <> 0) AS DOUBLE) AS qs
+  FROM events WHERE event_id % 3 <> 0 GROUP BY event_type),
+j AS (
+  SELECT coalesce(c.ps, 0.0) AS ps, coalesce(b.qs, 0.0) AS qs
+  FROM cur c FULL OUTER JOIN base b ON c.category = b.category)
+SELECT round(sum((greatest(ps, 1e-6) - greatest(qs, 1e-6))
+                 * ln(greatest(ps, 1e-6) / greatest(qs, 1e-6))), 6) AS psi
+FROM j
+""")
+def q_drift_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (the codec-style check of the north star): PSI
+    over category shares instead of numeric buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = categorical_histogram(
+        ev.filter(F.pmod("event_id", F.lit(3)) == 0), "event_type")
+    base = categorical_histogram(
+        ev.filter(F.pmod("event_id", F.lit(3)) != 0), "event_type")
+    return psi(cur, base, on=["category"]).select(
+        F.round("psi", 6).alias("psi"))
 
 
 @register("drift_ks", oracle=f"""
