@@ -12,7 +12,7 @@ Checks (north rule, BASELINE.json:6):
 - uniqueness   : exact duplicate clip_ids (salted two-phase)
 - referential  : clips ⟕̸ manifest (broadcast anti-join)
 - transcript   : equality vs manifest (per-row invariant)
-- drift        : sr_hz histogram PSI vs a baseline share table
+- drift        : sr_hz + dur_ms histogram PSI & binned KS vs a baseline share table
 - snr          : decoded-PCM SNR >= 30 dB (Arrow pandas stage)
 
 Resume: each check's partition verdicts land in the ledger; a re-run
@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .. import __version__
 from ..config.rules import RuleConfig
 from ..config import default_config
-from ..operators.drift import histogram, psi
+from ..operators.drift import histogram, ks_statistic, psi
 from ..operators.referential import orphans, transcript_mismatches
 from ..operators.snr import snr_check, snr_partition_rollup
 from ..operators.stats import column_stats
@@ -58,10 +58,15 @@ class SuiteConfig:
     max_null_rate: float = 0.05
     psi_yellow: float = 0.1
     psi_red: float = 0.25
+    ks_yellow: float = 0.1
+    ks_red: float = 0.25
     snr_threshold_db: float = 30.0
     drift_bins: int = 10
-    drift_lo: float = 0.0
-    drift_hi: float = 50000.0
+    #: columns drifted-checked (north star: sr_hz AND dur_ms) with their
+    #: fixed bucket ranges — shared by baseline and current so edges match
+    drift_cols: tuple[str, ...] = ("sr_hz", "dur_ms")
+    drift_ranges: dict = field(default_factory=lambda: {
+        "sr_hz": (0.0, 50000.0), "dur_ms": (0.0, 1000.0)})
 
 
 @dataclass
@@ -239,34 +244,52 @@ class ValidationSuite:
         )
         return verdicts, viols
 
-    def check_drift(self, clips: DataFrame, baseline_shares: DataFrame,
-                    col: str = "sr_hz") -> DataFrame:
+    def check_drift(self, clips: DataFrame, baseline_shares: DataFrame) -> DataFrame:
+        """PSI + binned KS per drift column (north star: sr_hz AND dur_ms)
+        against the baseline share table; verdict = worst of the two
+        gates, one row per (partition, column)."""
         c = self.cfg
-        cur = histogram(clips, col, c.drift_lo, c.drift_hi, c.drift_bins,
-                        [c.partition_col])
-        scores = psi(cur, baseline_shares, on=["bucket"],
-                     group_cols=[c.partition_col])
         per_part = clips.groupBy(
             F.col(c.partition_col).cast("string").alias("partition_id")
         ).agg(F.count(F.lit(1)).alias("n_rows"))
-        return per_part.join(
-            scores.select(F.col(c.partition_col).cast("string").alias("partition_id"),
-                          "psi"),
-            "partition_id", "left",
-        ).select(
-            "partition_id",
-            F.lit("drift").alias("check_name"),
-            F.when(F.col("psi") > c.psi_red, "RED")
-            .when(F.col("psi") > c.psi_yellow, "YELLOW")
-            .otherwise("GREEN").alias("verdict"),
-            "n_rows",
-            F.when(F.col("psi") <= c.psi_yellow, F.col("n_rows")).otherwise(0).alias("n_green"),
-            F.when((F.col("psi") > c.psi_yellow) & (F.col("psi") <= c.psi_red),
-                   F.col("n_rows")).otherwise(0).alias("n_yellow"),
-            F.when(F.col("psi") > c.psi_red, F.col("n_rows")).otherwise(0).alias("n_red"),
-            F.concat(F.lit('{"psi":'), F.round("psi", 6).cast("string"),
-                     F.lit("}")).alias("metrics_json"),
-        )
+        frames = []
+        for col in c.drift_cols:
+            lo, hi = c.drift_ranges[col]
+            cur = histogram(clips, col, lo, hi, c.drift_bins,
+                            [c.partition_col])
+            base = baseline_shares.filter(F.col("col") == col).select(
+                "bucket", "share")
+            scores = psi(cur, base, on=["bucket"],
+                         group_cols=[c.partition_col]).join(
+                ks_statistic(cur, base, group_cols=[c.partition_col]),
+                c.partition_col)
+            drifted_red = (F.col("psi") > c.psi_red) | (F.col("ks") > c.ks_red)
+            drifted_yellow = ((F.col("psi") > c.psi_yellow)
+                              | (F.col("ks") > c.ks_yellow))
+            frames.append(per_part.join(
+                scores.select(
+                    F.col(c.partition_col).cast("string").alias("partition_id"),
+                    "psi", "ks"),
+                "partition_id", "left",
+            ).select(
+                "partition_id",
+                F.lit(f"drift_{col}").alias("check_name"),
+                F.when(drifted_red, "RED")
+                .when(drifted_yellow, "YELLOW")
+                .otherwise("GREEN").alias("verdict"),
+                "n_rows",
+                F.when(~drifted_yellow, F.col("n_rows")).otherwise(0).alias("n_green"),
+                F.when(drifted_yellow & ~drifted_red,
+                       F.col("n_rows")).otherwise(0).alias("n_yellow"),
+                F.when(drifted_red, F.col("n_rows")).otherwise(0).alias("n_red"),
+                F.concat(F.lit('{"psi":'), F.round("psi", 6).cast("string"),
+                         F.lit(',"ks":'), F.round("ks", 6).cast("string"),
+                         F.lit("}")).alias("metrics_json"),
+            ))
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
 
     def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
@@ -321,7 +344,7 @@ class ValidationSuite:
         if manifest is not None:
             active_checks += ["referential", "transcript"]
         if baseline_shares is not None:
-            active_checks.append("drift")
+            active_checks += [f"drift_{col}" for col in c.drift_cols]
 
         work = clips
         if ledger_path and resume:
@@ -397,8 +420,16 @@ class ValidationSuite:
                            cached=list(self._cache))
 
 
-def build_baseline_shares(clips: DataFrame, cfg: SuiteConfig,
-                          col: str = "sr_hz") -> DataFrame:
-    """Baseline histogram shares from a reference (un-drifted) population."""
-    return histogram(clips, col, cfg.drift_lo, cfg.drift_hi, cfg.drift_bins
-                     ).select("bucket", "share")
+def build_baseline_shares(clips: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Baseline histogram shares from a reference (un-drifted) population:
+    one (col, bucket, share) row per drift column and bucket."""
+    frames = []
+    for col in cfg.drift_cols:
+        lo, hi = cfg.drift_ranges[col]
+        frames.append(
+            histogram(clips, col, lo, hi, cfg.drift_bins)
+            .select(F.lit(col).alias("col"), "bucket", "share"))
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

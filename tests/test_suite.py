@@ -79,12 +79,18 @@ def test_drift_flags_only_drifted_codec(result):
     verdicts = {
         r["partition_id"]: r["verdict"]
         for r in result.partition_verdicts.filter(
-            F.col("check_name") == "drift").collect()
+            F.col("check_name") == "drift_sr_hz").collect()
     }
     assert verdicts["opus"] == "RED"        # planted sr_hz shift
     assert verdicts["pcm_s16le"] == "GREEN"
     assert verdicts["flac"] == "GREEN"
     assert verdicts["mp3"] == "GREEN"
+    # dur_ms has no planted drift: every partition GREEN, metrics carry ks
+    dur = result.partition_verdicts.filter(
+        F.col("check_name") == "drift_dur_ms").collect()
+    assert len(dur) == 4
+    assert all(r["verdict"] == "GREEN" for r in dur)
+    assert all('"ks":' in r["metrics_json"] for r in dur)
 
 
 def test_stats_green_low_null_rate(result):
@@ -96,8 +102,8 @@ def test_stats_green_low_null_rate(result):
 
 def test_partition_verdicts_shape(result):
     pv = result.partition_verdicts
-    # 6 checks x 4 codec partitions
-    assert pv.count() == 24
+    # 7 checks (incl. drift_sr_hz + drift_dur_ms) x 4 codec partitions
+    assert pv.count() == 28
     assert pv.filter(F.col("n_rows") <= 0).count() == 0
 
 
