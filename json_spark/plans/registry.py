@@ -982,6 +982,74 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("audio_header_integrity", oracle=f"""
+WITH ids AS (SELECT i FROM range(0, {_SNR_N}) t(i)),
+base AS (
+  SELECT i,
+         'clip-' || lpad(CAST(CASE WHEN i % 1000 = 999 AND i > 0
+                                   THEN i - 1 ELSE i END AS VARCHAR),
+                         12, '0') AS clip_id
+  FROM ids),
+seeded AS (
+  -- zlib.crc32(clip_id): IEEE CRC-32 as a byte fold (init 0xFFFFFFFF,
+  -- reflected poly 0xEDB88320, final xor) — bit-identical to the seed
+  -- the fixture generator derives on the Spark side
+  SELECT i, clip_id,
+    xor(list_reduce(
+      list_prepend(4294967295,
+        [CAST(ascii(substring(clip_id, j, 1)) AS BIGINT)
+         for j in generate_series(1, length(clip_id))]),
+      (acc, b) -> list_reduce(
+        list_prepend(xor(acc, b), [0, 0, 0, 0, 0, 0, 0, 0]),
+        (x, y) -> xor(x >> 1,
+                      CASE WHEN x & 1 = 1 THEN 3988292384 ELSE 0 END))),
+      4294967295) AS seed
+  FROM base),
+rows_ AS (
+  SELECT i, seed,
+    CASE WHEN (seed % 10000) / 10000.0 < 0.70 THEN 'pcm_s16le'
+         WHEN (seed % 10000) / 10000.0 < 0.70 + 0.14 THEN 'flac'
+         WHEN (seed % 10000) / 10000.0 < 0.70 + 0.14 + 0.10 THEN 'opus'
+         ELSE 'mp3' END AS codec
+  FROM seeded),
+full_ AS (
+  SELECT i, seed, codec,
+    CASE WHEN codec = 'opus'
+         THEN CASE WHEN seed % 2 = 0 THEN 44100 ELSE 48000 END
+         ELSE CASE seed % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                   ELSE 48000 END END AS sr_hz,
+    CASE WHEN i % 101 = 100 THEN NULL ELSE 50 + seed % 151 END AS dur_ms
+  FROM rows_),
+sized AS (
+  SELECT codec, dur_ms,
+         2 * greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                         // 1000) AS data_bytes
+  FROM full_)
+SELECT codec,
+       count(*) AS n_clips,
+       count(*) AS n_riff_ok,
+       count(*) AS n_sr_match,
+       count(*) AS n_len_match,
+       count(*) FILTER (WHERE dur_ms IS NULL) AS n_null_dur,
+       CAST(sum(data_bytes) AS BIGINT) AS sum_payload_bytes
+FROM sized GROUP BY codec
+""")
+def q_audio_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-level audio integrity, zero Python: RIFF magic, declared
+    sample rate vs metadata, declared PCM length vs sr_hz×dur_ms — parsed
+    from the binary column with pure Column expressions (hex/conv byte
+    surgery). The oracle never reads a byte: it re-derives every clip's
+    codec, sample rate, duration and payload size in closed form from the
+    generator contract (CRC-32 computed as a SQL fold), so a match proves
+    the Spark-side binary parse extracts exactly what the generator wrote.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import wav_header_integrity
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return wav_header_integrity(clips, ["codec"])
+
+
 @register("multimodal_frame_sample")
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.gen import generate_clips
