@@ -194,6 +194,52 @@ def frame_sample(clips: DataFrame, frame_ms: int = 25,
         frames, FRAME_SAMPLE_SCHEMA)
 
 
+DOMINANT_FREQ_SCHEMA = (
+    "clip_id string, codec string, dominant_hz double, bin_hz double"
+)
+
+
+def dominant_freq(clips: DataFrame) -> DataFrame:
+    """Per-clip dominant frequency via rFFT argmax (DC bin excluded) —
+    the audio-content invariant: a synth/TTS corpus can be validated
+    against the pitch its generator contract implies. Vectorized numpy
+    per clip inside a map-only Arrow stage; emits the bin width so
+    callers can form a resolution-aware tolerance. Undecodable payloads
+    yield null ``dominant_hz``.
+    """
+
+    def freqs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            payloads = batch.column("bytes")
+            dom, binw = [], []
+            for j in range(batch.num_rows):
+                try:
+                    sig, sr = decode_wav_pcm16(
+                        memoryview(payloads[j].as_buffer()))
+                except (ValueError, struct.error):
+                    dom.append(None)
+                    binw.append(None)
+                    continue
+                n = len(sig)
+                if n < 2:
+                    dom.append(None)
+                    binw.append(None)
+                    continue
+                spec = np.abs(np.fft.rfft(sig.astype(np.float64)))
+                k = int(np.argmax(spec[1:])) + 1
+                dom.append(k * sr / n)
+                binw.append(sr / n)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(dom, pa.float64()), pa.array(binw, pa.float64())],
+                ["clip_id", "codec", "dominant_hz", "bin_hz"])
+
+    return clips.select("clip_id", "codec", "bytes").mapInArrow(
+        freqs, DOMINANT_FREQ_SCHEMA)
+
+
 def le32(bytes_col: Column, pos: int) -> Column:
     """Little-endian uint32 read from a binary column at 1-based ``pos``.
 

@@ -982,8 +982,12 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("audio_header_integrity", oracle=f"""
-WITH ids AS (SELECT i FROM range(0, {_SNR_N}) t(i)),
+# Closed-form twin of fixtures/gen.py over range(n): every clip's seed,
+# codec, sample rate, and duration derived WITHOUT reading a byte —
+# zlib.crc32(clip_id) (IEEE CRC-32: init 0xFFFFFFFF, reflected poly
+# 0xEDB88320, final xor) computed as a pure SQL byte fold.
+_CLIPS_CLOSED_FORM_CTE = f"""
+ids AS (SELECT i FROM range(0, {_SNR_N}) t(i)),
 base AS (
   SELECT i,
          'clip-' || lpad(CAST(CASE WHEN i % 1000 = 999 AND i > 0
@@ -991,9 +995,6 @@ base AS (
                          12, '0') AS clip_id
   FROM ids),
 seeded AS (
-  -- zlib.crc32(clip_id): IEEE CRC-32 as a byte fold (init 0xFFFFFFFF,
-  -- reflected poly 0xEDB88320, final xor) — bit-identical to the seed
-  -- the fixture generator derives on the Spark side
   SELECT i, clip_id,
     xor(list_reduce(
       list_prepend(4294967295,
@@ -1020,7 +1021,11 @@ full_ AS (
                    WHEN 2 THEN 22050 WHEN 3 THEN 44100
                    ELSE 48000 END END AS sr_hz,
     CASE WHEN i % 101 = 100 THEN NULL ELSE 50 + seed % 151 END AS dur_ms
-  FROM rows_),
+  FROM rows_)"""
+
+
+@register("audio_header_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
 sized AS (
   SELECT codec, dur_ms,
          2 * greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
@@ -1048,6 +1053,39 @@ def q_audio_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import wav_header_integrity
     clips = generate_clips(spark, _SNR_N, partitions=8)
     return wav_header_integrity(clips, ["codec"])
+
+
+@register("audio_dominant_freq", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       count(*) AS n_clips,
+       count(*) AS n_f0_match,
+       CAST(sum(100 + seed % 997) AS BIGINT) AS sum_f0_pred
+FROM full_ GROUP BY codec
+""")
+def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-content invariant: the rFFT-dominant frequency of every clip
+    must sit within one FFT bin of the pitch its generator contract
+    implies (f0 = 100 + crc32(clip_id) % 997 — Spark's native crc32 IS
+    zlib.crc32). Validated sample-level in the Arrow stage; the oracle
+    asserts full match plus the exact per-codec sum of predicted pitches
+    via the same CRC-32 SQL fold, never decoding audio.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import dominant_freq
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    f0_pred = (F.lit(100) +
+               F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(997)))
+    return dominant_freq(clips).select(
+        "codec",
+        f0_pred.cast("long").alias("f0_pred"),
+        (F.abs(F.col("dominant_hz") - f0_pred) <= F.col("bin_hz"))
+        .alias("f0_match"),
+    ).groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("f0_match").cast("long")).alias("n_f0_match"),
+        F.sum("f0_pred").alias("sum_f0_pred"),
+    )
 
 
 @register("multimodal_frame_sample")

@@ -232,6 +232,19 @@ def test_wav_header_integrity_matches_arrow_meta(spark):
         assert c["data_bytes"] == 2 * m["n_samples"]
 
 
+def test_dominant_freq_pure_tone_and_undecodable(spark):
+    sr, n = 8000, 8000                             # 1s → 1 Hz bins
+    t = np.arange(n) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    rows = [("tone", "pcm_s16le", bytearray(pcm16_wav_bytes(tone, sr))),
+            ("junk", "opus", bytearray(b"not-audio"))]
+    df = spark.createDataFrame(rows, "clip_id string, codec string, bytes binary")
+    got = {r["clip_id"]: r for r in multimodal.dominant_freq(df).collect()}
+    assert got["tone"]["dominant_hz"] == 440.0     # exact bin hit at 1 Hz res
+    assert got["tone"]["bin_hz"] == 1.0
+    assert got["junk"]["dominant_hz"] is None
+
+
 def test_decode_external_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_external(b"\x00\x01", "opus")
