@@ -115,6 +115,21 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 2),
     ],
+    "audio_header_integrity": [
+        # generate_clips is itself a Python source stage (fixture synthesis);
+        # the CHECK on top of it must add no further Python — header fields
+        # come from hex/conv byte surgery inside codegen
+        # count in the plan tree only (the formatted detail section repeats
+        # every node name a second time)
+        ("exactly one Python stage (the fixture source)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 1),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
 }
 
 
