@@ -25,6 +25,7 @@ from json_spark.plans.registry import QUERIES  # noqa: E402
 #: scans its fact table
 HEADLINE = [
     "stats_lineitem",
+    "stats_cube",
     "stats_quantiles",
     "uniqueness_summary",
     "duplicate_keys",

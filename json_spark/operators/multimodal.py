@@ -272,6 +272,29 @@ def wav_header_columns(bytes_col: Column) -> dict[str, Column]:
     }
 
 
+def wav_header_verdicts() -> dict[str, Column]:
+    """Audio header checks as GREEN/YELLOW/RED verdict Columns, shaped for
+    ``streaming_row_verdicts``/``streaming_windowed_verdicts`` (and equally
+    valid on a batch frame — Spark's batch/streaming unification).
+
+    - ``bytes``: RED when the RIFF/WAVE magic is missing or the payload is
+      truncated relative to its own data-chunk declaration; GREEN otherwise.
+    - ``sr_hz``: YELLOW when the container is sound but the header's sample
+      rate contradicts the metadata column (recoverable by trusting the
+      header — the d3rty tolerance model applied to binary media); RED when
+      the header is unreadable; GREEN on agreement.
+    """
+    hdr = wav_header_columns(F.col("bytes"))
+    container_ok = (hdr["riff_ok"]
+                    & (F.length("bytes") == 44 + hdr["data_bytes"]))
+    return {
+        "bytes": F.when(container_ok, "GREEN").otherwise("RED"),
+        "sr_hz": F.when(~hdr["riff_ok"], "RED")
+        .when(hdr["hdr_sr_hz"] == F.col("sr_hz"), "GREEN")
+        .otherwise("YELLOW"),
+    }
+
+
 def wav_header_integrity(clips: DataFrame,
                          group_cols: list[str] | None = None) -> DataFrame:
     """Per-group header-vs-metadata consistency over the binary column:

@@ -86,6 +86,33 @@ def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stats_cube", oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def q_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (SURVEY §2.4): per-codec-style AND global
+    stats in ONE scan via cube — Spark expands the grouping sets inside a
+    single partial+final aggregate instead of a scan per granularity.
+    TPC-H columns are never null, so coalesce('ALL') is an unambiguous
+    roll-up marker.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n_rows", "sum_qty", "avg_price",
+    )
+
+
 @register("stats_quantiles", oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

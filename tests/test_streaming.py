@@ -131,6 +131,55 @@ def test_streaming_same_rules_as_batch(spark):
     assert verdicts == ["GREEN", "YELLOW", "GREEN", "RED", "YELLOW"]
 
 
+def test_streaming_audio_header_verdicts(spark, tmp_path):
+    """Binary-column validation on a stream: the pure-Column WAV header
+    checks run unchanged as streaming rules — clips validated as they
+    land, no Python stage in the streaming plan."""
+    import numpy as np
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.multimodal import wav_header_verdicts
+
+    good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)
+    sr_lie = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 16000)
+    truncated = good[:144]                       # header claims 1600 bytes
+    schema = "ts timestamp, codec string, bytes binary, sr_hz int"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, codec string, bytes binary, sr_hz int"
+        ).select(F.to_timestamp("ts").alias("ts"), "codec", "bytes", "sr_hz"
+                 ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_windowed_verdicts(
+            stream, wav_header_verdicts(), event_time_col="ts",
+            window_duration="1 minute", watermark="2 minutes",
+            partition_cols=["codec"])
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    src, sink, chk = (str(tmp_path / d) for d in ("asrc", "asink", "achk"))
+    write([("2026-01-01 00:00:05", "wav", bytearray(good), 8000),
+           ("2026-01-01 00:00:15", "wav", bytearray(sr_lie), 8000),
+           ("2026-01-01 00:00:25", "wav", bytearray(truncated), 8000)])
+    run()
+    write([("2026-01-01 00:02:30", "wav", bytearray(good), 8000)])
+    run()
+    write([("2026-01-01 00:04:00", "wav", bytearray(good), 8000)])
+    run()
+    rows = {r["window_start"].strftime("%H:%M"): r
+            for r in spark.read.parquet(sink).collect()}
+    w0 = rows["00:00"]
+    assert w0["n_rows"] == 3
+    assert w0["n_green"] == 1                    # good clip
+    assert w0["n_yellow"] == 1                   # sample-rate lie: recoverable
+    assert w0["n_red"] == 1                      # truncated payload
+    assert w0["verdict"] == "RED"
+
+
 def test_streaming_first_seen_dedup(spark, tmp_path):
     """Stateful streaming dedup (applyInPandasWithState): the first
     occurrence of each key is emitted exactly once; duplicates inside one
