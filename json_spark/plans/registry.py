@@ -1115,6 +1115,85 @@ def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("violation_samples", oracle=f"""
+WITH r AS (
+  SELECT event_type, event_id, {_DIRTY_NUMBER_RAW_SQL} AS raw FROM events),
+red AS (
+  SELECT event_type, event_id, raw FROM r
+  WHERE raw IS NOT NULL
+    AND NOT regexp_matches(replace(replace(trim(raw), ' ', ''), ',', ''),
+                           '^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$')
+    AND lower(trim(raw)) NOT IN ('true', 'false')),
+ranked AS (
+  SELECT event_type, event_id, substring(raw, 1, 50) AS sample_raw,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM red)
+SELECT event_type, event_id, sample_raw, rn FROM ranked WHERE rn <= 2
+""")
+def q_violation_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k example rows per violating partition (SURVEY §2.9 window
+    usage): RED rows from the real coercion path, ranked by a
+    deterministic key inside each event_type, k=2, raw value truncated to
+    50 chars mirroring the reference's limitedStr (helpers.go:8-23). The
+    window shuffles only the filtered violation rows — at production
+    scale the RED subset is orders of magnitude smaller than the scan.
+    """
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    raw = _dirty_number_raw()
+    red = ev.select("event_type", "event_id", raw.alias("raw")).where(
+        coerce_number(F.col("raw"), CFG).verdict == "RED")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (red.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2)
+            .select("event_type", "event_id",
+                    F.substring("raw", 1, 50).alias("sample_raw"),
+                    F.col("rn").cast("long").alias("rn")))
+
+
+@register("transcript_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+flags AS (
+  SELECT codec,
+         CASE WHEN i % 1000 = 999 AND i > 0 THEN i - 1 ELSE i END AS base_i
+  FROM full_),
+marked AS (
+  SELECT codec,
+         (base_i % 991 = 990) AS is_orphan,
+         (base_i % 991 <> 990 AND base_i % 983 = 982) AS is_mismatch
+  FROM flags)
+SELECT codec,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE is_orphan) AS n_orphan,
+       count(*) FILTER (WHERE is_mismatch) AS n_mismatch,
+       count(*) FILTER (WHERE NOT is_orphan AND NOT is_mismatch) AS n_ok
+FROM marked GROUP BY codec
+""")
+def q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential + transcript-equality over the audio fixture: clips
+    left-join the manifest (broadcast — the dim side is the small one),
+    orphans are manifest misses, mismatches are real string inequality on
+    the joined transcripts. The oracle never builds either table: planted
+    orphan/mismatch positions are pure row-id arithmetic, and codec comes
+    from the CRC-32 fold — so the join results are verified against an
+    implementation that cannot share a bug with the join.
+    """
+    from ..fixtures.gen import generate_clips, generate_manifest
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    manifest = generate_manifest(spark, _SNR_N, partitions=4).select(
+        "clip_id", F.col("transcript").alias("m_transcript"))
+    joined = clips.select("clip_id", "codec", "transcript").join(
+        F.broadcast(manifest), "clip_id", "left")
+    orphan = F.col("m_transcript").isNull()
+    mismatch = ~orphan & (F.col("transcript") != F.col("m_transcript"))
+    return joined.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(orphan.cast("long")).alias("n_orphan"),
+        F.sum(mismatch.cast("long")).alias("n_mismatch"),
+        F.sum((~orphan & ~mismatch).cast("long")).alias("n_ok"),
+    )
+
+
 @register("multimodal_frame_sample")
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.gen import generate_clips
