@@ -291,6 +291,71 @@ class ValidationSuite:
             out = out.unionByName(fdf)
         return out
 
+    def check_header(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Container-header integrity on the binary column, zero Python:
+        RED = broken/truncated container (RIFF magic missing or payload
+        shorter than its own data-chunk declaration), YELLOW = container
+        sound but the header sample rate contradicts the ``sr_hz`` metadata
+        column (recoverable by trusting the header — the d3rty tolerance
+        model applied to media), GREEN otherwise. Map-only over the scan;
+        ``bytes`` never shuffles (only the scalar verdict columns do)."""
+        from ..operators.multimodal import wav_header_columns
+        c = self.cfg
+        hdr = wav_header_columns(F.col("bytes"))
+        container_ok = (hdr["riff_ok"]
+                        & (F.length("bytes") == 44 + hdr["data_bytes"]))
+        sr_ok = hdr["hdr_sr_hz"] == F.col("sr_hz")
+        per_clip = self._p(clips.select(
+            F.col(c.key_col).alias("clip_id"),
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            F.when(~container_ok, "RED")
+            .when(~sr_ok, "YELLOW").otherwise("GREEN").alias("verdict"),
+            hdr["hdr_sr_hz"].alias("hdr_sr_hz"),
+            F.col("sr_hz"),
+        ).filter(F.col("verdict") != "GREEN"))
+        per_part = clips.groupBy(
+            F.col(c.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        bad = per_clip.groupBy("partition_id").agg(
+            F.sum((F.col("verdict") == "RED").cast("long")).alias("n_red"),
+            F.sum((F.col("verdict") == "YELLOW").cast("long")).alias("n_yellow"),
+        )
+        verdicts = per_part.join(bad, "partition_id", "left").fillna(
+            {"n_red": 0, "n_yellow": 0}
+        ).select(
+            "partition_id",
+            F.lit("header").alias("check_name"),
+            F.when(F.col("n_red") > 0, "RED")
+            .when(F.col("n_yellow") > 0, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_red") - F.col("n_yellow"))
+            .alias("n_green"),
+            F.col("n_yellow").cast("long").alias("n_yellow"),
+            F.col("n_red").cast("long").alias("n_red"),
+            F.concat(F.lit('{"n_bad_container":'),
+                     F.col("n_red").cast("string"),
+                     F.lit(',"n_sr_mismatch":'),
+                     F.col("n_yellow").cast("string"),
+                     F.lit("}")).alias("metrics_json"),
+        )
+        viols = per_clip.select(
+            "clip_id",
+            "partition_id",
+            F.lit("header").alias("check_name"),
+            F.when(F.col("verdict") == "RED",
+                   "broken or truncated container")
+            .otherwise("header sample rate contradicts metadata")
+            .alias("reason"),
+            F.substring(F.concat(
+                F.lit("hdr_sr="),
+                F.coalesce(F.col("hdr_sr_hz").cast("string"), F.lit("?")),
+                F.lit(" meta_sr="),
+                F.coalesce(F.col("sr_hz").cast("string"), F.lit("?"))),
+                1, 50).alias("offending_value_trunc50"),
+        )
+        return verdicts, viols
+
     def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
         snr = self._p(
@@ -340,7 +405,7 @@ class ValidationSuite:
         verdict_frames: list[DataFrame] = []
         violation_frames: list[DataFrame] = []
 
-        active_checks = ["stats", "uniqueness", "snr"]
+        active_checks = ["stats", "uniqueness", "header", "snr"]
         if manifest is not None:
             active_checks += ["referential", "transcript"]
         if baseline_shares is not None:
@@ -390,6 +455,9 @@ class ValidationSuite:
             violation_frames.append(tviol)
         if baseline_shares is not None:
             verdict_frames.append(self.check_drift(work, baseline_shares))
+        hv, hviol = self.check_header(work)
+        verdict_frames.append(hv)
+        violation_frames.append(hviol)
         sv, sviol = self.check_snr(work)
         verdict_frames.append(sv)
         violation_frames.append(sviol)

@@ -34,11 +34,11 @@ def test_cli_run_and_resume(spark, tmp_path):
               "--ledger", str(tmp_path / "ledger"),
               "--cores", "4"]
     first = _cli([*common, "--out", str(tmp_path / "out1")])
-    assert first["n_partition_checks"] == 28       # 4 codecs x 7 checks
+    assert first["n_partition_checks"] == 32       # 4 codecs x 8 checks
     assert first["n_violations"] > 0               # planted defects surface
 
     resumed = _cli([*common, "--out", str(tmp_path / "out2")])
     assert resumed["n_partition_checks"] == 0      # ledger marked all DONE
 
     rerun = _cli([*common, "--out", str(tmp_path / "out3"), "--no-resume"])
-    assert rerun["n_partition_checks"] == 28       # --no-resume reprocesses
+    assert rerun["n_partition_checks"] == 32       # --no-resume reprocesses

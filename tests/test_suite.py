@@ -102,9 +102,39 @@ def test_stats_green_low_null_rate(result):
 
 def test_partition_verdicts_shape(result):
     pv = result.partition_verdicts
-    # 7 checks (incl. drift_sr_hz + drift_dur_ms) x 4 codec partitions
-    assert pv.count() == 28
+    # 8 checks (incl. drift_sr_hz + drift_dur_ms + header) x 4 codec partitions
+    assert pv.count() == 32
     assert pv.filter(F.col("n_rows") <= 0).count() == 0
+
+
+def test_header_check_green_on_fixture(result):
+    # fixture WAVs are canonical: container + sample rate always consistent
+    hdr = result.partition_verdicts.filter(
+        F.col("check_name") == "header").collect()
+    assert len(hdr) == 4
+    assert all(r["verdict"] == "GREEN" for r in hdr)
+    assert all(r["n_red"] == 0 and r["n_yellow"] == 0 for r in hdr)
+
+
+def test_header_check_flags_planted_defects(spark):
+    import numpy as np
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)
+    sr_lie = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 16000)
+    rows = [("ok", bytearray(good), 8000, 100, "wav", "t"),
+            ("cut", bytearray(good[:100]), 8000, 100, "wav", "t"),
+            ("lie", bytearray(sr_lie), 8000, 100, "wav", "t")]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    verdicts, viols = ValidationSuite(SuiteConfig()).check_header(clips)
+    v = verdicts.collect()[0]
+    assert v["verdict"] == "RED"               # worst-of: truncated clip
+    assert v["n_red"] == 1 and v["n_yellow"] == 1 and v["n_green"] == 1
+    got = {r["clip_id"]: r for r in viols.collect()}
+    assert set(got) == {"cut", "lie"}
+    assert "container" in got["cut"]["reason"]
+    assert got["lie"]["offending_value_trunc50"] == "hdr_sr=16000 meta_sr=8000"
 
 
 def test_ledger_resume(spark, fixture_dir, tmp_path):
