@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "embedded_decode",
     "key_style_stats",
+    "event_sessions",
     "ann_cosine_topk",
     "ann_ivf_topk",
 ]

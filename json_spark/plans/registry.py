@@ -1115,6 +1115,60 @@ def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("event_sessions", oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT user_id, us, event_id,
+    CASE WHEN lag(us) OVER w IS NULL
+         OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, us,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM l),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         (max(us) - min(us)) // 1000000 AS dur_s
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(max(dur_s) AS BIGINT) AS max_session_dur_s
+FROM per_sess GROUP BY user_id
+""")
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h inactivity threshold) via the
+    classic lag → flag → running-sum window chain, entirely JVM-side.
+    Timestamps are reduced to integer micros against an NTZ epoch literal
+    (``timestampdiff`` ≡ DuckDB ``epoch_us``) so every comparison is
+    exact integer arithmetic — session-timezone-proof by construction.
+    Scale shape: one shuffle on user_id serves both windows and both
+    aggregations (same partitioning reused across stages).
+    """
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    e = ev.select("user_id", "event_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    new_s = F.when(
+        lag_us.isNull() | (F.col("us") - lag_us > 12 * 3600 * 1000000),
+        1).otherwise(0)
+    s = e.withColumn("sess_id", F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_sess = s.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("us") - F.min("us")) / F.lit(1000000)).alias("dur_s"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur_s").alias("max_session_dur_s"))
+
+
 @register("violation_samples", oracle=f"""
 WITH r AS (
   SELECT event_type, event_id, {_DIRTY_NUMBER_RAW_SQL} AS raw FROM events),

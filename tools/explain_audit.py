@@ -115,6 +115,19 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 2),
     ],
+    "event_sessions": [
+        ("single exchange: one user_id shuffle serves both windows and "
+         "both aggregations", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("one sort shared by both window operators", True,
+         lambda p: len(re.findall(r"\bSort\b",
+                                  p.split("\n\n")[0])) == 1),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to user_id, event_id, ts", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 3),
+    ],
     "audio_header_integrity": [
         # generate_clips is itself a Python source stage (fixture synthesis);
         # the CHECK on top of it must add no further Python — header fields
