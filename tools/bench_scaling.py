@@ -81,6 +81,40 @@ def run_setup(n_clips: int) -> dict:
     return {"setup_seconds": round(elapsed, 3), "n_clips": n_clips}
 
 
+def _host_busy_frac(sample_s: float = 1.5) -> float:
+    """Fraction of total host CPU time spent non-idle over a short
+    sample, from /proc/stat. Called while this process is idle (between
+    attempts), so it measures CO-TENANT load — the hypervisor noise that
+    `steal%` hides (reads 0 here) but that swings identical Spark runs
+    12s→50s."""
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return idle, sum(vals)
+    i0, t0 = snap()
+    time.sleep(sample_s)
+    i1, t1 = snap()
+    total = max(1, t1 - t0)
+    return 1.0 - (i1 - i0) / total
+
+
+def _wait_quiet(busy_thresh: float = 0.12, max_wait_s: float = 900.0) -> float:
+    """Block (untimed) until the host looks quiet, then return the
+    observed pre-attempt busy fraction. Gating on a PRE-declared load
+    criterion before STARTING an attempt — never on the attempt's result
+    — keeps the protocol honest on an oversubscribed shared host: it is
+    the timing-farm equivalent of not benchmarking while someone else
+    compiles on the box."""
+    deadline = time.time() + max_wait_s
+    while True:
+        busy = _host_busy_frac()
+        if busy <= busy_thresh or time.time() > deadline:
+            return busy
+        time.sleep(15.0)
+
+
 def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
     from pyspark.sql import functions as F
 
@@ -98,7 +132,9 @@ def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
     manifest.select(F.count(F.lit(1))).collect()
     cfg = SuiteConfig()
     attempts = []
+    busy_at_start = []
     for _ in range(max(runs, 1)):
+        busy_at_start.append(round(_wait_quiet(), 3))
         t0 = time.perf_counter()
         baseline = build_baseline_shares(
             clips.filter(F.col("codec") != "opus"), cfg)
@@ -115,6 +151,7 @@ def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
         "n_clips": n_clips,
         "seconds": elapsed,
         "attempts": attempts,
+        "busy_at_start": busy_at_start,
         "clips_per_sec": round(n_clips / elapsed, 1),
         "n_verdicts": n_verdicts,
         "n_violations": n_violations,
@@ -148,6 +185,9 @@ def main() -> None:
                     default="parent")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
+    ap.add_argument("--interleave", action="store_true",
+                    help="alternate levels attempt-by-attempt so both "
+                         "sample the same host-noise window")
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--skip-setup", action="store_true",
                     help="reuse an existing DATA_DIR fixture (implies --keep-data)")
@@ -167,8 +207,31 @@ def main() -> None:
         setup = _in_subprocess("setup", 32, args.n_clips)
     results: dict[str, dict] = {}
     try:
-        for cores in levels:
-            results[str(cores)] = _in_subprocess("measure", cores, args.n_clips, args.runs)
+        if args.interleave:
+            # Host CPU noise arrives in multi-minute bursts; running all
+            # of one level's attempts, then all of the other's, lets one
+            # level sample a quiet window and the other a busy one —
+            # which under best-of-N BIASES the efficiency either way.
+            # Interleaving alternates levels attempt-by-attempt (fresh
+            # JVM each, startup untimed) so both levels draw from the
+            # same noise distribution; the per-level best-of-N reduction
+            # is unchanged.
+            for i in range(max(args.runs, 1)):
+                for cores in levels:
+                    r = _in_subprocess("measure", cores, args.n_clips, 1)
+                    prev = results.get(str(cores))
+                    if prev is None:
+                        results[str(cores)] = r
+                    else:
+                        prev["attempts"] += r["attempts"]
+                        prev["busy_at_start"] += r.get("busy_at_start", [])
+                        if r["seconds"] < prev["seconds"]:
+                            prev.update({k: r[k] for k in
+                                         ("seconds", "clips_per_sec")})
+        else:
+            for cores in levels:
+                results[str(cores)] = _in_subprocess(
+                    "measure", cores, args.n_clips, args.runs)
     finally:
         if not args.keep_data and not args.skip_setup:
             shutil.rmtree(DATA_DIR, ignore_errors=True)
@@ -198,12 +261,33 @@ def main() -> None:
             "+ drift + PCM-SNR checks; verdicts and violation rows "
             "materialized) at two parallelism levels, fresh JVM each — the "
             "sandbox proxy for N vs 4N executors.\n\n"
-            "| level | clips | seconds | clips/sec |\n|---|---|---|---|\n"
+            "| level | clips | seconds | clips/sec | all attempts (s) |\n"
+            "|---|---|---|---|---|\n"
         )
         for cores in levels:
             r = results[str(cores)]
+            att = ", ".join(f"{a:.1f}" for a in r["attempts"])
             f.write(f"| local[{cores}] | {r['n_clips']} | {r['seconds']} "
-                    f"| {r['clips_per_sec']} |\n")
+                    f"| {r['clips_per_sec']} | {att} |\n")
+        if args.interleave:
+            f.write(
+                "\nAttempts alternate levels in time (fresh JVM each, "
+                "startup untimed) so both levels sample the same "
+                "host-noise window; reduction is best-of-attempts per "
+                "level — the same control for co-tenant CPU bursts the "
+                "single-level protocol used.\n")
+        f.write(
+            "\nEach timed attempt starts only once a 1.5s /proc/stat "
+            "sample (taken while this job is idle) shows the shared "
+            "host ≤12% busy — a pre-declared launch gate against the "
+            "hypervisor's co-tenant CPU bursts, never a filter on "
+            "results. Observed pre-attempt busy fractions: "
+            + "; ".join(
+                f"local[{c}]: "
+                + ", ".join(f"{b:.0%}"
+                            for b in results[str(c)].get("busy_at_start", []))
+                for c in levels)
+            + ".\n")
         f.write(
             f"\nscaling efficiency (local[{lo}] → local[{hi}], core ratio "
             f"{core_ratio:.0f}x): **{efficiency}** "
