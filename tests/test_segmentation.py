@@ -1,0 +1,97 @@
+"""Audio chunking + resampling: byte-exact reassembly, grid arithmetic,
+and pitch preservation through the resampler."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from json_spark.fixtures.gen import generate_clips
+from json_spark.fixtures.signal import (
+    clip_seed, pcm16_wav_bytes, reference_signal,
+)
+from json_spark.operators.segmentation import (
+    chunk_audio, resample_dominant_freq,
+)
+
+CHUNK_MS = 20
+
+
+def test_chunks_reassemble_byte_exact(spark):
+    # n=60 stays below the fixture's first planted duplicate (row 999),
+    # so clip_ids are unique and reassembly is 1:1
+    clips = generate_clips(spark, 60, partitions=4)
+    rows = chunk_audio(clips, chunk_ms=CHUNK_MS).collect()
+    originals = {r["clip_id"]: bytes(r["bytes"])
+                 for r in clips.select("clip_id", "bytes").collect()}
+    by_clip: dict[str, dict] = {}
+    for r in rows:
+        by_clip.setdefault(r["clip_id"], {})[r["chunk_idx"]] = r
+    assert set(by_clip) == set(originals)
+    for cid, parts in by_clip.items():
+        wav = originals[cid]
+        data_bytes = int.from_bytes(wav[40:44], "little")
+        order = sorted(parts)
+        assert order == list(range(len(order))), cid
+        joined = b"".join(bytes(parts[i]["chunk"]) for i in order)
+        assert joined == wav[44:44 + data_bytes], cid
+        # grid arithmetic: every chunk except the tail is exactly
+        # bytes_per_chunk long
+        bpc = parts[0]["bytes_per_chunk"]
+        lens = [parts[i]["chunk_len"] for i in order]
+        assert all(ln == bpc for ln in lens[:-1]), cid
+        assert 1 <= lens[-1] <= bpc, cid
+        assert sum(lens) == data_bytes, cid
+
+
+def test_chunk_counts_match_closed_form(spark):
+    clips = generate_clips(spark, 200, partitions=4)
+    got = {r["clip_id"]: r["n"] for r in
+           chunk_audio(clips, chunk_ms=CHUNK_MS)
+           .groupBy("clip_id").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    meta = clips.select("clip_id", "sr_hz", "dur_ms").collect()
+    expect: dict[str, int] = {}
+    for r in meta:
+        n_in = max(1, r["sr_hz"] * (r["dur_ms"] if r["dur_ms"] is not None
+                                    else 100) // 1000)
+        bpc = 2 * max(1, r["sr_hz"] * CHUNK_MS // 1000)
+        expect[r["clip_id"]] = expect.get(r["clip_id"], 0) + \
+            (2 * n_in + bpc - 1) // bpc
+    assert got == expect
+
+
+def test_resample_preserves_pitch_exhaustively(spark):
+    # n=1200 covers the planted corrupt rows (every 997th), a duplicate
+    # id (row 999) and null durations — the invariant must hold on all
+    clips = generate_clips(spark, 1200, partitions=4)
+    out = resample_dominant_freq(clips, target_sr=8000)
+    f0_pred = (F.lit(100) +
+               F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(997)))
+    checked = out.select(
+        "clip_id", "n_out",
+        (F.abs(F.col("dominant_hz") - f0_pred) <= F.col("bin_hz"))
+        .alias("match")).collect()
+    assert all(r["match"] for r in checked), \
+        [r["clip_id"] for r in checked if not r["match"]][:5]
+    # length contract is integer floor math
+    meta = {r["clip_id"]: r for r in
+            clips.select("clip_id", "sr_hz", "dur_ms").collect()}
+    for r in checked:
+        m = meta[r["clip_id"]]
+        n_in = max(1, m["sr_hz"] * (m["dur_ms"] if m["dur_ms"] is not None
+                                    else 100) // 1000)
+        assert r["n_out"] == n_in * 8000 // m["sr_hz"]
+
+
+def test_resample_identity_at_target_rate():
+    # pure-python sanity: 8 kHz in, 8 kHz out — interp grid is identity
+    sig = reference_signal("clip-x", 8000, 100)
+    wav = pcm16_wav_bytes(sig, 8000)
+    from json_spark.fixtures.signal import decode_wav_pcm16
+    dec, sr = decode_wav_pcm16(wav)
+    t = np.arange(len(dec), dtype=np.float64) / sr
+    y = np.interp(t, t, dec.astype(np.float64))
+    assert np.allclose(y, dec.astype(np.float64))
+    f0 = 100.0 + (clip_seed("clip-x") % 997)
+    spec = np.abs(np.fft.rfft(y))
+    k = int(np.argmax(spec[1:])) + 1
+    assert abs(k * sr / len(y) - f0) <= sr / len(y)
