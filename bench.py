@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "contamination_check",
     "embedded_decode",
     "key_style_stats",
     "event_sessions",

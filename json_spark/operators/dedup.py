@@ -7,7 +7,9 @@ DuckDB oracle in plans/registry.py:
 - exact dedup      : hash-groupBy on a content key (via
                      operators/uniqueness.py)
 - MinHash + LSH    : shingle → minhash signature → band-bucket self-join →
-                     exact-Jaccard verify of candidates
+                     exact-Jaccard verify of candidates; the same banding
+                     also powers :func:`minhash_lsh_join`, the CROSS-corpus
+                     variant (train/test contamination check)
 - SimHash          : 32-bit signature over distinct token hashes;
                      chunk-banding gives GUARANTEED recall for hamming <= 3
                      (pigeonhole: 4 chunks, <=3 differing bits ⇒ one equal)
@@ -227,6 +229,75 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def minhash_lsh_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN (train/test contamination check):
+    every pair (left doc, right doc) with shingle-Jaccard >= threshold.
+
+    The LLM-pipeline use case is leakage detection: ``left_df`` is the
+    training corpus, ``right_df`` the evaluation set; any hit means the
+    benchmark row is (nearly) contained in training data. Same scale
+    shape as :func:`minhash_lsh_pairs` — both sides map to banded
+    signature keys with IDENTICAL (a, b) params and seed, candidates come
+    from a key-equality join on (band, key) (never a cross join), each
+    side's degenerate buckets are capped independently before the join
+    can expand them, and the exact Jaccard verify touches O(candidates)
+    rows joined back to the raw texts. Returns (id_left, id_right,
+    jaccard) with exact precision; recall follows the same
+    (1 - j^r)^bands banding bound as the self-join.
+    """
+    r = num_hashes // bands
+    if r > 2:
+        raise ValueError("packed int64 band keys support r <= 2 "
+                         "(num_hashes/bands); use more bands")
+    params = minhash_params(num_hashes)
+
+    def banded(df: DataFrame) -> DataFrame:
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), n).alias("__sh"))
+        hashed = base.select(
+            "__id",
+            F.array_distinct(F.transform(
+                F.col("__sh"),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P))))
+            .alias("__shh"))
+        sig = hashed.mapInArrow(
+            _minhash_band_stage(params, bands, r),
+            "__id long, __band int, __key long")
+        return sig.withColumn(
+            "__bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("__band", "__key")),
+        ).filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n")
+
+    lb = banded(left_df).select(F.col("__id").alias("id_left"),
+                                "__band", "__key")
+    rb = banded(right_df).select(F.col("__id").alias("id_right"),
+                                 "__band", "__key")
+    cand = (lb.join(rb, ["__band", "__key"])
+            .select("id_left", "id_right").distinct())
+    lt = left_df.select(F.col(id_col).alias("id_left"),
+                        F.col(text_col).alias("__t_l"))
+    rt = right_df.select(F.col(id_col).alias("id_right"),
+                         F.col(text_col).alias("__t_r"))
+    return (
+        cand.join(lt, "id_left").join(rt, "id_right")
+        .select("id_left", "id_right",
+                jaccard(shingles(F.col("__t_l"), n),
+                        shingles(F.col("__t_r"), n)).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def verify_pairs_jaccard_exhaustive(df: DataFrame, id_col: str, text_col: str,

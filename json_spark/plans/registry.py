@@ -605,6 +605,7 @@ from ..operators.dedup import (          # noqa: E402
     embedding_lsh_pairs,
     embedding_near_dups,
     jaccard,
+    minhash_lsh_join,
     minhash_lsh_pairs,
     shingles,
     simhash_pairs,
@@ -775,6 +776,56 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3,
                               num_hashes=32, bands=16, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_TEST_SHINGLE3_SQL = """
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM test_docs)
+"""
+
+
+@register("contamination_check", oracle=f"""
+WITH test_docs AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 5),
+tr AS ({_SHINGLE3_SQL}),
+te AS ({_TEST_SHINGLE3_SQL})
+SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM tr a JOIN te b
+  ON len(list_intersect(a.sh, b.sh))::DOUBLE
+     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""")
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: cross-corpus near-dup JOIN
+    (operators/dedup.py:minhash_lsh_join). The synthetic eval set is
+    derived deterministically in BOTH engines — every 10th doc leaked
+    verbatim (id+100000) plus every (10k+5)-th doc token-REVERSED
+    (id+200000, a non-leaked control whose 3-gram shingles share nothing
+    with the source unless the doc is shorter than 3 tokens). The oracle
+    runs the exhaustive exact cross Jaccard; the Spark plan is banded-LSH
+    candidates (key-equality join, never a cross join) + exact verify.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    test = d.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter(F.pmod("doc_id", F.lit(10)) == 5).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text")))
+    pairs = minhash_lsh_join(d, test, "doc_id", "text", n=3,
+                             num_hashes=32, bands=16, threshold=0.5)
+    return pairs.select(F.col("id_left").alias("train_id"),
+                        F.col("id_right").alias("test_id"),
+                        F.round("jaccard", 6).alias("jaccard"))
 
 
 @register("dedup_simhash", oracle="""
@@ -1112,6 +1163,84 @@ def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.col("f0_match").cast("long")).alias("n_f0_match"),
         F.sum("f0_pred").alias("sum_f0_pred"),
+    )
+
+
+@register("audio_chunks", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+grid AS (
+  SELECT codec,
+         2 * greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                         // 1000) AS data_bytes,
+         2 * greatest(1, (CAST(sr_hz AS BIGINT) * 20) // 1000) AS bpc
+  FROM full_)
+SELECT codec,
+       CAST(sum((data_bytes + bpc - 1) // bpc) AS BIGINT) AS n_chunks,
+       CAST(sum(data_bytes) AS BIGINT) AS sum_chunk_bytes,
+       CAST(sum(CASE WHEN data_bytes % bpc <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_short_tails,
+       CAST(max((data_bytes + bpc - 1) // bpc) AS BIGINT)
+           AS max_chunks_per_clip
+FROM grid GROUP BY codec
+""")
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-duration audio chunking (operators/segmentation.py:44): the
+    chunk grid is integer arithmetic on the container header, each chunk a
+    binary substring slice, fan-out a bounded explode(sequence) — map-only,
+    payload bytes never shuffle. The oracle re-derives the full grid per
+    clip from the generator contract (CRC-32 SQL fold) without reading a
+    byte: per-codec chunk count, total chunk bytes, short-tail count and
+    max per-clip chunk count must all match exactly — which pins both the
+    grid arithmetic and the byte-slicing (a wrong slice changes
+    sum_chunk_bytes).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.segmentation import chunk_audio
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    ch = chunk_audio(clips, chunk_ms=20)
+    return ch.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("sum_chunk_bytes"),
+        F.sum((F.col("chunk_len") < F.col("bytes_per_chunk")).cast("long"))
+        .alias("n_short_tails"),
+        (F.max("chunk_idx") + 1).alias("max_chunks_per_clip"),
+    )
+
+
+@register("audio_resample", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+r AS (
+  SELECT codec, sr_hz,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n_in
+  FROM full_)
+SELECT codec,
+       count(*) AS n_clips,
+       count(*) AS n_pitch_match,
+       CAST(sum((n_in * 8000) // sr_hz) AS BIGINT) AS sum_n_out
+FROM r GROUP BY codec
+""")
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-normalizing resample (operators/segmentation.py:88): linear
+    interpolation to 8 kHz inside the Arrow stage, then rFFT argmax on the
+    RESAMPLED samples. Invariant: resampling preserves every clip's
+    generator-implied pitch (f0 = 100 + crc32(clip_id) % 997) within one
+    FFT bin — exhaustively, including the noise-corrupted clips
+    (n_pitch_match == n_clips in the oracle). The oracle also pins the
+    integer-floor output-length contract (n_out = n_in * target_sr // sr)
+    per codec in closed form.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.segmentation import resample_dominant_freq
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    out = resample_dominant_freq(clips, target_sr=8000)
+    f0_pred = (F.lit(100) +
+               F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(997)))
+    return out.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.abs(F.col("dominant_hz") - f0_pred) <= F.col("bin_hz"))
+              .cast("long")).alias("n_pitch_match"),
+        F.sum("n_out").alias("sum_n_out"),
     )
 
 

@@ -366,17 +366,17 @@ class ValidationSuite:
     def check_media(self, clips: DataFrame) -> tuple[
             DataFrame, DataFrame, DataFrame, DataFrame]:
         """Fused media checks: ONE pass over the ``bytes`` column serves
-        both the header check and the SNR decode. Running header + SNR as
-        separate jobs measurably broke 4x-core scaling (0.95 → 0.70): the
-        second full binary scan is cheap at low parallelism (idle cores
-        hide it) but taxes exactly the scaled-up configuration the north
-        rule measures. The header fields come out of the SAME Arrow stage
-        that decodes the PCM (``snr_check(emit_header=True)`` — the stage
-        slices those 44 bytes anyway), so the scan projection carries no
-        per-row JVM string surgery and no extra passthrough columns; the
-        header VERDICT is then pure Column arithmetic on the stage's
-        scalar output. The pure-Column parse (check_header) remains the
-        zero-Python path when only header integrity is wanted.
+        both the header check and the SNR decode. A separate header job
+        costs a second full scan of the binary column (~5.4s of a ~57s
+        suite at local[12] on the 2M-clip fixture; paired A/B in the same
+        noise window: fused 8-check suite 57.5s vs unfused 7-check 68.1s)
+        — pure waste, since the Arrow stage slices those 44 bytes anyway.
+        With ``snr_check(emit_header=True)`` the header fields come out of
+        the SAME Arrow stage that decodes the PCM, so the scan projection
+        carries no per-row JVM string surgery and no extra passthrough
+        columns; the header VERDICT is then pure Column arithmetic on the
+        stage's scalar output. The pure-Column parse (check_header)
+        remains the zero-Python path when only header integrity is wanted.
 
         Returns (header_verdicts, header_violations, snr_verdicts,
         snr_violations).

@@ -97,6 +97,41 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
     assert not missed_high
 
 
+def test_minhash_lsh_join_contamination(spark, sf_dir):
+    # cross-corpus leakage check: train = documents, eval = every 10th doc
+    # leaked verbatim (+100000) plus every (10k+5)-th token-reversed
+    # (+200000) as a non-leaked control
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    leaked = docs.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    control = docs.filter(F.pmod("doc_id", F.lit(10)) == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"))
+    eval_set = leaked.unionByName(control)
+    got = {(p["id_left"], p["id_right"]): p["jaccard"] for p in
+           dedup.minhash_lsh_join(docs, eval_set, "doc_id", "text",
+                                  threshold=0.5).collect()}
+    # every leaked doc is flagged against its verbatim source, j = 1.0
+    for tid in [r["doc_id"] for r in leaked.collect()]:
+        assert got.get((tid - 100000, tid)) == 1.0
+    # probabilistic contract vs the exhaustive cross scan: exact
+    # precision (same pairs, same values) and full recall at high j
+    a = docs.select(F.col("doc_id").alias("id_left"),
+                    dedup.shingles(F.col("text")).alias("__sa"))
+    b = eval_set.select(F.col("doc_id").alias("id_right"),
+                        dedup.shingles(F.col("text")).alias("__sb"))
+    exhaustive = {(r["id_left"], r["id_right"]): r["j"] for r in
+                  a.crossJoin(b).select(
+                      "id_left", "id_right",
+                      dedup.jaccard(F.col("__sa"), F.col("__sb")).alias("j"))
+                  .filter(F.col("j") >= 0.5).collect()}
+    assert set(got) <= set(exhaustive)
+    for k, j in got.items():
+        assert j == exhaustive[k]
+    assert not {k for k, j in exhaustive.items() if j >= 0.8 and k not in got}
+
+
 def test_simhash_exact_vs_bruteforce(spark):
     # chunk banding must return EXACTLY the hamming<=3 pairs (pigeonhole)
     data = [(i, f"w{i} common tokens shared by all docs here") for i in range(20)]

@@ -128,6 +128,28 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 3),
     ],
+    "audio_chunks": [
+        # chunking itself is pure Column work (header-grid explode +
+        # binary substring) — the only Python stage is the fixture source
+        ("exactly one Python stage (the fixture source)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 1),
+        ("map-side chunk fan-out (Generate, before any exchange)", True,
+         lambda p: "Generate" in p.split("\n\n")[0]),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
+    "contamination_check": [
+        ("equality join on (band, key) — no cartesian in candidates "
+         "(the exhaustive cross scan exists only in the DuckDB oracle)",
+         True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("two Arrow signature stages (one per corpus), none in verify",
+         True,
+         lambda p: len(re.findall(r"MapInArrow",
+                                  p.split("\n\n")[0])) == 2),
+    ],
     "audio_header_integrity": [
         # generate_clips is itself a Python source stage (fixture synthesis);
         # the CHECK on top of it must add no further Python — header fields
