@@ -44,6 +44,11 @@ HEADLINE = [
     "embedded_decode",
     "key_style_stats",
     "event_sessions",
+    "events_asof_join",
+    "events_range_join",
+    "events_rollup",
+    "dataset_split",
+    "doc_pack_batches",
     "ann_cosine_topk",
     "ann_ivf_topk",
 ]

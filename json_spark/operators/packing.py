@@ -1,0 +1,80 @@
+"""Training-data set operations: deterministic splits and sequence packing.
+
+Both are driven by the cross-engine 32-bit md5 hash (Spark
+``conv(substring(md5(s),1,8),16,10)`` == DuckDB
+``('0x'||substr(md5(s),1,8))::BIGINT``), so the DuckDB oracles reproduce
+every assignment bit-for-bit — no RNG anywhere, which is also the property
+a production pipeline needs: re-running the split on a grown corpus never
+reshuffles previously-assigned rows (hash of the id, not row position).
+
+Scale shapes:
+- dataset_split : pure map-side column arithmetic — no shuffle at all
+                  until the (tiny) per-split summary aggregate.
+- pack_batches  : the window runs per (strata..., shard) where shard is a
+                  hash bucket of the id — at 10^12 docs you raise
+                  ``n_shards`` so each window partition stays
+                  executor-sized; packing is inherently per-shard (a
+                  global greedy pack would serialize the corpus through
+                  one task) and per-shard packing loses at most one
+                  underfull batch per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash32(col: Column, salt: str = "") -> Column:
+    """Cross-engine deterministic 32-bit hash of a column's string form."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16, 10).cast("long")
+
+
+def assign_split(id_col: Column, train_per_mille: int = 960,
+                 val_per_mille: int = 980, salt: str = "split:") -> Column:
+    """train/val/test label from a hash bucket of the id: stable under
+    corpus growth, no coordination, map-only."""
+    bucket = F.pmod(hash32(id_col, salt), F.lit(1000))
+    return (F.when(bucket < train_per_mille, "train")
+            .when(bucket < val_per_mille, "val")
+            .otherwise("test"))
+
+
+def dataset_split(df: DataFrame, id_col: str, strata: list[str],
+                  token_col: str) -> DataFrame:
+    """Per-(split, strata) composition report: row counts and token mass,
+    so a user sees at a glance whether the hash split is stratified the
+    way the corpus is."""
+    return (df.withColumn("split", assign_split(F.col(id_col)))
+            .groupBy("split", *strata)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_col).alias("sum_tokens")))
+
+
+def pack_batches(df: DataFrame, id_col: str, token_col: str,
+                 strata: list[str], budget: int,
+                 n_shards: int = 4) -> DataFrame:
+    """Token-budget sequence packing: within each (strata..., shard) the
+    docs are laid out in id order and cut into batches of ~``budget``
+    tokens — doc d goes to batch ``floor(tokens_before_d / budget)``, the
+    offset-based rule, so batch boundaries are a pure prefix-sum (one
+    window, exactly expressible in SQL) rather than a sequential greedy
+    scan. A batch may overflow by at most one document.
+
+    Emits one row per batch: (strata..., shard, batch_id, n_docs,
+    batch_tokens).
+    """
+    shard = F.pmod(hash32(F.col(id_col), "shard:"), F.lit(n_shards))
+    w = (Window.partitionBy(*strata, "shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (df.withColumn("shard", shard)
+              .withColumn("__before",
+                          F.coalesce(F.sum(token_col).over(w), F.lit(0)))
+              .withColumn("batch_id",
+                          F.floor(F.col("__before") / F.lit(budget))
+                          .cast("long")))
+    return (packed.groupBy(*strata, "shard", "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_col).alias("batch_tokens")))

@@ -1298,6 +1298,169 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dur_s").alias("max_session_dur_s"))
 
 
+@register("events_asof_join", oracle="""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+e AS (SELECT user_id, epoch_us(ts) AS us, max(event_id) AS error_id
+      FROM events WHERE event_type = 'error' GROUP BY user_id, epoch_us(ts))
+SELECT c.user_id, c.event_id, e.error_id, c.us - e.us AS gap_us
+FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.us >= e.us
+""")
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join — each click gains the user's most recent
+    error at or before it (operators/temporal.py:asof_join). The Spark
+    plan is the union + carry-forward window (one shuffle on user_id,
+    no inequality join, no candidate-pair blowup); the oracle is DuckDB's
+    native ASOF LEFT JOIN — an entirely independent algorithm, so a match
+    pins the <=-at-equal-ts tie semantics too. Timestamps are reduced to
+    integer micros (TZ-proof); the right side is pre-deduped per
+    (user_id, us) in both engines so the matched row is unambiguous.
+    """
+    from ..operators.temporal import asof_join, epoch_us
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", epoch_us("ts").alias("us"))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", epoch_us("ts").alias("us"), "event_id")
+              .groupBy("user_id", "us")
+              .agg(F.max("event_id").alias("error_id"))
+              .withColumn("error_us", F.col("us")))
+    j = asof_join(clicks, errors, on=["user_id"], ts="us")
+    return j.select("user_id", "event_id", "error_id",
+                    (F.col("us") - F.col("error_us")).alias("gap_us"))
+
+
+@register("events_range_join", oracle="""
+WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE event_type <> 'error'),
+e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'error')
+SELECT p.event_id, e.error_id, p.us - e.us AS offset_us
+FROM p JOIN e ON p.user_id = e.user_id
+ AND p.us >= e.us AND p.us < e.us + 600000000
+""")
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join — every non-error event falling inside
+    the 10 minutes after an error by the same user
+    (operators/temporal.py:range_join_bucketed). Spark never sees an
+    inequality join: intervals explode into <=2 fixed-width time buckets,
+    points map to one, the join is pure equality on (user_id, bucket) and
+    exact containment is a filter — each qualifying pair survives exactly
+    once by construction. The oracle runs the plain inequality join,
+    which only DuckDB can afford (at 10^12 rows that plan is a
+    BroadcastNestedLoopJoin and unrunnable).
+    """
+    from ..operators.temporal import epoch_us, range_join_bucketed
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", epoch_us("ts").alias("us"))
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        epoch_us("ts").alias("start_us"),
+        (epoch_us("ts") + F.lit(600_000_000)).alias("end_us"))
+    j = range_join_bucketed(points, intervals, on=["user_id"],
+                            point_us="us", bucket_us=600_000_000)
+    return j.select("event_id", "error_id",
+                    (F.col("us") - F.col("start_us")).alias("offset_us"))
+
+
+@register("events_rollup", oracle="""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+lv AS (
+  SELECT CAST(60000000 AS BIGINT) AS level_us,
+         (us // 60000000) * 60000000 AS bucket_us, event_type,
+         count(*) AS n, sum(value) AS sv
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT CAST(3600000000 AS BIGINT),
+         (us // 3600000000) * 3600000000, event_type, count(*), sum(value)
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT CAST(86400000000 AS BIGINT),
+         (us // 86400000000) * 86400000000, event_type, count(*), sum(value)
+  FROM e GROUP BY 2, 3)
+SELECT level_us, bucket_us, event_type, n,
+       round(sv, 4) AS sum_value
+FROM lv
+""")
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute/hour/day buckets
+    per event_type (operators/temporal.py:time_rollup). Spark shuffles the
+    raw rows ONCE (into minute buckets); hour and day re-aggregate the
+    minute table — the continuous-aggregate pattern whose coarse levels
+    cost ~nothing at 10^12 rows. The oracle aggregates each level directly
+    from raw, so a match also proves the hierarchical re-aggregation is
+    exact (integer buckets; the float sum is rounded on both sides).
+    """
+    from ..operators.temporal import epoch_us, time_rollup
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", epoch_us("ts").alias("us"), "value")
+    r = time_rollup(e, "us", ["event_type"], "value",
+                    [60_000_000, 3_600_000_000, 86_400_000_000])
+    return r.select("level_us", "bucket_us", "event_type", "n",
+                    F.round("sum_value", 4).alias("sum_value"))
+
+
+@register("dataset_split", oracle="""
+WITH d AS (
+  SELECT lang,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 1000 AS b,
+         len(string_split(text, ' ')) AS tok
+  FROM documents)
+SELECT CASE WHEN b < 960 THEN 'train' WHEN b < 980 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+FROM d GROUP BY split, lang
+""")
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket of doc_id
+    (operators/packing.py:assign_split) with a per-(split, lang)
+    composition report. Map-only until the tiny summary aggregate; stable
+    under corpus growth because the bucket depends on the id, not the row
+    position. The oracle recomputes every assignment from the same md5
+    arithmetic — bit-identical across engines.
+    """
+    from ..operators.packing import dataset_split
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("tok"))
+    return dataset_split(d, "doc_id", ["lang"], "tok")
+
+
+@register("doc_pack_batches", oracle="""
+WITH d AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS tok,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 4 AS shard
+  FROM documents),
+c AS (
+  SELECT lang, shard, tok,
+         coalesce(CAST(sum(tok) OVER (PARTITION BY lang, shard
+                                      ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS BIGINT),
+                  0) AS before
+  FROM d)
+SELECT lang, shard, before // 8192 AS batch_id,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS batch_tokens
+FROM c GROUP BY lang, shard, batch_id
+""")
+def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py:pack_batches):
+    docs in id order within each (lang, hash-shard) are cut into ~8192-
+    token batches by the offset rule batch = floor(tokens_before/budget) —
+    a prefix-sum window, not a sequential greedy scan, so it parallelizes
+    across shards and is exactly expressible in SQL. The shard is the
+    cross-engine md5 bucket, so the DuckDB oracle reproduces every batch
+    boundary; emits one row per batch.
+    """
+    from ..operators.packing import pack_batches
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tok"))
+    return pack_batches(d, "doc_id", "tok", ["lang"], budget=8192,
+                        n_shards=4)
+
+
 @register("violation_samples", oracle=f"""
 WITH r AS (
   SELECT event_type, event_id, {_DIRTY_NUMBER_RAW_SQL} AS raw FROM events),

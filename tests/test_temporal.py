@@ -1,0 +1,152 @@
+"""Temporal joins / rollup (operators/temporal.py) and packing
+(operators/packing.py) vs brute-force twins on adversarial small inputs:
+equal-timestamp ties, empty right sides, multi-bucket intervals, and
+batch-boundary arithmetic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.operators.packing import (
+    assign_split, hash32, pack_batches,
+)
+from json_spark.operators.temporal import (
+    asof_join, range_join_bucketed, time_rollup,
+)
+
+
+def _brute_asof(left_rows, right_rows):
+    # latest right with right.us <= left.us per key; ties on us -> max tie
+    out = {}
+    for k, lus, lid in left_rows:
+        cand = [(rus, tie, rv) for rk, rus, tie, rv in right_rows
+                if rk == k and rus <= lus]
+        out[lid] = max(cand)[2] if cand else None
+    return out
+
+
+def test_asof_join_matches_bruteforce_with_ties(spark):
+    left = [(1, 10, "a"), (1, 5, "b"), (1, 3, "c"), (2, 7, "d"), (3, 1, "e")]
+    # key 1 has TWO right rows at us=5 (tiebreak picks tie=9);
+    # key 3 has no right rows at all
+    right = [(1, 4, 1, 100), (1, 5, 2, 200), (1, 5, 9, 250), (1, 10, 3, 300),
+             (2, 8, 4, 400)]
+    ldf = spark.createDataFrame(left, "k int, us long, lid string")
+    rdf = spark.createDataFrame(right, "k int, us long, tie int, rv int")
+    got = {r["lid"]: r["rv"] for r in
+           asof_join(ldf, rdf, on=["k"], ts="us", tiebreak="tie").collect()}
+    assert got == _brute_asof(left, right)
+    # us=10 left matches us=10 right (<= semantics); us=5 tie -> 250
+    assert got["a"] == 300 and got["b"] == 250
+    assert got["e"] is None
+
+
+def test_asof_join_carries_multiple_payload_columns(spark):
+    ldf = spark.createDataFrame([(1, 10, "x")], "k int, us long, lid string")
+    rdf = spark.createDataFrame([(1, 4, 7, "p")],
+                                "k int, us long, rv int, tag string")
+    row = asof_join(ldf, rdf, on=["k"], ts="us").collect()[0]
+    assert (row["rv"], row["tag"], row["lid"]) == (7, "p", "x")
+
+
+def test_range_join_bucketed_vs_bruteforce(spark):
+    # intervals of varying length, some spanning several buckets, some
+    # empty; points at exact boundaries (start inclusive, end exclusive)
+    points = [(1, i, f"p{i}") for i in range(0, 100, 7)]
+    intervals = [(1, 0, 7, "i0"),      # [0,7) catches p0
+                 (1, 7, 8, "i1"),      # [7,8) catches p7 (start inclusive)
+                 (1, 10, 50, "i2"),    # multi-bucket
+                 (1, 49, 49, "i3"),    # empty interval
+                 (2, 0, 100, "i4")]    # wrong key: catches nothing
+    pdf = spark.createDataFrame(points, "k int, us long, pid string")
+    idf = spark.createDataFrame(intervals,
+                                "k int, start_us long, end_us long, iid string")
+    got = {(r["pid"], r["iid"]) for r in
+           range_join_bucketed(pdf, idf, on=["k"], point_us="us",
+                               bucket_us=16).collect()}
+    want = {(f"p{p}", iid) for k, p, _ in [(k, us, None) for k, us, _ in points]
+            for ik, s, e, iid in intervals if ik == k and s <= p < e}
+    assert got == want
+    assert ("p7", "i1") in got and ("p0", "i0") in got
+    assert not any(i == "i3" or i == "i4" for _, i in got)
+
+
+def test_range_join_pairs_unique(spark):
+    # a (point, interval) pair must appear exactly once even when the
+    # interval spans many buckets
+    pdf = spark.createDataFrame([(1, 500, "p")], "k int, us long, pid string")
+    idf = spark.createDataFrame([(1, 0, 1000, "i")],
+                                "k int, start_us long, end_us long, iid string")
+    rows = range_join_bucketed(pdf, idf, on=["k"], point_us="us",
+                               bucket_us=16).collect()
+    assert len(rows) == 1
+
+
+def test_time_rollup_levels_equal_direct_aggregation(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i * 37, float(i)) for i in range(200)],
+        "g int, us long, v double")
+    out = time_rollup(df, "us", ["g"], "v", [100, 1000, 10000])
+    for lv in (100, 1000, 10000):
+        got = {(r["bucket_us"], r["g"]): (r["n"], round(r["sum_value"], 6))
+               for r in out.filter(F.col("level_us") == lv).collect()}
+        want = {(r["b"], r["g"]): (r["n"], round(r["s"], 6)) for r in
+                df.groupBy((F.floor(F.col("us") / lv).cast("long") * lv)
+                           .alias("b"), "g")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+                .collect()}
+        assert got == want
+
+
+def test_time_rollup_rejects_non_nesting_levels(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "g int, us long, v double")
+    with pytest.raises(ValueError):
+        time_rollup(df, "us", ["g"], "v", [100, 250])
+
+
+def test_pack_batches_boundaries_and_conservation(spark):
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 53) % 400) for i in range(500)],
+        "doc_id long, tok int").withColumn("lang", F.lit("en"))
+    batches = pack_batches(df, "doc_id", "tok", ["lang"], budget=1000,
+                           n_shards=4).collect()
+    # conservation: every token lands in exactly one batch
+    assert sum(b["batch_tokens"] for b in batches) == \
+        df.agg(F.sum("tok")).collect()[0][0]
+    by_shard = {}
+    for b in batches:
+        by_shard.setdefault(b["shard"], []).append(b)
+    for shard, bs in by_shard.items():
+        bs.sort(key=lambda b: b["batch_id"])
+        # batch ids are the offset rule: contiguous from 0
+        assert [b["batch_id"] for b in bs] == list(range(len(bs)))
+        # every batch except the last crosses the budget line, and
+        # overflows it by less than its final doc (offset rule bound)
+        for b in bs[:-1]:
+            assert b["batch_tokens"] >= 1000 - 499  # budget - max doc + 1
+            assert b["batch_tokens"] < 1000 + 499
+
+
+def test_assign_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    counts = dict(df.select(assign_split(F.col("id")).alias("s"))
+                  .groupBy("s").count().collect())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 0.9 * 2000
+    # same id -> same split, independent of row order or partitioning
+    again = dict(df.repartition(7).select(
+        F.col("id"), assign_split(F.col("id")).alias("s")).collect())
+    once = dict(df.select(
+        F.col("id"), assign_split(F.col("id")).alias("s")).collect())
+    assert again == once
+
+
+def test_hash32_matches_duckdb(spark):
+    import duckdb
+    ids = [f"x{i}" for i in range(50)]
+    got = {r["v"]: r["h"] for r in spark.createDataFrame(
+        [(s,) for s in ids], "v string")
+        .select("v", hash32(F.col("v"), "salt:").alias("h")).collect()}
+    duck = dict(duckdb.execute(
+        "SELECT v, ('0x' || substr(md5('salt:' || v), 1, 8))::BIGINT "
+        "FROM (SELECT unnest(?) AS v)", [ids]).fetchall())
+    assert got == duck

@@ -150,6 +150,50 @@ CHECKS = {
          lambda p: len(re.findall(r"MapInArrow",
                                   p.split("\n\n")[0])) == 2),
     ],
+    "events_asof_join": [
+        ("no inequality join anywhere (carry-forward window, never "
+         "BroadcastNestedLoop)", True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("window carry-forward present", True,
+         lambda p: "Window" in p.split("\n\n")[0]),
+        ("scan pruned to user_id, event_id, event_type, ts", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 4),
+    ],
+    "events_range_join": [
+        ("equality join on (user_id, bucket) — the inequality exists only "
+         "as a post-join filter", True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("interval fan-out is a Generate (explode), map-side", True,
+         lambda p: "Generate" in p.split("\n\n")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "events_rollup": [
+        ("raw rows shuffle once; coarser levels re-aggregate the finer "
+         "aggregate (3 small exchanges total, sizes collapsing)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) <= 3),
+        ("partial+final hash aggregates at every level", True,
+         lambda p: p.split("\n\n")[0].count("HashAggregate") >= 6),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "dataset_split": [
+        ("map-only until the summary aggregate (single exchange)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to doc_id, lang, text", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 3),
+    ],
+    "doc_pack_batches": [
+        ("one exchange feeds both the packing window and the batch "
+         "aggregate (same (lang, shard) partitioning reused)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) <= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "audio_header_integrity": [
         # generate_clips is itself a Python source stage (fixture synthesis);
         # the CHECK on top of it must add no further Python — header fields
