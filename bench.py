@@ -49,6 +49,10 @@ HEADLINE = [
     "events_rollup",
     "dataset_split",
     "doc_pack_batches",
+    "stratified_sample",
+    "token_heavy_hitters",
+    "outlier_mad",
+    "curation_pipeline",
     "ann_cosine_topk",
     "ann_ivf_topk",
 ]

@@ -1,0 +1,150 @@
+"""Corpus-curation operators: deterministic stratified sampling, heavy
+hitters, robust (median/MAD) outlier detection, and the end-to-end
+filter→dedup→split curation funnel.
+
+Everything is pure Column expressions + built-in aggregates — no Python in
+any hot path — and every randomized-looking decision is the cross-engine
+md5 bucket (operators/packing.py:hash32), so DuckDB oracles reproduce each
+sampled row and split assignment bit-for-bit, and re-running on a grown
+corpus never flips a previous decision.
+
+Scale shapes:
+- stratified_sample : map-only filter — ZERO shuffle; the rate lookup is a
+                      when-chain (a broadcast-joined rate dim would also
+                      work but pays a join for nothing at 5 strata).
+- heavy_hitters     : explode → partial+final hash aggregate shrinks the
+                      stream to vocabulary size BEFORE the top-k window;
+                      the window partitions by group, so no single-task
+                      global sort ever sees raw rows.
+- robust_outliers   : 3 passes by construction (median → MAD needs the
+                      median → outlier count needs both), each a map-side-
+                      combinable agg + broadcast join of a |groups|-row dim.
+                      ``approx=True`` swaps exact ``percentile`` (buffers a
+                      group's values — fine per-partition, OOM at 10^12
+                      rows/group) for the mergeable ``percentile_approx``
+                      sketch: the production path at clip scale.
+- curate_corpus     : one scan computes lang/quality/fingerprint, one
+                      shuffle dedups on the fingerprint, the split report
+                      aggregates the (already tiny) survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .packing import assign_split, hash32
+from .text import fingerprint, predict_lang, quality_features, tokens
+
+
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      rates_per_mille: dict[str, int],
+                      default_per_mille: int = 0,
+                      salt: str = "sample:") -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: row survives iff
+    its id's md5 bucket (0..999) falls below the stratum's rate. The
+    classic corpus-rebalancing primitive (downsample the head language,
+    keep the tail) with exactly reproducible membership — no RNG, no
+    state, stable under corpus growth and re-partitioning.
+    """
+    bucket = F.pmod(hash32(F.col(id_col), salt), F.lit(1000))
+    rate: Column = F.lit(int(default_per_mille))
+    for stratum, per_mille in rates_per_mille.items():
+        rate = F.when(F.col(stratum_col) == stratum,
+                      F.lit(int(per_mille))).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def heavy_hitters(df: DataFrame, group_cols: list[str], item_col: str,
+                  k: int) -> DataFrame:
+    """Top-``k`` most frequent ``item_col`` values per group, exact.
+
+    Count first (partial+final hash aggregate — the map-side combine is
+    what makes this viable over exploded token streams), then rank within
+    each group over the aggregated table, which is vocabulary-sized, not
+    corpus-sized. Ties break on the item value so the result is total-
+    order deterministic. ``rk`` is cast to long (Spark's row_number is
+    int32; DuckDB's is int64).
+    """
+    counts = df.groupBy(*group_cols, item_col).agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), item_col)
+    return (counts
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+def token_heavy_hitters(df: DataFrame, text_col: str,
+                        group_cols: list[str], k: int) -> DataFrame:
+    """heavy_hitters over the exploded whitespace-token stream."""
+    toks = df.select(*group_cols,
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    return heavy_hitters(toks, group_cols, "tok", k)
+
+
+def robust_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                    z: float = 3.0, approx: bool = False) -> DataFrame:
+    """Per-group robust outlier report via the median/MAD z-score:
+    a row is an outlier when ``|x - median| > z * 1.4826 * MAD``
+    (1.4826 rescales MAD to sigma under normality — the standard robust
+    z-score, immune to the outliers it is hunting, unlike mean/stddev).
+
+    Emits (group_cols..., n, median_value, mad, n_outliers). Exact mode
+    matches DuckDB ``quantile_cont`` (both engines linearly interpolate
+    over the sorted values); ``approx=True`` is the 10^12-row path — the
+    percentile_approx sketch is mergeable, so no executor ever buffers a
+    whole group.
+    """
+    def pct(c, p: float) -> Column:
+        if approx:
+            return F.percentile_approx(c, F.lit(p), F.lit(10_000))
+        return F.percentile(c, F.lit(p))
+
+    med = df.groupBy(*group_cols).agg(
+        pct(F.col(value_col), 0.5).alias("__med"))
+    dev = (df.join(F.broadcast(med), group_cols)
+           .withColumn("__dev", F.abs(F.col(value_col) - F.col("__med"))))
+    mad = dev.groupBy(*group_cols).agg(
+        F.first("__med").alias("__med"),
+        pct(F.col("__dev"), 0.5).alias("__mad"))
+    return (dev.drop("__med").join(F.broadcast(mad), group_cols)
+            .groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.first("__med"), 6).alias("median_value"),
+                F.round(F.first("__mad"), 6).alias("mad"),
+                F.sum((F.col("__dev") > F.lit(z) * F.lit(1.4826)
+                       * F.col("__mad")).cast("long")).alias("n_outliers")))
+
+
+def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_quality: float = 0.5) -> DataFrame:
+    """End-to-end curation funnel — the composition a training-data
+    pipeline actually runs: language-ID gate (drop 'und') → quality-score
+    gate → exact dedup on the rolling fingerprint (keep the smallest id) →
+    deterministic train/val/test split → per-split composition report
+    (n_docs, token mass).
+
+    Every stage is deterministic shared-arithmetic (marker-word argmax,
+    fixed-formula score, md5 split bucket), so the DuckDB oracle replays
+    the entire funnel bit-for-bit. One scan computes all per-doc features;
+    the only corpus-sized shuffle is the fingerprint dedup.
+    """
+    c = F.col(text_col)
+    q = quality_features(c)
+    kept = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(c)).alias("n_tokens"),
+        fingerprint(c).alias("fp"),
+        q["quality_score"].alias("score"),
+        predict_lang(c).alias("pl"))
+        .filter((F.col("pl") != "und") & (F.col("score") >= min_quality)))
+    dedup = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"))
+    return (dedup.withColumn("split", assign_split(F.col("doc_id")))
+            .groupBy("split").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.sum(F.col("n_copies") - 1).alias("n_dups_removed")))

@@ -1461,6 +1461,137 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("stratified_sample", oracle="""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        ::BIGINT % 1000
+      < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 800 ELSE 500 END
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing
+    (operators/curation.py:stratified_sample): downsample the head
+    language (en keeps 20%), keep more of the tail (zh 80%, rest 50%).
+    Map-only — the plan has NO exchange at all; membership is the md5
+    bucket of doc_id, so the oracle reproduces the exact sampled row set,
+    and a grown corpus never flips an existing row's membership.
+    """
+    from ..operators.curation import stratified_sample
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "doc_id", "lang",
+                             {"en": 200, "zh": 800}, default_per_mille=500)
+
+
+@register("token_heavy_hitters", oracle="""
+WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),
+r AS (SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tok) AS rk
+      FROM c)
+SELECT lang, tok, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+""")
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 tokens per language (operators/curation.py:
+    heavy_hitters) — the vocabulary-head report every corpus audit wants.
+    The explode feeds a partial+final hash aggregate (map-side combine
+    shrinks the token stream to vocabulary size), and only that aggregate
+    reaches the per-group rank window; ties break on the token so the
+    result is total-order deterministic.
+    """
+    from ..operators.curation import token_heavy_hitters
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return token_heavy_hitters(d, "text", ["lang"], k=5)
+
+
+@register("outlier_mad", oracle="""
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN m USING (event_type)),
+s AS (SELECT event_type, any_value(med) AS med,
+             quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type)
+SELECT d.event_type, count(*) AS n,
+       round(any_value(s.med), 6) AS median_value,
+       round(any_value(s.mad), 6) AS mad,
+       count(*) FILTER (WHERE d.dev > 3 * 1.4826 * s.mad) AS n_outliers
+FROM d JOIN s USING (event_type) GROUP BY d.event_type
+""")
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier report via the median/MAD z-score
+    (operators/curation.py:robust_outliers) — immune to the outliers it
+    hunts, unlike mean/stddev. Exact percentiles here (Spark `percentile`
+    and DuckDB `quantile_cont` both linearly interpolate, so median and
+    MAD agree to the last bit); at 10^12 rows the same operator runs with
+    approx=True, swapping in the mergeable percentile_approx sketch — the
+    pytest twin pins approx-vs-exact drift.
+    """
+    from ..operators.curation import robust_outliers
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return robust_outliers(ev, "value", ["event_type"], z=3.0)
+
+
+@register("curation_pipeline", oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['the','a','of','and','is'])) AS s_en,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['der','die','das','und','ist'])) AS s_de,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['le','les','des','et','est'])) AS s_fr,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['el','los','las','y','es'])) AS s_es,
+         list_reduce(list_prepend(0::BIGINT,
+             [('0x' || substr(md5(t), 1, 8))::BIGINT
+              for t in string_split(text, ' ')]),
+           (acc, h) -> (acc * 131 + h) % 2147483647) AS fp
+  FROM all_docs),
+k AS (
+  SELECT doc_id, n_tokens, fp FROM f
+  WHERE greatest(s_en, s_de, s_fr, s_es) >= 1
+    AND least(1.0, n_tokens / 50.0) * 0.5
+        + (n_stop::DOUBLE / n_tokens) * 0.3
+        + (1.0 - n_punct::DOUBLE / n_chars) * 0.2 >= 0.5),
+d AS (
+  SELECT fp, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+         count(*) AS n_copies
+  FROM k GROUP BY fp),
+s AS (
+  SELECT CASE WHEN b < 960 THEN 'train' WHEN b < 980 THEN 'val'
+              ELSE 'test' END AS split, n_tokens, n_copies
+  FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % 1000 AS b,
+               n_tokens, n_copies FROM d))
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dups_removed
+FROM s GROUP BY split
+""")
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (operators/curation.py:curate_corpus):
+    language-ID gate → quality-score gate (>= 0.5) → exact fingerprint
+    dedup keeping the smallest id → deterministic md5 split → per-split
+    composition report. Runs over documents ∪ planted exact copies so the
+    dedup stage does real work (n_dups_removed > 0). Every stage is
+    shared deterministic arithmetic, so the oracle replays the WHOLE
+    funnel — filters, dedup survivors, split buckets — bit-for-bit; a
+    match certifies the composition, not just each stage in isolation.
+    """
+    from ..operators.curation import curate_corpus
+    return curate_corpus(_docs_with_planted_copies(spark, sf_dir))
+
+
 @register("violation_samples", oracle=f"""
 WITH r AS (
   SELECT event_type, event_id, {_DIRTY_NUMBER_RAW_SQL} AS raw FROM events),

@@ -1,0 +1,129 @@
+"""Curation operators (operators/curation.py) vs brute-force twins:
+hashlib-recomputed sample membership, Counter-based heavy hitters,
+numpy median/MAD outliers (exact AND the approx production path), and
+funnel invariants for the end-to-end curation pipeline."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.operators.curation import (
+    curate_corpus,
+    heavy_hitters,
+    robust_outliers,
+    stratified_sample,
+    token_heavy_hitters,
+)
+
+
+def _md5_bucket(s: str, mod: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+
+def test_stratified_sample_matches_hashlib(spark):
+    rows = [(i, ["en", "zh", "de"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    rates = {"en": 200, "zh": 800}
+    got = {r["id"] for r in
+           stratified_sample(df, "id", "lang", rates,
+                             default_per_mille=500).collect()}
+    want = {i for i, lang in rows
+            if _md5_bucket(f"sample:{i}", 1000) < rates.get(lang, 500)}
+    assert got == want
+    # head language really is downsampled relative to the tail
+    n_en = sum(1 for i, g in rows if g == "en" and i in got)
+    n_zh = sum(1 for i, g in rows if g == "zh" and i in got)
+    assert n_en < n_zh
+    # membership is per-id, so partitioning cannot change the result
+    again = {r["id"] for r in
+             stratified_sample(df.repartition(13), "id", "lang", rates,
+                               default_per_mille=500).collect()}
+    assert again == got
+
+
+def test_heavy_hitters_vs_counter(spark):
+    from collections import Counter
+    items = [(g, f"w{(i * i) % 17}") for g in ("a", "b")
+             for i in range(g == "b", 300)]
+    df = spark.createDataFrame(items, "g string, item string")
+    got = {(r["g"], r["rk"]): (r["item"], r["n"])
+           for r in heavy_hitters(df, ["g"], "item", k=3).collect()}
+    for g in ("a", "b"):
+        cnt = Counter(it for gg, it in items if gg == g)
+        # rank by (count desc, item asc) — the operator's tie-break
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (item, n) in enumerate(ranked, start=1):
+            assert got[(g, rk)] == (item, n)
+    assert all(isinstance(rk, int) for _, rk in got)  # rk is long, top-3 only
+    assert len(got) == 6
+
+
+def test_token_heavy_hitters_counts_duplicated_tokens(spark):
+    df = spark.createDataFrame(
+        [("en", "the cat the dog the"), ("en", "a cat")],
+        "lang string, text string")
+    got = {r["rk"]: (r["tok"], r["n"]) for r in
+           token_heavy_hitters(df, "text", ["lang"], k=2).collect()}
+    assert got[1] == ("the", 3)
+    assert got[2] == ("cat", 2)
+
+
+@pytest.mark.parametrize("approx", [False, True])
+def test_robust_outliers_vs_numpy(spark, approx):
+    rng = np.random.default_rng(7)
+    base = rng.normal(50, 5, 400)
+    spikes = np.array([500.0, -400.0, 800.0])  # blatant outliers
+    vals = np.concatenate([base, spikes])
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, value double")
+    row = robust_outliers(df, "value", ["grp"], z=3.0,
+                          approx=approx).collect()[0]
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
+    n_out = int(np.sum(np.abs(vals - med) > 3 * 1.4826 * mad))
+    assert row["n"] == len(vals)
+    if approx:
+        # production sketch path: small drift allowed, spikes still caught
+        assert abs(row["median_value"] - med) < 0.5
+        assert abs(row["mad"] - mad) < 0.5
+        assert abs(row["n_outliers"] - n_out) <= 2
+        assert row["n_outliers"] >= len(spikes)
+    else:
+        assert row["median_value"] == round(med, 6)
+        assert row["mad"] == round(mad, 6)
+        assert row["n_outliers"] == n_out
+
+
+def test_robust_outliers_immune_to_contamination(spark):
+    # mean/stddev would be dragged by the spike; median/MAD must not be
+    vals = [10.0] * 99 + [10_000.0]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, value double")
+    row = robust_outliers(df, "value", ["grp"], z=3.0).collect()[0]
+    assert row["median_value"] == 10.0
+    assert row["n_outliers"] == 1
+
+
+def test_curate_corpus_funnel_invariants(spark):
+    docs = [
+        # passes both gates; has one exact duplicate (id 100)
+        (1, "the cat and the dog sat of the mat and it is a fine day in town"),
+        (100, "the cat and the dog sat of the mat and it is a fine day in town"),
+        # language gate drops it: no marker words at all
+        (2, "zzz qqq www rrr ttt"),
+        # quality gate drops it: marker present but heavy punctuation
+        (3, "the !!! ??? ;;; ::: %%% &&& ((( ))) @@@"),
+        # passes, unique
+        (4, "a man of the town and a dog in the house is it not fine and good"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curate_corpus(df, min_quality=0.4)
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 2        # 1 and 4 survive
+    assert sum(r["n_dups_removed"] for r in rows) == 1  # the planted copy
+    tok = lambda s: len(s.split(" "))  # noqa: E731
+    assert sum(r["sum_tokens"] for r in rows) == tok(docs[0][1]) + tok(docs[4][1])
+    assert set(out.columns) == {"split", "n_docs", "sum_tokens",
+                                "n_dups_removed"}

@@ -194,6 +194,44 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "stratified_sample": [
+        ("map-only: sampling is a filter, NO exchange in the plan", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 0),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to doc_id, lang", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
+    "token_heavy_hitters": [
+        ("token stream shrinks through a partial+final hash aggregate "
+         "BEFORE the rank window", True,
+         lambda p: p.split("\n\n")[0].count("HashAggregate") >= 2
+         and "Window" in p.split("\n\n")[0]),
+        ("explode is a Generate (map-side)", True,
+         lambda p: "Generate" in p.split("\n\n")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "outlier_mad": [
+        ("median/MAD dims come back via broadcast joins — never a "
+         "shuffled join of the fact table", True,
+         lambda p: p.split("\n\n")[0].count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in p and "NestedLoop" not in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to event_type, value", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
+    "curation_pipeline": [
+        ("one corpus-sized exchange (fingerprint dedup) + one tiny "
+         "split-report exchange", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) <= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("filters run before the dedup shuffle (Filter below the first "
+         "aggregate)", True,
+         lambda p: "Filter" in p.split("\n\n")[0]),
+    ],
     "audio_header_integrity": [
         # generate_clips is itself a Python source stage (fixture synthesis);
         # the CHECK on top of it must add no further Python — header fields
