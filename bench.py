@@ -34,6 +34,7 @@ HEADLINE = [
     "coercion_date",
     "drift_psi",
     "drift_ks",
+    "drift_rolling",
     "verdict_rollup",
     "text_quality",
     "text_fingerprint",

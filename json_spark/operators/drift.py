@@ -85,6 +85,46 @@ def psi(current: DataFrame, baseline: DataFrame,
     return j.agg(F.sum(term).alias("psi"))
 
 
+def rolling_psi(df: DataFrame, bucket: "F.Column", window_col: "F.Column",
+                nbins: int) -> DataFrame:
+    """PSI of every time window against the all-data baseline, from ONE
+    scan of the input.
+
+    The naive layout (histogram per window, re-aggregate a baseline,
+    cross-join the day grid, join shares back) references the histogram
+    three times — three full scans at 10^12 rows unless you cache. This
+    version never re-references the scan lineage: one (window, bucket)
+    aggregate, then a per-window bucket→count map (``map_from_entries``)
+    exploded over the FULL 0..nbins-1 grid, so windows that miss a bucket
+    get an explicit zero row (their baseline mass must still count toward
+    drift — dropping absent buckets understates PSI exactly where drift
+    is worst). Per-window shares, baseline shares, and the final PSI are
+    windows + an aggregate over the |windows|×|nbins| grid — hundreds of
+    rows, regardless of input size.
+    """
+    h = (df.select(window_col.alias("w"), bucket.alias("bucket"))
+         .groupBy("w", "bucket").agg(F.count(F.lit(1)).alias("n")))
+    grid = (h.groupBy("w")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("bucket", "n"))).alias("m"))
+            .withColumn("bucket",
+                        F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))))
+            .select("w", "bucket",
+                    F.coalesce(F.element_at("m", F.col("bucket")),
+                               F.lit(0)).alias("n")))
+    wday = Window.partitionBy("w")
+    wbucket = Window.partitionBy("bucket")
+    wall = Window.partitionBy()
+    sh = grid.select(
+        "w",
+        (F.col("n") / F.sum("n").over(wday)).alias("p"),
+        (F.sum("n").over(wbucket) / F.sum("n").over(wall)).alias("q"))
+    p = F.greatest(F.col("p"), F.lit(EPS))
+    q = F.greatest(F.col("q"), F.lit(EPS))
+    return sh.groupBy("w").agg(
+        F.sum((p - q) * F.log(p / q)).alias("psi"))
+
+
 def ks_statistic(current: DataFrame, baseline: DataFrame,
                  bucket_col: str = "bucket",
                  group_cols: list[str] | None = None) -> DataFrame:

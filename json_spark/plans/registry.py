@@ -498,6 +498,51 @@ def q_drift_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi", 6).alias("psi"))
 
 
+@register("drift_rolling", oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, value
+  FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT day, least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket,
+         count(*) AS n
+  FROM e GROUP BY day, bucket),
+grid AS (
+  SELECT d.day, b.bucket, coalesce(h.n, 0) AS n
+  FROM (SELECT DISTINCT day FROM h) d
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
+  LEFT JOIN h ON h.day = d.day AND h.bucket = b.bucket),
+sh AS (
+  SELECT day,
+         n / sum(n) OVER (PARTITION BY day) AS p,
+         sum(n) OVER (PARTITION BY bucket) / sum(n) OVER () AS q
+  FROM grid)
+SELECT day, round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                      * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi
+FROM sh GROUP BY day
+""")
+def q_drift_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling drift: PSI of each DAY's value distribution against the
+    whole-corpus baseline (operators/drift.py:rolling_psi) — the
+    monitoring query a validation pipeline runs every ingest cycle. The
+    scale property the plan audit pins: the events table is scanned
+    EXACTLY ONCE; the baseline is re-aggregated from the per-day
+    histogram, and the (day × bucket) grid completion — required so a
+    day missing a bucket still pays that bucket's baseline mass — is a
+    map-explode on the aggregated rows, never a second scan. Day index
+    and bucket use exact integer arithmetic (`div`), TZ-proof micros.
+    """
+    from ..operators.drift import rolling_psi
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000")
+    bucket = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+        F.col("value") / F.lit(50.0)))).cast("int")
+    r = rolling_psi(ev, bucket=bucket, window_col=day, nbins=10)
+    return r.select(F.col("w").alias("day"), F.round("psi", 6).alias("psi"))
+
+
 @register("drift_ks", oracle=f"""
 WITH {_DRIFT_BASE_SQL},
 ecdf AS (

@@ -1,0 +1,61 @@
+"""rolling_psi (operators/drift.py) vs a numpy brute-force twin, with a
+window that misses buckets entirely — the case the map-explode grid
+completion exists for."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from json_spark.operators.drift import EPS, rolling_psi
+
+
+def _brute_psi(day_counts: dict[int, np.ndarray]) -> dict[int, float]:
+    base = sum(day_counts.values())
+    q = base / base.sum()
+    out = {}
+    for day, n in day_counts.items():
+        p = n / n.sum()
+        pc, qc = np.maximum(p, EPS), np.maximum(q, EPS)
+        out[day] = float(np.sum((pc - qc) * np.log(pc / qc)))
+    return out
+
+
+def test_rolling_psi_matches_bruteforce_with_missing_buckets(spark):
+    nbins = 5
+    # day 0: uniform; day 1: skewed; day 2: MISSING buckets 3 and 4
+    day_counts = {
+        0: np.array([10, 10, 10, 10, 10]),
+        1: np.array([40, 5, 2, 2, 1]),
+        2: np.array([25, 25, 0, 0, 0]),
+    }
+    rows = [(d, b) for d, counts in day_counts.items()
+            for b, n in enumerate(counts) for _ in range(int(n))]
+    df = spark.createDataFrame(rows, "day long, bucket int")
+    got = {r["w"]: r["psi"] for r in
+           rolling_psi(df, bucket=F.col("bucket"),
+                       window_col=F.col("day"), nbins=nbins).collect()}
+    want = _brute_psi(day_counts)
+    assert set(got) == set(want)
+    for day in want:
+        assert math.isclose(got[day], want[day], rel_tol=1e-9), day
+    # the missing-bucket day must pay the baseline mass of buckets 3-4:
+    # dropping absent buckets would report a (p-q)ln(p/q) sum over only
+    # buckets 0-2, strictly smaller than the complete-grid value
+    partial = sum(
+        (max(p, EPS) - max(q, EPS)) * math.log(max(p, EPS) / max(q, EPS))
+        for p, q in zip(
+            (day_counts[2] / day_counts[2].sum())[:3],
+            (sum(day_counts.values()) / sum(day_counts.values()).sum())[:3]))
+    assert got[2] > partial
+
+
+def test_rolling_psi_identical_windows_are_stable(spark):
+    # every window drawn from the same distribution -> PSI ~ 0
+    rows = [(d, b) for d in range(4) for b in range(8) for _ in range(9)]
+    df = spark.createDataFrame(rows, "day long, bucket int")
+    out = rolling_psi(df, bucket=F.col("bucket"),
+                      window_col=F.col("day"), nbins=8).collect()
+    assert len(out) == 4
+    for r in out:
+        assert abs(r["psi"]) < 1e-12

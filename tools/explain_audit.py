@@ -194,6 +194,19 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "drift_rolling": [
+        ("events scanned EXACTLY once — baseline re-aggregated from the "
+         "per-day histogram, grid completion via map-explode, no cache",
+         True,
+         lambda p: len(re.findall(r"Scan parquet",
+                                  p.split("\n\n")[0])) == 1),
+        ("grid completion is a Generate (explode) over aggregated rows",
+         True, lambda p: "Generate" in p.split("\n\n")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to ts, value", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
     "stratified_sample": [
         ("map-only: sampling is a filter, NO exchange in the plan", True,
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
