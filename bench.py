@@ -28,6 +28,7 @@ HEADLINE = [
     "stats_cube",
     "stats_quantiles",
     "uniqueness_summary",
+    "incremental_stats_merge",
     "duplicate_keys",
     "referential_orphans",
     "coercion_number",

@@ -1506,6 +1506,55 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("incremental_stats_merge", oracle="""
+SELECT event_type,
+       count(value) AS n_rows,
+       CAST(count(*) - count(value) AS BIGINT) AS n_null,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS stddev,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+""")
+def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental validation (operators/incremental.py): events are cut
+    into 6 'ingest batches' (pmod of event_id), each batch reduced to a
+    constant-size algebraic state (n, Σx, Σx², min, max), and the corpus
+    stats are recovered ONLY from the merged states — the pattern that
+    lets a ledger-resumed run fold stored per-partition states instead of
+    rescanning validated data. The oracle computes the same stats directly
+    from raw, so a match proves the merge is exact, not approximately
+    right.
+    """
+    from ..operators.incremental import merge_moments, partial_moments
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.pmod("event_id", F.lit(6)).alias("batch"))
+    partials = partial_moments(ev, "value", "batch", ["event_type"])
+    return merge_moments(partials, ["event_type"])
+
+
+@register("uniqueness_incremental")
+def q_uniqueness_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users via per-batch HLL sketches merged with
+    ``hll_union_agg`` (operators/incremental.py) next to the exact count —
+    the incremental twin of `uniqueness_approx`. No SQL oracle (DuckDB
+    cannot reproduce a DataSketches estimate); the driver records rows-
+    only, and pytest pins the strong property: union-of-batch-sketches
+    equals the single-pass sketch exactly, and both sit within the HLL
+    error bound of the exact count.
+    """
+    from ..operators.incremental import (
+        merge_distinct_sketches,
+        partial_distinct_sketch,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.pmod("event_id", F.lit(6)).alias("batch"))
+    merged = merge_distinct_sketches(
+        partial_distinct_sketch(ev, "user_id", "batch"))
+    exact = ev.agg(F.countDistinct("user_id").alias("distinct_exact"))
+    return merged.crossJoin(exact)
+
+
 @register("stratified_sample", oracle="""
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))

@@ -194,6 +194,18 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "incremental_stats_merge": [
+        ("one scan; batch states then merge = exactly two aggregates "
+         "(partial+final each), two exchanges", True,
+         lambda p: len(re.findall(r"Scan parquet",
+                                  p.split("\n\n")[0])) == 1
+         and len(re.findall(r"\n\s*\+- Exchange ",
+                            p.split("== CODEGEN ==")[0])) == 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to event_id, event_type, value", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 3),
+    ],
     "drift_rolling": [
         ("events scanned EXACTLY once — baseline re-aggregated from the "
          "per-day histogram, grid completion via map-explode, no cache",
