@@ -55,6 +55,8 @@ HEADLINE = [
     "token_heavy_hitters",
     "outlier_mad",
     "curation_pipeline",
+    "embedding_dim_stats",
+    "embedding_norms",
     "ann_cosine_topk",
     "ann_ivf_topk",
 ]

@@ -1,0 +1,59 @@
+"""Embedding-column QA: per-dimension health and norm-distribution stats.
+
+The validation-suite view of an `array<float>` column — the checks a
+training pipeline runs BEFORE trusting embeddings for dedup/ANN:
+collapsed (dead) dimensions, zero-norm vectors, and norm drift.
+
+Scale shapes:
+- dimension_stats : posexplode → ONE partial+final hash aggregate keyed
+                    by position. The explode multiplies rows ×dim, but
+                    map-side combine collapses every task to ≤dim rows
+                    before the shuffle, so the exchange carries
+                    |tasks| × dim tiny rows no matter the corpus size.
+- norm_stats      : per-row sequential fold (dot_fold, doubles) → one
+                    global aggregate; map-only until a single-row
+                    reduction. The fold is the same op sequence as the
+                    DuckDB oracle's list_reduce, so norms are
+                    bit-identical cross-engine (operators/dedup.py:410).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dot_fold
+
+#: a dimension whose sample stddev falls below this is "dead" — it
+#: carries no signal and silently shrinks every cosine's effective rank
+DEAD_STDDEV = 1e-6
+
+
+def dimension_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension (pos, n, mean, stddev, n_zero, is_dead) over an
+    array column. ``pos`` is 0-based and cast to long (Spark's posexplode
+    emits int32; the oracle's range() emits int64)."""
+    x = (df.select(F.posexplode(vec_col).alias("pos", "v"))
+         .select(F.col("pos").cast("long").alias("pos"),
+                 F.col("v").cast("double").alias("v")))
+    return x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("stddev"),
+        F.sum((F.col("v") == 0.0).cast("long")).alias("n_zero"),
+    ).withColumn("is_dead", F.col("stddev") < DEAD_STDDEV)
+
+
+def norm_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Corpus norm distribution in one row: (n_vecs, n_zero_norm,
+    min_norm, mean_norm, max_norm). Zero-norm vectors make every cosine
+    against them NaN — they must be 0 before the embedding column feeds
+    dedup or ANN."""
+    v = F.col(vec_col)
+    nrm = F.sqrt(dot_fold(v, v))
+    return df.select(nrm.alias("nrm")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("nrm") == 0.0).cast("long")).alias("n_zero_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"))

@@ -1506,6 +1506,67 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("embedding_dim_stats", oracle="""
+WITH x AS (
+  SELECT unnest(embedding) AS v, unnest(range(len(embedding))) AS pos
+  FROM embeddings)
+SELECT pos, count(*) AS n,
+       round(avg(v::DOUBLE), 6) AS mean,
+       round(stddev_samp(v::DOUBLE), 6) AS stddev,
+       CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero,
+       stddev_samp(v::DOUBLE) < 1e-6 AS is_dead
+FROM x GROUP BY pos
+""")
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health (operators/embedding_qa.py:
+    dimension_stats): mean/stddev/zero-count per position, flagging
+    collapsed (dead) dimensions that silently shrink every cosine's
+    effective rank. The posexplode multiplies rows ×64, but map-side
+    combine collapses each task to ≤64 rows before the shuffle — the
+    exchange carries |tasks|×dim rows regardless of corpus size.
+    """
+    from ..operators.embedding_qa import dimension_stats
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return dimension_stats(e, "embedding")
+
+
+@register("embedding_norms", oracle="""
+WITH p AS (
+  SELECT CASE WHEN vec_id % 100 = 0 THEN 0.0
+              WHEN vec_id % 100 = 1 THEN 2.5
+              ELSE 1.0 END AS s, embedding
+  FROM embeddings),
+n AS (
+  SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          [ (x::DOUBLE * s) * (x::DOUBLE * s) for x in embedding ]),
+          (a, b) -> a + b)) AS nrm
+  FROM p)
+SELECT count(*) AS n_vecs,
+       CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(avg(nrm), 6) AS mean_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n
+""")
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-distribution QA (operators/embedding_qa.py:norm_stats) —
+    zero-norm vectors NaN every cosine against them, so this is the gate
+    before an embedding column feeds dedup or ANN. The fixture is
+    pre-normalized (all norms exactly 1), so both engines first derive
+    the same deterministic perturbation — every 100th vector zeroed,
+    every (100k+1)th scaled 2.5× — making min/mean/max and the zero
+    count all informative. Map-only fold, single-row reduction.
+    """
+    from ..operators.embedding_qa import norm_stats
+    e = load_table(spark, sf_dir, "embeddings")
+    s = (F.when(F.pmod("vec_id", F.lit(100)) == 0, F.lit(0.0))
+         .when(F.pmod("vec_id", F.lit(100)) == 1, F.lit(2.5))
+         .otherwise(F.lit(1.0)))
+    scaled = e.select(F.transform(
+        "embedding", lambda x: x.cast("double") * s).alias("embedding"))
+    return norm_stats(scaled, "embedding")
+
+
 @register("incremental_stats_merge", oracle="""
 SELECT event_type,
        count(value) AS n_rows,

@@ -194,6 +194,23 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "embedding_dim_stats": [
+        ("posexplode fan-out collapses in a partial+final hash aggregate "
+         "(map-side combine to <=dim rows per task)", True,
+         lambda p: "Generate" in p.split("\n\n")[0]
+         and p.split("\n\n")[0].count("HashAggregate") >= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to embedding only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split("embedding")) == 2
+         and m.group(1).count(",") == 0),
+    ],
+    "embedding_norms": [
+        ("map-only fold to a single-row reduction (one exchange)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) <= 1),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "incremental_stats_merge": [
         ("one scan; batch states then merge = exactly two aggregates "
          "(partial+final each), two exchanges", True,
