@@ -39,6 +39,9 @@ HEADLINE = [
     "verdict_rollup",
     "text_quality",
     "text_fingerprint",
+    "text_repetition",
+    "text_surprisal",
+    "pii_scan",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",

@@ -1506,6 +1506,123 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("pii_scan", oracle=r"""
+WITH a AS (
+  SELECT source,
+         text || CASE doc_id % 7
+             WHEN 0 THEN ' reach user7@example.com'
+             WHEN 1 THEN ' call 555-0142 now'
+             WHEN 2 THEN ' host at 192.168.0.42'
+             ELSE '' END AS text
+  FROM documents),
+h AS (
+  SELECT source,
+    len(regexp_extract_all(text,
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
+    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS p,
+    len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS i
+  FROM a)
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE e + p + i > 0) AS BIGINT)
+         AS docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS email_hits,
+       CAST(sum(p) AS BIGINT) AS phone_hits,
+       CAST(sum(i) AS BIGINT) AS ipv4_hits
+FROM h GROUP BY source
+""")
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-PII surface scan (operators/text_filters.py:pii_scan):
+    per-source document counts, documents with any hit, and per-pattern
+    totals for email / phone / IPv4 surface forms. The synthetic corpus
+    contains no PII, so both engines first append the same deterministic
+    PII suffixes (by doc_id residue) — the regexes then have real and
+    absent matches to find. Map-only regex counting (RE2-and-Java-safe
+    patterns) into a tiny per-source aggregate.
+    """
+    from ..operators.text_filters import pii_scan
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0,
+               F.lit(" reach user7@example.com"))
+        .when(F.pmod("doc_id", F.lit(7)) == 1, F.lit(" call 555-0142 now"))
+        .when(F.pmod("doc_id", F.lit(7)) == 2,
+              F.lit(" host at 192.168.0.42"))
+        .otherwise(F.lit("")))
+    return pii_scan(d.select("source", aug.alias("text")),
+                    "text", ["source"])
+
+
+@register("text_repetition", oracle="""
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n,
+         list_distinct(string_split(text, ' ')) AS dt,
+         [t[i] || ' ' || t[i + 1]
+          for i in generate_series(1, len(string_split(text, ' ')) - 1)]
+           AS bg
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+f AS (
+  SELECT doc_id, n,
+         len(dt) / n AS distinct_ratio,
+         list_max([len(list_filter(t, x -> x = d)) for d in dt]) / n
+           AS top_token_share,
+         CASE WHEN len(bg) > 0
+              THEN 1.0 - len(list_distinct(bg)) / len(bg)
+              ELSE 0.0 END AS dup_bigram_fraction
+  FROM g)
+SELECT doc_id, n AS n_tokens,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(top_token_share, 6) AS top_token_share,
+       round(dup_bigram_fraction, 6) AS dup_bigram_fraction,
+       top_token_share > 0.2 OR distinct_ratio < 0.3 AS flagged
+FROM f
+""")
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate detection (operators/text_filters.py:
+    repetition_report) — the MassiveText-style filters: distinct-token
+    ratio, top-token share, duplicate-bigram fraction, and the gate
+    verdict. Pure per-row array arithmetic (zip_with bigrams, counted
+    filters over the distinct set) — NO shuffle at all, because a
+    corpus-wide (doc, token) group-by for a per-doc ratio would be the
+    wrong plan at any scale. The flag compares UNROUNDED ratios — exact
+    integer-ratio doubles, bit-identical cross-engine.
+    """
+    from ..operators.text_filters import repetition_report
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_report(d, "doc_id", "text")
+
+
+@register("text_surprisal", oracle="""
+WITH sp AS (
+  SELECT source,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM (SELECT source,
+               unnest([t[i] || ' ' || t[i + 1]
+                       for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM (SELECT source, string_split(text, ' ') AS t
+              FROM documents))),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM sp GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+j AS (SELECT sp.source, -log2(c2.n2 / c1.n1) AS s
+      FROM sp JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT source, count(*) AS n_bigrams, round(avg(s), 6) AS avg_surprisal
+FROM j GROUP BY source
+""")
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical text quality via corpus-self bigram surprisal
+    (operators/text_lm.py): train the maximum-likelihood bigram LM in one
+    pass (context totals re-aggregate the vocabulary-sized bigram table,
+    never the corpus), then score every bigram occurrence -log2(n2/n1)
+    through a broadcast LM join and reduce per source. Probabilities are
+    exact rationals (no smoothing; the corpus scores itself, so every
+    bigram was seen), so both engines compute identical doubles.
+    """
+    from ..operators.text_lm import surprisal_scores
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return surprisal_scores(d, "text", ["source"])
+
+
 @register("embedding_dim_stats", oracle="""
 WITH x AS (
   SELECT unnest(embedding) AS v, unnest(range(len(embedding))) AS pos

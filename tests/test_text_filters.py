@@ -1,0 +1,92 @@
+"""Text filters v2 (operators/text_filters.py) and bigram-LM surprisal
+(operators/text_lm.py) vs python brute-force twins."""
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from json_spark.operators.text_filters import (
+    pii_scan,
+    repetition_report,
+)
+from json_spark.operators.text_lm import bigram_counts, surprisal_scores
+
+
+def test_pii_scan_counts_and_doc_flags(spark):
+    docs = [
+        ("a", "mail me at bob@example.com or sue@test.io"),   # 2 emails
+        ("a", "call 555-0142 and 555-9999"),                  # 2 phones
+        ("b", "server 10.0.0.1 and printer 192.168.1.254"),   # 2 ips
+        ("b", "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(docs, "src string, text string")
+    got = {r["src"]: r.asDict()
+           for r in pii_scan(df, "text", ["src"]).collect()}
+    assert got["a"] == {"src": "a", "n_docs": 2, "docs_with_pii": 2,
+                        "email_hits": 2, "phone_hits": 2, "ipv4_hits": 0}
+    assert got["b"] == {"src": "b", "n_docs": 2, "docs_with_pii": 1,
+                        "email_hits": 0, "phone_hits": 0, "ipv4_hits": 2}
+
+
+def _brute_repetition(text):
+    t = text.split(" ")
+    n = len(t)
+    cnt = Counter(t)
+    bg = [f"{a} {b}" for a, b in zip(t, t[1:])]
+    return {
+        "n_tokens": n,
+        "distinct_ratio": round(len(cnt) / n, 6),
+        "top_token_share": round(max(cnt.values()) / n, 6),
+        "dup_bigram_fraction":
+            round(1.0 - len(set(bg)) / len(bg), 6) if bg else 0.0,
+    }
+
+
+def test_repetition_report_vs_bruteforce(spark):
+    docs = [
+        (1, "spam spam spam spam spam ham"),               # boilerplate
+        (2, "each word here appears just once only"),      # clean
+        (3, "ab cd ab cd ab cd ab cd"),                    # phrase loop
+        (4, "solo"),                                       # 1 token edge
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_report(df, "doc_id", "text").collect()}
+    for doc_id, text in docs:
+        want = _brute_repetition(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k)
+    assert got[1]["flagged"] and got[3]["flagged"]
+    assert not got[2]["flagged"]
+
+
+def test_surprisal_vs_bruteforce(spark):
+    docs = [("s1", "a b a b a c"), ("s1", "b a b a"), ("s2", "a c a c a b")]
+    df = spark.createDataFrame(docs, "src string, text string")
+
+    pairs = [(src, (t[i], t[i + 1]))
+             for src, txt in docs
+             for t in [txt.split(" ")] for i in range(len(t) - 1)]
+    c2 = Counter(p for _, p in pairs)
+    c1 = Counter(p[0] for _, p in pairs)
+    by_src = {}
+    for src, p in pairs:
+        by_src.setdefault(src, []).append(-math.log2(c2[p] / c1[p[0]]))
+
+    got = {r["src"]: r.asDict()
+           for r in surprisal_scores(df, "text", ["src"]).collect()}
+    for src, scores in by_src.items():
+        assert got[src]["n_bigrams"] == len(scores)
+        assert got[src]["avg_surprisal"] == round(
+            sum(scores) / len(scores), 6)
+
+
+def test_bigram_counts_context_totals(spark):
+    df = spark.createDataFrame([("x", "a b a b c")], "src string, text string")
+    rows = {(r["w1"], r["w2"]): (r["n2"], r["n1"])
+            for r in bigram_counts(df, "text").collect()}
+    # bigrams: a-b, b-a, a-b, b-c -> n2: ab=2, ba=1, bc=1; n1: a=2, b=2
+    assert rows[("a", "b")] == (2, 2)
+    assert rows[("b", "a")] == (1, 2)
+    assert rows[("b", "c")] == (1, 2)

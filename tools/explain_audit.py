@@ -194,6 +194,31 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "pii_scan": [
+        ("map-only regex counting into one tiny aggregate (single "
+         "exchange)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "text_repetition": [
+        ("pure per-row array arithmetic: NO exchange, no Generate "
+         "(zip_with bigrams, not explode)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 0
+         and "Generate" not in p.split("\n\n")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to doc_id, text", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
+    "text_surprisal": [
+        ("LM joins are broadcast (vocab-sized build side), never a "
+         "shuffled corpus join", True,
+         lambda p: p.split("\n\n")[0].count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in p and "NestedLoop" not in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "embedding_dim_stats": [
         ("posexplode fan-out collapses in a partial+final hash aggregate "
          "(map-side combine to <=dim rows per task)", True,
