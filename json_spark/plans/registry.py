@@ -1211,6 +1211,37 @@ def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("audio_rms_check", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec, count(*) AS n_clips,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT)
+         AS n_noise_loud,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT)
+         AS n_band_ok
+FROM full_ GROUP BY codec
+""")
+def q_audio_rms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-band invariant over decoded PCM: the generator's
+    3-harmonic mix has RMS = sqrt(Σ aᵢ²/2) ≈ 0.382 (truncation keeps
+    every clean clip in [0.376, 0.385] — verified exhaustively), while
+    the planted corruption adds uniform(-0.3, 0.3) noise, pushing RMS to
+    ≈ sqrt(0.382² + 0.3²/3) ≈ 0.419. A 0.40 threshold therefore splits
+    clean from corrupted with ~8σ margins, and the oracle's closed-form
+    row arithmetic (corrupt ⟺ i % 997 = 996, codec via the CRC-32 SQL
+    fold) predicts the exact per-codec counts on BOTH sides of the line —
+    a content-level check that never decodes a byte in the oracle.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import audio_features
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    f = audio_features(clips)
+    return f.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.col("rms") > 0.40).cast("long")).alias("n_noise_loud"),
+        F.sum(((F.col("rms") >= 0.30) & (F.col("rms") <= 0.40))
+              .cast("long")).alias("n_band_ok"))
+
+
 @register("audio_chunks", oracle=f"""
 WITH {_CLIPS_CLOSED_FORM_CTE},
 grid AS (
