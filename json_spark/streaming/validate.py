@@ -92,6 +92,65 @@ def streaming_windowed_verdicts(
     )
 
 
+def streaming_window_drift(
+    stream: DataFrame,
+    value_col: str,
+    event_time_col: str,
+    baseline_shares: list[float],
+    lo: float,
+    hi: float,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    alert_threshold: float = 0.25,
+) -> DataFrame:
+    """Per-event-time-window PSI of a streaming value column against a
+    PRECOMPUTED baseline histogram — continuous drift monitoring.
+
+    Streaming-specific design: append mode allows ONE stateful
+    aggregation, so the per-window histogram AND the PSI reduce in a
+    single ``groupBy(window)`` — bucket counts become ``nbins``
+    conditional-sum columns and the PSI is a closed-form expression over
+    them, with the baseline shares baked in as literals. That is also the
+    production-correct dataflow: the baseline is a small static artifact
+    (built batch-side by operators/drift.py:histogram), not something to
+    re-join per micro-batch. State is O(windows), independent of volume.
+
+    Emits (window_start, window_end, n_rows, psi, drifted) per finalized
+    window; the conventional >0.25 PSI gate marks ``drifted``.
+    """
+    from ..operators.drift import EPS
+
+    nbins = len(baseline_shares)
+    width = (hi - lo) / nbins
+    v = F.col(value_col)
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+
+    agged = (
+        stream.withWatermark(event_time_col, watermark)
+        .filter(v.isNotNull())
+        .withColumn("__b", bucket)
+        .groupBy(F.window(event_time_col, window_duration))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             *[F.sum((F.col("__b") == b).cast("long")).alias(f"__n{b}")
+               for b in range(nbins)]))
+
+    psi = F.lit(0.0)
+    for b, q_share in enumerate(baseline_shares):
+        p = F.greatest(F.col(f"__n{b}") / F.col("n_rows"), F.lit(EPS))
+        q = F.greatest(F.lit(float(q_share)), F.lit(EPS))
+        psi = psi + (p - q) * F.log(p / q)
+
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_rows",
+        F.round(psi, 6).alias("psi"),
+        (psi > alert_threshold).alias("drifted"))
+
+
 def default_stream_rules(cfg: RuleConfig, number_col: str,
                          bool_col: str) -> dict[str, Column]:
     """Convenience rule set for the test/demo stream shape."""
