@@ -31,6 +31,7 @@ HEADLINE = [
     "incremental_stats_merge",
     "duplicate_keys",
     "referential_orphans",
+    "fuzzy_referential",
     "coercion_number",
     "coercion_date",
     "drift_psi",

@@ -1537,6 +1537,47 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("fuzzy_referential", oracle="""
+WITH ids AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k, doc_id
+  FROM documents),
+refs AS (
+  SELECT CASE WHEN doc_id % 10 = 0 THEN substr(k, 1, 5) || substr(k, 7)
+              ELSE k END AS ref_key
+  FROM ids),
+cand AS (
+  SELECT r.ref_key, i.k, levenshtein(r.ref_key, i.k) AS d
+  FROM refs r JOIN ids i ON levenshtein(r.ref_key, i.k) <= 1),
+best AS (
+  SELECT ref_key, k, d,
+         row_number() OVER (PARTITION BY ref_key ORDER BY d, k) AS rn
+  FROM cand)
+SELECT ref_key, k AS matched_key, CAST(d AS BIGINT) AS dist
+FROM best WHERE rn = 1
+""")
+def q_fuzzy_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant referential integrity (operators/fuzzy.py): every
+    10th reference key gets a deterministic single-character deletion on
+    BOTH engines, then each ref finds its best canonical key within edit
+    distance 1. Spark never evaluates an O(n·m) similarity join: the
+    deletion-neighborhood identity (FastSS) turns lev<=1 into an equality
+    join on shared variants with an exact levenshtein verify on the
+    candidate set only. The oracle runs the naive inequality join —
+    affordable only in DuckDB at this SF — so a match also proves the
+    blocking loses no pair.
+    """
+    from ..operators.fuzzy import best_fuzzy_match
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("k"),
+        "doc_id")
+    refs = d.select(
+        F.when(F.pmod("doc_id", F.lit(10)) == 0,
+               F.concat(F.col("k").substr(1, 5), F.col("k").substr(7, 12)))
+        .otherwise(F.col("k")).alias("ref_key"))
+    return best_fuzzy_match(refs, d.select("k"), "ref_key", "k")
+
+
 @register("pii_scan", oracle=r"""
 WITH a AS (
   SELECT source,

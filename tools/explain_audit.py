@@ -194,6 +194,17 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "fuzzy_referential": [
+        ("lev<=1 never reaches the join: deletion-variant EQUALITY join "
+         "(no cartesian/NestedLoop anywhere)", True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("variant fan-out is a Generate (explode), map-side", True,
+         lambda p: "Generate" in p.split("\n\n")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to doc_id", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 1),
+    ],
     "pii_scan": [
         ("map-only regex counting into one tiny aggregate (single "
          "exchange)", True,
