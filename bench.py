@@ -63,6 +63,7 @@ HEADLINE = [
     "embedding_norms",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
 ]
 
 
