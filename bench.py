@@ -29,6 +29,7 @@ HEADLINE = [
     "stats_quantiles",
     "uniqueness_summary",
     "incremental_stats_merge",
+    "fd_profile",
     "duplicate_keys",
     "referential_orphans",
     "fuzzy_referential",

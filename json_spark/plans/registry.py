@@ -1561,6 +1561,47 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("fd_profile", oracle="""
+SELECT 'event_id' AS lhs, 'ts' AS rhs, count(*) AS n_groups,
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT) AS n_violating,
+       CAST(max(d) AS BIGINT) AS max_distinct, max(d) <= 1 AS holds
+FROM (SELECT event_id, count(DISTINCT ts) AS d FROM events
+      GROUP BY event_id)
+UNION ALL
+SELECT 'event_id', 'user_id', count(*),
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+       CAST(max(d) AS BIGINT), max(d) <= 1
+FROM (SELECT event_id, count(DISTINCT user_id) AS d FROM events
+      GROUP BY event_id)
+UNION ALL
+SELECT 'user_id', 'event_type', count(*),
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+       CAST(max(d) AS BIGINT), max(d) <= 1
+FROM (SELECT user_id, count(DISTINCT event_type) AS d FROM events
+      GROUP BY user_id)
+UNION ALL
+SELECT 'event_type', 'user_id', count(*),
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+       CAST(max(d) AS BIGINT), max(d) <= 1
+FROM (SELECT event_type, count(DISTINCT user_id) AS d FROM events
+      GROUP BY event_type)
+""")
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (operators/profiling.py): does
+    column A determine column B? Four candidates over events — the two
+    key-like FDs (event_id → ts / user_id) must hold, the two
+    attribute-level ones (user_id ↔ event_type) must visibly violate.
+    Each candidate is one pass: groupBy(lhs) + countDistinct(rhs) runs as
+    Spark's two-phase distinct aggregate (map-side dedup, shuffle carries
+    distinct pairs, never raw rows).
+    """
+    from ..operators.profiling import fd_profile
+    ev = load_table(spark, sf_dir, "events")
+    return fd_profile(ev, [("event_id", "ts"), ("event_id", "user_id"),
+                           ("user_id", "event_type"),
+                           ("event_type", "user_id")])
+
+
 @register("fuzzy_referential", oracle="""
 WITH ids AS (
   SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k, doc_id
