@@ -30,6 +30,7 @@ HEADLINE = [
     "uniqueness_summary",
     "incremental_stats_merge",
     "fd_profile",
+    "column_profile",
     "duplicate_keys",
     "referential_orphans",
     "fuzzy_referential",

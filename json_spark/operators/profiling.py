@@ -22,6 +22,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column value-distribution profile: (col_name, n_rows, n_null,
+    n_distinct, top_share, entropy_bits) — the at-a-glance table a
+    validation run prints before anything else. ``top_share`` is the most
+    frequent value's fraction (a 0.99 means the column is near-constant);
+    ``entropy_bits`` is Shannon entropy of the value distribution
+    (0 for constants, log2(n_distinct) for uniform).
+
+    One pass per column: groupBy(value) hash aggregate (map-side
+    combine), then the entropy/top-share reduce over the value-count
+    table, which is cardinality-sized. NULL is profiled as its own
+    value for the counts but excluded from entropy/top_share.
+    """
+    from pyspark.sql import Window
+
+    outs = []
+    for c in cols:
+        vc = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n"))
+        # the share denominator is itself an aggregate of the count table;
+        # a global window over the CARDINALITY-sized frame (not the raw
+        # rows) keeps everything one job without nesting aggregates
+        w = Window.partitionBy()
+        nn = F.when(F.col("__v").isNotNull(), F.col("__n")).otherwise(
+            F.lit(0))
+        shared = vc.withColumn("__nn_tot", F.sum(nn).over(w))
+        p = F.col("__n") / F.col("__nn_tot")
+        ent_term = F.when(F.col("__v").isNotNull(),
+                          -p * F.log2(p)).otherwise(F.lit(0.0))
+        outs.append(shared.agg(
+            F.lit(c).alias("col_name"),
+            F.sum("__n").alias("n_rows"),
+            F.sum(F.when(F.col("__v").isNull(), F.col("__n"))
+                  .otherwise(F.lit(0))).alias("n_null"),
+            F.count(F.when(F.col("__v").isNotNull(), F.lit(1)))
+            .alias("n_distinct"),
+            F.round(F.max(F.when(F.col("__v").isNotNull(), p)), 6)
+            .alias("top_share"),
+            F.round(F.sum(ent_term), 6).alias("entropy_bits")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def fd_profile(df: DataFrame,
                candidates: list[tuple[str, str]]) -> DataFrame:
     """One row per candidate FD: (lhs, rhs, n_groups, n_violating,

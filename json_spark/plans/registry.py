@@ -1561,6 +1561,42 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_shards=4)
 
 
+@register("column_profile", oracle="""
+WITH p AS (
+  SELECT 'event_type' AS col_name, n
+  FROM (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1)
+  UNION ALL
+  SELECT 'user_id', n
+  FROM (SELECT user_id AS v, count(*) AS n FROM events GROUP BY 1)
+  UNION ALL
+  SELECT 'props', n
+  FROM (SELECT props AS v, count(*) AS n FROM events GROUP BY 1)),
+s AS (
+  SELECT col_name, n,
+         n / sum(n) OVER (PARTITION BY col_name) AS sh
+  FROM p)
+SELECT col_name,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_null,
+       count(*) AS n_distinct,
+       round(max(sh), 6) AS top_share,
+       round(sum(-sh * log2(sh)), 6) AS entropy_bits
+FROM s GROUP BY col_name
+""")
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column value-distribution profile (operators/profiling.py:
+    column_profile): cardinality, top-value share (near-constant
+    detector), Shannon entropy — the at-a-glance table a validation run
+    prints first. One hash aggregate per column reduces the stream to
+    value-cardinality size; shares/entropy are a window + reduce over
+    that small frame. These columns carry no nulls (so the oracle pins
+    n_null = 0); the null-as-its-own-bucket path is pinned in pytest.
+    """
+    from ..operators.profiling import column_profile
+    ev = load_table(spark, sf_dir, "events")
+    return column_profile(ev, ["event_type", "user_id", "props"])
+
+
 @register("fd_profile", oracle="""
 SELECT 'event_id' AS lhs, 'ts' AS rhs, count(*) AS n_groups,
        CAST(count(*) FILTER (WHERE d > 1) AS BIGINT) AS n_violating,

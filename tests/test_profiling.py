@@ -1,8 +1,38 @@
-"""FD profiling (operators/profiling.py) vs brute-force group maps."""
+"""FD + column profiling (operators/profiling.py) vs brute-force
+twins, including the null-as-its-own-bucket path."""
+
+import math
+from collections import Counter
 
 from pyspark.sql import functions as F  # noqa: F401
 
-from json_spark.operators.profiling import fd_profile
+from json_spark.operators.profiling import column_profile, fd_profile
+
+
+def test_column_profile_vs_bruteforce_with_nulls(spark):
+    vals = ["a"] * 6 + ["b"] * 3 + ["c"] + [None] * 2
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    row = column_profile(df, ["x"]).collect()[0]
+    nn = [v for v in vals if v is not None]
+    cnt = Counter(nn)
+    shares = [n / len(nn) for n in cnt.values()]
+    assert row["col_name"] == "x"
+    assert row["n_rows"] == len(vals)
+    assert row["n_null"] == 2
+    assert row["n_distinct"] == 3
+    assert row["top_share"] == round(max(shares), 6)
+    assert row["entropy_bits"] == round(
+        sum(-p * math.log2(p) for p in shares), 6)
+
+
+def test_column_profile_constant_and_uniform(spark):
+    df = spark.createDataFrame(
+        [("k", i % 8) for i in range(64)], "c string, u int")
+    rows = {r["col_name"]: r for r in
+            column_profile(df, ["c", "u"]).collect()}
+    assert rows["c"]["entropy_bits"] == 0.0 and rows["c"]["top_share"] == 1.0
+    assert rows["u"]["entropy_bits"] == 3.0  # log2(8), exactly uniform
+    assert rows["u"]["n_distinct"] == 8
 
 
 def test_fd_profile_vs_bruteforce(spark):
