@@ -66,6 +66,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

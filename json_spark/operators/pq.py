@@ -143,6 +143,86 @@ def pq_encode(vectors: DataFrame, id_col: str, vec_col: str,
             .withColumnRenamed("__id", id_col))
 
 
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, centroids: list[list[float]],
+               books: np.ndarray, k: int = 10, nprobe: int = 8,
+               vec_nprobe: int = 2, refine: int = 4) -> DataFrame:
+    """IVF-PQ hybrid (the FAISS IVFPQ shape): vectors land in their
+    ``vec_nprobe`` nearest IVF buckets carrying only their PQ codes;
+    queries probe ``nprobe`` buckets; the equality join on centroid_id
+    yields candidates whose ADC score is computed as a PURE COLUMN
+    expression (a fold over the code array against the query's flattened
+    lookup table, joined from a broadcast queries frame — no Python
+    touches the joined stream); a window keeps ``refine × k`` per query
+    and the exact cosine re-ranks those.
+
+    vs plain PQ: the bucket join means only ~nprobe/n_centroids of the
+    compressed index is scored per query. vs plain IVF: candidates
+    shuffle as m code bytes, not dim floats — at 10^12 vectors the
+    candidate traffic shrinks 32×.
+    """
+    from .similarity import _assign_stage
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    m, ksub, _ = books.shape
+
+    codes_df = pq_encode(vectors, id_col, vec_col, books)
+    v_in = vectors.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__vec"))
+    v_assigned = (v_in.mapInArrow(
+        _assign_stage(cents, vec_nprobe, "neighbor_id"),
+        "neighbor_id long, centroid_id int")
+        .join(codes_df.withColumnRenamed(id_col, "neighbor_id"),
+              "neighbor_id"))
+
+    q_in = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__vec"))
+    q_assigned = q_in.mapInArrow(
+        _assign_stage(cents, nprobe, "query_id"),
+        "query_id long, centroid_id int")
+
+    # flattened per-query LUT rides a broadcast join: lut[s*ksub + c]
+    q_rows = q_in.collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.asarray([list(r["__vec"]) for r in q_rows],
+                       dtype=np.float64)
+    luts = np.einsum("qmd,mkd->qmk", _split(q_mat, m), books)
+    spark = vectors.sparkSession
+    luts_df = spark.createDataFrame(
+        [(int(q), [float(x) for x in lut.ravel()])
+         for q, lut in zip(q_ids, luts)],
+        "query_id long, __lut array<double>")
+
+    cand = (q_assigned.join(v_assigned, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes").distinct()
+            .join(F.broadcast(luts_df), "query_id"))
+    sub_idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        F.zip_with(sub_idx, F.col("codes"),
+                   lambda s, c: F.element_at(
+                       "__lut", (s * ksub + c.cast("int") + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    shortlist = (cand.select("query_id", "neighbor_id", adc.alias("adc"))
+                 .withColumn("__r", F.row_number().over(wa))
+                 .filter(F.col("__r") <= refine * k)
+                 .select("query_id", "neighbor_id"))
+
+    scored = (shortlist
+              .join(v_in.withColumnRenamed("__vec", "__nv"), "neighbor_id")
+              .join(F.broadcast(q_in.withColumnRenamed("__vec", "__qv")),
+                    "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__nv")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos"))
+
+
 def pq_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, books: np.ndarray, k: int = 10,
             refine: int = 4) -> DataFrame:

@@ -1088,6 +1088,32 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    k=10, refine=8)
 
 
+@register("ann_ivfpq_topk")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ hybrid ANN (operators/pq.py:ivfpq_topk — the FAISS IVFPQ
+    shape): queries probe 8/16 IVF buckets, candidates carry only their
+    8 PQ code bytes through the bucket join (32× less candidate traffic
+    than floats), ADC scoring is a pure Column fold against a broadcast
+    per-query lookup table, exact cosine re-ranks 8×k. Rows-only driver
+    check; tests/test_pq.py pins recall@10 ≥ 0.75 vs the exact baseline
+    (measured 0.88 on the isotropic fixture at half the index scanned).
+    """
+    from ..operators.pq import ivfpq_topk, train_codebooks
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    ckey = (sf_dir, 16, 2)
+    if ckey not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[ckey] = pick_centroids(
+            e, "vec_id", "embedding", k=16, refine_iters=2)
+    bkey = (sf_dir, 8, 64)
+    if bkey not in _PQ_BOOKS:
+        _PQ_BOOKS[bkey] = train_codebooks(
+            e, "vec_id", "embedding", m=8, ksub=64, refine_iters=3)
+    return ivfpq_topk(e, queries, "vec_id", "embedding",
+                      _IVF_CENTROIDS[ckey], _PQ_BOOKS[bkey],
+                      k=10, nprobe=8, vec_nprobe=2, refine=8)
+
+
 @register("ann_ivf_topk")
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probabilistic recall ⇒ rows-only driver check; tests/test_pipeline.py

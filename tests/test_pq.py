@@ -50,6 +50,23 @@ def test_assign_codes_matches_bruteforce():
             assert got[r, s] == int(np.argmin(d))
 
 
+def test_ivfpq_recall_floor_vs_exact(spark):
+    from json_spark.operators.pq import ivfpq_topk
+    from json_spark.operators.similarity import pick_centroids
+    df, _ = _vectors(spark, n=500, dim=32)
+    q = df.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    cents = pick_centroids(df, "vec_id", "embedding", k=8, refine_iters=2)
+    books = train_codebooks(df, "vec_id", "embedding", m=4, ksub=32,
+                            refine_iters=3)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivfpq_topk(df, q, "vec_id", "embedding", cents, books,
+                         k=10, nprobe=4, vec_nprobe=2, refine=8).collect()}
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk(df, q, "vec_id", "embedding", k=10).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, recall   # half the buckets probed + PQ approx
+
+
 def test_pq_recall_floor_vs_exact(spark):
     df, _ = _vectors(spark, n=500, dim=32)
     q = df.filter(F.pmod("vec_id", F.lit(50)) == 0)
