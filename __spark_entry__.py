@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from json_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: E402
+from json_spark.plans.registry import (  # noqa: E402
+    ORACLE_SQL,
+    QUERIES,
+    gate_order,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,10 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without a fresh driver-gate row come first — the
+    gate samples the first 50 entries, and a query whose implementation
+    changed since its last check must re-enter the window."""
+    return gate_order(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    return dict(ORACLE_SQL)
+    return gate_order(ORACLE_SQL)

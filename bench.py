@@ -3,9 +3,21 @@
 JSON line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
 sec}, "sf", plus rows_per_sec context}.
 
+Contention protocol (shared with tools/bench_scaling.py via
+json_spark/contention.py — the host CPU is oversubscribed in bursts, so
+raw single-shot timings mix engine cost with co-tenant noise):
+- one spare physical core is reserved for the heartbeat probe (Spark
+  gets cores-1 task slots) so a stretched heartbeat means EXTERNAL load;
+- per query: a pre-attempt launch gate (/proc/stat quiet), then up to
+  ``ATTEMPTS`` timed attempts each classified clean/tainted by the
+  heartbeat median vs the quiet-host baseline;
+- the reported figure is the min over CLEAN attempts; a query with no
+  clean attempt reports its min and is listed in ``tainted`` so a slow
+  artifact number is distinguishable from a slow engine.
+
 Scaling evidence for the north rule (efficiency >= 0.8 from N to 4N
-executors) is produced by tools/bench_scaling.py which runs this same
-workload at two parallelism levels.
+executors) is produced by tools/bench_scaling.py which runs the
+end-to-end validation suite at two parallelism levels.
 """
 
 from __future__ import annotations
@@ -17,6 +29,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from json_spark.contention import (  # noqa: E402
+    HB_TAINT_RATIO,
+    Heartbeat,
+    hb_calibrate,
+    wait_quiet,
+)
 from json_spark.session import get_spark  # noqa: E402
 from json_spark.plans.registry import QUERIES  # noqa: E402
 
@@ -69,39 +87,69 @@ HEADLINE = [
     "ann_ivfpq_topk",
 ]
 
+#: timed attempts per query; the first clean pair usually suffices, the
+#: third buys a clean sample when a co-tenant burst spans the first two
+ATTEMPTS = 3
+#: per-query launch-gate budget — bounded so a long burst degrades to a
+#: tainted (flagged) measurement instead of stalling the whole suite
+GATE_MAX_WAIT_S = 45.0
+
 
 def run(sf_dir: str, cores: int, spark=None) -> dict:
     own_session = spark is None
+    # reserve one physical core for the heartbeat probe: with task slots
+    # below the core count, a stretched heartbeat can only mean external
+    # (co-tenant) contention, never the engine's own load
+    spark_cores = max(cores - 1, 1) if cores >= 8 else cores
+    hb_baseline = hb_calibrate(chunks=40)
     if own_session:
-        spark = get_spark("json_spark-bench", cores=cores,
-                          shuffle_partitions=max(cores, 8))
+        spark = get_spark("json_spark-bench", cores=spark_cores,
+                          shuffle_partitions=max(spark_cores, 8))
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    tainted: list[str] = []
     total_rows = 0
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         fn = QUERIES[name]
-        # best-of-2: the host CPU is oversubscribed in bursts (p90 chunk
-        # time 2.4x median on a pure-CPU burn), so single-shot timings mix
-        # engine cost with neighbor noise; min-of-2 in one session keeps
-        # plan/JIT warm-up in the first attempt and reports the engine
-        attempt = []
-        for _ in range(2):
+        busy = round(wait_quiet(busy_thresh=0.15, max_wait_s=GATE_MAX_WAIT_S,
+                                sample_s=0.5, poll_s=5.0), 3)
+        attempts: list[float] = []
+        clean: list[bool] = []
+        for i in range(ATTEMPTS):
+            hb = Heartbeat()
+            hb.start()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            attempt.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(attempt)
+            attempts.append(round(time.perf_counter() - t0, 3))
+            hb_med = hb.finish()
+            ratio = (hb_med / hb_baseline) if (hb_med and hb_baseline) else None
+            clean.append(ratio is None or ratio <= HB_TAINT_RATIO)
+            # two clean attempts bound the engine cost; skip the third
+            if i >= 1 and sum(clean) >= 2:
+                break
+        clean_times = [t for t, c in zip(attempts, clean) if c]
+        timings[name] = min(clean_times) if clean_times else min(attempts)
+        if not clean_times:
+            tainted.append(name)
+        detail[name] = {"attempts": attempts, "clean": clean,
+                        "busy_at_gate": busy}
         total_rows += n
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "timing": "best_of_2_per_query",
+        "timing": f"best_of_clean_{ATTEMPTS}_per_query"
+                  "_gated_heartbeat_tainted",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
+        "spark_task_slots": spark_cores,
+        "tainted": tainted,
+        "queries_detail": detail,
     }
     if own_session:
         spark.stop()

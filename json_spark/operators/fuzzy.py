@@ -35,15 +35,38 @@ def deletion_variants(c: Column) -> Column:
     return F.array_union(F.array(c), deletions)
 
 
+def _cap_variant_bucket(df: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop variants whose bucket exceeds ``max_bucket`` rows on this
+    side. Real corpora have hot variants (zero-padded sequential keys
+    share long prefixes, so single-deletion variants collide); a bucket
+    of size B on both sides costs B² candidate pairs in the equality
+    join. The count window partitions on ``__v`` — the join's own key —
+    so the exchange it introduces is the one the join needs anyway."""
+    w = Window.partitionBy("__v")
+    return (df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n"))
+
+
 def fuzzy_match_ed1(refs: DataFrame, canon: DataFrame,
-                    ref_col: str, key_col: str) -> DataFrame:
+                    ref_col: str, key_col: str,
+                    max_bucket: int = 10_000) -> DataFrame:
     """All (ref, key) pairs with levenshtein distance <= 1, via the
     deletion-neighborhood equality join + exact verify. Emits
-    (ref_col, key_col, dist)."""
+    (ref_col, key_col, dist).
+
+    ``max_bucket`` caps pathological variant buckets before the
+    self-expanding join (mirroring dedup.minhash_lsh_pairs): a dropped
+    bucket is a recall (never precision) trade, and at the default cap
+    only degenerate near-constant key populations are affected — every
+    legitimate typo neighborhood is orders of magnitude smaller."""
     lv = refs.select(ref_col, F.explode(
         deletion_variants(F.col(ref_col))).alias("__v"))
     rv = canon.select(key_col, F.explode(
         deletion_variants(F.col(key_col))).alias("__v"))
+    if max_bucket is not None:
+        lv = _cap_variant_bucket(lv, max_bucket)
+        rv = _cap_variant_bucket(rv, max_bucket)
     pairs = lv.join(rv, "__v").select(ref_col, key_col).distinct()
     return (pairs
             .withColumn("dist",
@@ -53,12 +76,13 @@ def fuzzy_match_ed1(refs: DataFrame, canon: DataFrame,
 
 
 def best_fuzzy_match(refs: DataFrame, canon: DataFrame,
-                     ref_col: str, key_col: str) -> DataFrame:
+                     ref_col: str, key_col: str,
+                     max_bucket: int = 10_000) -> DataFrame:
     """One row per ref: its best (lowest-distance, then lexicographically
     smallest) canonical key within edit distance 1 — the typo-correction
     view of a referential check. Refs with no near key are absent (join
     them back anti-style for the orphan report)."""
-    m = fuzzy_match_ed1(refs, canon, ref_col, key_col)
+    m = fuzzy_match_ed1(refs, canon, ref_col, key_col, max_bucket)
     w = Window.partitionBy(ref_col).orderBy("dist", key_col)
     return (m.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

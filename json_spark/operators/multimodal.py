@@ -216,9 +216,12 @@ def dominant_freq(clips: DataFrame) -> DataFrame:
             dom, binw = [], []
             for j in range(batch.num_rows):
                 try:
+                    # AttributeError: a NULL bytes value has no
+                    # as_buffer(); nulls are undecodable like any other
+                    # bad payload and must not kill the Arrow task
                     sig, sr = decode_wav_pcm16(
                         memoryview(payloads[j].as_buffer()))
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, AttributeError):
                     dom.append(None)
                     binw.append(None)
                     continue

@@ -31,36 +31,38 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     (0 for constants, log2(n_distinct) for uniform).
 
     One pass per column: groupBy(value) hash aggregate (map-side
-    combine), then the entropy/top-share reduce over the value-count
-    table, which is cardinality-sized. NULL is profiled as its own
-    value for the counts but excluded from entropy/top_share.
-    """
-    from pyspark.sql import Window
+    combine), then ONE plain aggregate over the value-count table. NULL
+    is profiled as its own value for the counts but excluded from
+    entropy/top_share.
 
+    Entropy is computed by the algebraic identity
+    ``H = log2(N) - (Σ n·log2 n) / N`` so the whole profile is
+    map-combinable partial aggregation — no ``Window.partitionBy()``
+    (which would collapse a high-cardinality count table, e.g. an
+    id-like column whose count table is corpus-sized, into ONE task).
+    """
     outs = []
     for c in cols:
         vc = df.groupBy(F.col(c).alias("__v")).agg(
             F.count(F.lit(1)).alias("__n"))
-        # the share denominator is itself an aggregate of the count table;
-        # a global window over the CARDINALITY-sized frame (not the raw
-        # rows) keeps everything one job without nesting aggregates
-        w = Window.partitionBy()
-        nn = F.when(F.col("__v").isNotNull(), F.col("__n")).otherwise(
-            F.lit(0))
-        shared = vc.withColumn("__nn_tot", F.sum(nn).over(w))
-        p = F.col("__n") / F.col("__nn_tot")
-        ent_term = F.when(F.col("__v").isNotNull(),
-                          -p * F.log2(p)).otherwise(F.lit(0.0))
-        outs.append(shared.agg(
-            F.lit(c).alias("col_name"),
+        nn = F.when(F.col("__v").isNotNull(), F.col("__n"))
+        raw = vc.agg(
             F.sum("__n").alias("n_rows"),
-            F.sum(F.when(F.col("__v").isNull(), F.col("__n"))
-                  .otherwise(F.lit(0))).alias("n_null"),
-            F.count(F.when(F.col("__v").isNotNull(), F.lit(1)))
-            .alias("n_distinct"),
-            F.round(F.max(F.when(F.col("__v").isNotNull(), p)), 6)
+            F.coalesce(F.sum(F.when(F.col("__v").isNull(), F.col("__n"))),
+                       F.lit(0).cast("long")).alias("n_null"),
+            F.count(nn).alias("n_distinct"),
+            F.max(nn).alias("__max_n"),
+            F.sum(nn * F.log2(nn)).alias("__sum_nlog"),
+            F.sum(nn).alias("__nn_tot"))
+        outs.append(raw.select(
+            F.lit(c).alias("col_name"),
+            "n_rows", "n_null", "n_distinct",
+            F.round(F.col("__max_n") / F.col("__nn_tot"), 6)
             .alias("top_share"),
-            F.round(F.sum(ent_term), 6).alias("entropy_bits")))
+            F.round(F.coalesce(
+                F.log2("__nn_tot")
+                - F.col("__sum_nlog") / F.col("__nn_tot"),
+                F.lit(0.0)), 6).alias("entropy_bits")))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -63,7 +63,9 @@ def chunk_audio(clips: DataFrame, chunk_ms: int = 20) -> DataFrame:
     data_bytes = hdr["data_bytes"]
     n_chunks = F.floor((data_bytes + (2 * samples_per_chunk) - 1)
                        / (2 * samples_per_chunk)).cast("long")
-    gridded = clips.filter(hdr["riff_ok"]).select(
+    # data_bytes == 0 would make sequence(0, -1) step backwards and emit
+    # two bogus chunk rows; an empty data section has zero chunks
+    gridded = clips.filter(hdr["riff_ok"] & (data_bytes > 0)).select(
         "clip_id", "codec", "bytes", bpc,
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
         .alias("chunk_idx"),

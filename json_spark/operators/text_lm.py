@@ -29,10 +29,13 @@ from .text_filters import bigrams
 from .text import tokens
 
 
-def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+def bigram_counts(df: DataFrame, text_col: str,
+                  broadcast_lm: bool = True) -> DataFrame:
     """(w1, w2, n2, n1) — bigram count plus its context (w1) total, the
     sufficient statistics of the conditional bigram LM. The context
     totals re-aggregate the bigram table (vocab², tiny), not the corpus.
+    ``broadcast_lm=False`` drops the context-join broadcast hint for
+    vocabularies too large to ship whole (AQE then picks the join).
     """
     pairs = (df.select(F.explode(bigrams(tokens(F.col(text_col))))
                        .alias("bg"))
@@ -40,25 +43,34 @@ def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
                      F.split("bg", " ")[1].alias("w2")))
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    return c2.join(F.broadcast(c1), "w1")
+    return c2.join(F.broadcast(c1) if broadcast_lm else c1, "w1")
 
 
 def surprisal_scores(df: DataFrame, text_col: str,
                      group_cols: list[str],
-                     lm: DataFrame | None = None) -> DataFrame:
+                     lm: DataFrame | None = None,
+                     broadcast_lm: bool = True) -> DataFrame:
     """Mean bigram surprisal per group: every adjacent bigram occurrence
     is scored -log2(n2/n1) against ``lm`` (default: a model trained on
     ``df`` itself) and averaged. Emits (group..., n_bigrams,
-    avg_surprisal)."""
+    avg_surprisal).
+
+    ``broadcast_lm=True`` (default) hints the LM join broadcast — right
+    whenever the vocabulary fits in executor memory, the common case.
+    Pass ``False`` for a huge vocabulary: the hint is dropped and
+    AQE/Catalyst picks the join (a plain equality shuffle join at worst),
+    instead of OOMing the driver on a forced broadcast.
+    """
     if lm is None:
-        lm = bigram_counts(df, text_col)
+        lm = bigram_counts(df, text_col, broadcast_lm=broadcast_lm)
     occ = (df.select(*group_cols,
                      F.explode(bigrams(tokens(F.col(text_col))))
                      .alias("bg"))
            .select(*group_cols,
                    F.split("bg", " ")[0].alias("w1"),
                    F.split("bg", " ")[1].alias("w2")))
-    scored = occ.join(F.broadcast(lm), ["w1", "w2"])
+    scored = occ.join(F.broadcast(lm) if broadcast_lm else lm,
+                      ["w1", "w2"])
     s = -F.log2(F.col("n2") / F.col("n1"))
     return scored.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

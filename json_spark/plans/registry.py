@@ -47,6 +47,40 @@ CFG = default_config()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+#: Names the driver's correctness gate must see FIRST. The gate samples
+#: the first 50 entries of ``queries()``, so the front of the line goes
+#: to (a) queries whose implementation changed since their last driver
+#: check and (b) queries that have never had a driver row — everything
+#: already green in CORRECTNESS_r02 cycles behind them. Rotate per
+#: round so every oracle-backed query lands in the window at least once
+#: every two rounds.
+GATE_FRONT: list[str] = [
+    # changed after their last driver check — stale green, check first
+    "embedded_decode", "coercion_array", "coercion_object",
+    "column_profile", "fuzzy_referential", "text_surprisal",
+    # never driver-checked (registered past slot 50 in r2)
+    "pii_scan", "text_repetition", "embedding_dim_stats",
+    "embedding_norms", "incremental_stats_merge",
+    "uniqueness_incremental", "stratified_sample", "token_heavy_hitters",
+    "outlier_mad", "curation_pipeline", "violation_samples",
+    "transcript_integrity", "multimodal_frame_sample",
+    "coercion_integer", "coercion_string", "coercion_time",
+    "case_detection", "key_style_stats", "unknown_keys",
+    "uniqueness_approx", "referential_orphans_large", "ledger_resume",
+    "stats_quantiles_sketch",
+    # new/changed THIS round — need a first driver row
+    "snr_partition_verdicts", "suite_partition_verdicts",
+    "coercion_date",
+]
+
+
+def gate_order(d: dict) -> dict:
+    """Reorder a registry dict so GATE_FRONT names come first (in that
+    order), then the rest in registration order."""
+    front = {n: d[n] for n in GATE_FRONT if n in d}
+    back = {n: v for n, v in d.items() if n not in front}
+    return {**front, **back}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -1596,26 +1630,26 @@ WITH p AS (
   FROM (SELECT user_id AS v, count(*) AS n FROM events GROUP BY 1)
   UNION ALL
   SELECT 'props', n
-  FROM (SELECT props AS v, count(*) AS n FROM events GROUP BY 1)),
-s AS (
-  SELECT col_name, n,
-         n / sum(n) OVER (PARTITION BY col_name) AS sh
-  FROM p)
+  FROM (SELECT props AS v, count(*) AS n FROM events GROUP BY 1))
 SELECT col_name,
        CAST(sum(n) AS BIGINT) AS n_rows,
        CAST(0 AS BIGINT) AS n_null,
        count(*) AS n_distinct,
-       round(max(sh), 6) AS top_share,
-       round(sum(-sh * log2(sh)), 6) AS entropy_bits
-FROM s GROUP BY col_name
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share,
+       round(log2(CAST(sum(n) AS DOUBLE))
+             - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6)
+         AS entropy_bits
+FROM p GROUP BY col_name
 """)
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column value-distribution profile (operators/profiling.py:
     column_profile): cardinality, top-value share (near-constant
     detector), Shannon entropy — the at-a-glance table a validation run
     prints first. One hash aggregate per column reduces the stream to
-    value-cardinality size; shares/entropy are a window + reduce over
-    that small frame. These columns carry no nulls (so the oracle pins
+    value-cardinality size; shares/entropy are ONE further plain
+    aggregate (H = log2 N - Σ n·log2 n / N) — map-combinable even when
+    the count table is corpus-sized (id-like columns), no global
+    window. These columns carry no nulls (so the oracle pins
     n_null = 0); the null-as-its-own-bucket path is pinned in pytest.
     """
     from ..operators.profiling import column_profile

@@ -32,7 +32,14 @@ def _first_seen(key, pdf_iter: Iterable[pd.DataFrame],
 
     State = (n_seen,) — once set, every later batch's rows for the key
     are suppressed (and counted into the state for observability).
+    On TTL expiry the state is REMOVED (not re-armed) so the store stays
+    bounded for unbounded key spaces; an expired key that recurs
+    re-emits — the documented windowed-dedup trade.
     """
+    if state.hasTimedOut:
+        # timeout invoke: empty iterator, evict and emit nothing
+        state.remove()
+        return
     n_before = state.get[0] if state.exists else 0
     emitted = []
     n_new = 0

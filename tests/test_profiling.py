@@ -35,6 +35,23 @@ def test_column_profile_constant_and_uniform(spark):
     assert rows["u"]["n_distinct"] == 8
 
 
+def test_column_profile_high_cardinality_id_column(spark):
+    """An id-like column (all values distinct — the clip_id shape at
+    10^12 rows) must profile via plain aggregates: the count table is
+    corpus-sized, so a global Window.partitionBy() would collapse the
+    whole corpus into one task. Asserts both the values and the plan."""
+    n = 1000
+    df = spark.range(n).select(
+        F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"))
+    prof = column_profile(df, ["clip_id"])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "global window over the count table"
+    row = prof.collect()[0]
+    assert row["n_distinct"] == n and row["n_null"] == 0
+    assert row["top_share"] == round(1 / n, 6)
+    assert row["entropy_bits"] == round(math.log2(n), 6)
+
+
 def test_fd_profile_vs_bruteforce(spark):
     rows = [(1, "a", 10), (1, "a", 10), (2, "b", 20), (2, "c", 20),
             (3, "d", 20), (4, "d", 40)]

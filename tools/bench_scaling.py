@@ -42,10 +42,8 @@ import argparse
 import json
 import os
 import shutil
-import statistics
 import subprocess
 import sys
-import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -83,85 +81,15 @@ def run_setup(n_clips: int) -> dict:
     return {"setup_seconds": round(elapsed, 3), "n_clips": n_clips}
 
 
-def _host_busy_frac(sample_s: float = 1.5) -> float:
-    """Fraction of total host CPU time spent non-idle over a short
-    sample, from /proc/stat. Called while this process is idle (between
-    attempts), so it measures CO-TENANT load — the hypervisor noise that
-    `steal%` hides (reads 0 here) but that swings identical Spark runs
-    12s→50s."""
-    def snap():
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        vals = [int(x) for x in parts]
-        idle = vals[3] + vals[4]  # idle + iowait
-        return idle, sum(vals)
-    i0, t0 = snap()
-    time.sleep(sample_s)
-    i1, t1 = snap()
-    total = max(1, t1 - t0)
-    return 1.0 - (i1 - i0) / total
-
-
-#: attempt is clean iff median heartbeat chunk time <= this x quiet baseline
-#: (baseline = MIN over a calibration run — the uncontended chunk time;
-#: ambient scheduler jitter keeps a quiet-host median ~1.1x the min, so
-#: 1.35 flags only real multi-second contention)
-HB_TAINT_RATIO = 1.35
-
-
-def _hb_chunk(n: int = 250_000) -> float:
-    """One fixed pure-Python integer-arithmetic chunk (~20-40ms). Its wall
-    time is the probe: on an idle core it is constant; when co-tenant load
-    pushes total demand past the physical cores, the scheduler stretches
-    it. Both measured levels leave spare cores (2k + headroom <= 32), so a
-    stretched heartbeat during an attempt means EXTERNAL contention — the
-    multi-minute hypervisor bursts that a pre-attempt gate cannot see."""
-    t0 = time.perf_counter()
-    x = 0
-    for _ in range(n):
-        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
-    return time.perf_counter() - t0
-
-
-def _hb_calibrate(chunks: int = 60) -> float:
-    """Quiet-host baseline chunk time: the MIN of ``chunks`` samples —
-    the uncontended hardware speed, stable across calibration windows
-    where the median is not (ambient jitter)."""
-    return min(_hb_chunk() for _ in range(chunks))
-
-
-class _Heartbeat(threading.Thread):
-    """Samples heartbeat chunks for the duration of one timed attempt."""
-
-    def __init__(self) -> None:
-        super().__init__(daemon=True)
-        self.samples: list[float] = []
-        self._halt = threading.Event()
-
-    def run(self) -> None:
-        while not self._halt.is_set():
-            self.samples.append(_hb_chunk())
-            self._halt.wait(0.2)
-
-    def finish(self) -> float | None:
-        self._halt.set()
-        self.join(timeout=2.0)
-        return statistics.median(self.samples) if self.samples else None
-
-
-def _wait_quiet(busy_thresh: float = 0.12, max_wait_s: float = 900.0) -> float:
-    """Block (untimed) until the host looks quiet, then return the
-    observed pre-attempt busy fraction. Gating on a PRE-declared load
-    criterion before STARTING an attempt — never on the attempt's result
-    — keeps the protocol honest on an oversubscribed shared host: it is
-    the timing-farm equivalent of not benchmarking while someone else
-    compiles on the box."""
-    deadline = time.time() + max_wait_s
-    while True:
-        busy = _host_busy_frac()
-        if busy <= busy_thresh or time.time() > deadline:
-            return busy
-        time.sleep(15.0)
+# host-contention protocol shared with bench.py — one definition of the
+# launch gate, heartbeat probe, and taint criterion for every timing
+# artifact this repo produces
+from json_spark.contention import (  # noqa: E402
+    HB_TAINT_RATIO,
+    Heartbeat as _Heartbeat,
+    hb_calibrate as _hb_calibrate,
+    wait_quiet as _wait_quiet,
+)
 
 
 def run_child(cores: int, n_clips: int, runs: int = 2,

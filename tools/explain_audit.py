@@ -30,6 +30,21 @@ def get_plan(df, mode: str = "formatted") -> str:
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
 
+def _singlepart_fed_by_partial(p: str) -> bool:
+    """True iff every SinglePartition Exchange's child node (numbered
+    one below it in formatted-explain detail) is a partial HashAggregate
+    — i.e. only per-task scalar partials ever collapse to one task."""
+    for nid in re.findall(
+            r"\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: SinglePartition",
+            p):
+        child = rf"\({int(nid) - 1}\) HashAggregate[^\n]*\n"
+        m = re.search(child + r"(?:[^\n]*\n)*?Functions \[\d+\]: \[partial_",
+                      p)
+        if not m:
+            return False
+    return True
+
+
 #: query -> list of (description, required, predicate(plan_text) -> bool)
 CHECKS = {
     "stats_lineitem": [
@@ -194,10 +209,28 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 2),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "column_profile": [
+        ("no global Window: entropy/top-share are algebraic aggregates "
+         "(H = log2 N - sum(n*log2 n)/N) — a Window.partitionBy() would "
+         "collapse an id-like column's corpus-sized count table into "
+         "one task", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+        ("every SinglePartition exchange is fed by a partial aggregate "
+         "(only per-task scalar partials collapse, never the count "
+         "table)", True,
+         lambda p: _singlepart_fed_by_partial(p)),
+        ("value counts hash-partitioned across the cluster", True,
+         lambda p: "hashpartitioning(" in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "fuzzy_referential": [
         ("lev<=1 never reaches the join: deletion-variant EQUALITY join "
          "(no cartesian/NestedLoop anywhere)", True,
          lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("hot-variant buckets capped on BOTH sides before the join "
+         "(count window on __v, the join's own key — no extra shuffle)",
+         True,
+         lambda p: len(re.findall(r"windowspecdefinition\(__v", p)) >= 2),
         ("variant fan-out is a Generate (explode), map-side", True,
          lambda p: "Generate" in p.split("\n\n")[0]),
         ("no Python stage", True, lambda p: "Python" not in p),
