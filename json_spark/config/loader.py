@@ -145,6 +145,8 @@ def config_from_dict(data: dict[str, Any]) -> RuleConfig:
         date_rules = DateRules(
             disabled=bool(d.get("Disabled", False)),
             timezone_default=tz.get("Default", "UTC"),
+            timezone_fields=tuple(tz.get("Fields", ("timezone", "tz"))),
+            force_converting_into=bool(tz.get("ForceConvertingInto", False)),
             from_numbers=_build(DateFromNumbers, d.get("FromNumbers")),
             from_strings=DateFromStrings(**dfs_kwargs),
             from_null_disabled=d.get("FromNull") is None

@@ -156,10 +156,25 @@ class DateFromStrings:
 
 @dataclass(frozen=True)
 class DateRules:
-    """default.toml [Date]; timezone default UTC (config.go:190-192)."""
+    """default.toml [Date]; timezone default UTC (config.go:190-192).
+
+    ``timezone_fields`` / ``force_converting_into`` mirror the reference's
+    Date.Timezone.Fields and ForceConvertingInto (config.go:112-117,
+    defaults at config.go:190-194, default.toml Fields=["timezone","tz"]).
+    The reference declares but never consumes them; here (following the
+    repo's precedent for declared-only rules) they mean:
+    - Fields: sibling record fields that may carry a per-row IANA zone —
+      the first non-null one wins, else ``timezone_default``; offset-LESS
+      timestamps are interpreted as wall-clock in that zone;
+    - ForceConvertingInto: when true, every parsed timestamp is
+      CONVERTED INTO the effective zone (output = wall-clock there);
+      when false the output is the instant's UTC wall-clock.
+    """
 
     disabled: bool = False
     timezone_default: str = "UTC"
+    timezone_fields: tuple[str, ...] = ("timezone", "tz")
+    force_converting_into: bool = False
     from_numbers: DateFromNumbers = field(default_factory=DateFromNumbers)
     from_strings: DateFromStrings = field(default_factory=DateFromStrings)
     from_null_disabled: bool = False

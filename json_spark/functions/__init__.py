@@ -9,6 +9,7 @@ from .coercion import (
     coerce_string,
     coerce_time_of_day,
     coerce_timestamp,
+    coerce_timestamp_zoned,
     verdict_rank,
 )
 from .keys import chameleon_key, case_insensitive_key, detect_case, normalize_keys_map
@@ -24,6 +25,7 @@ __all__ = [
     "coerce_string",
     "coerce_time_of_day",
     "coerce_timestamp",
+    "coerce_timestamp_zoned",
     "verdict_rank",
     "chameleon_key",
     "case_insensitive_key",

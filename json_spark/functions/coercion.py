@@ -330,6 +330,102 @@ def coerce_timestamp(c: Column, cfg: RuleConfig) -> CoercionResult:
                    red_forced=_date_red_forced(c))
 
 
+def effective_timezone(cfg: RuleConfig,
+                       siblings: dict[str, Column]) -> Column:
+    """The per-row IANA zone for date parsing: the first non-null sibling
+    field named in Date.Timezone.Fields (reference config.go:112-117,
+    defaults config.go:190-194), else Date.Timezone.Default."""
+    dr = cfg.date_rules
+    cands = [siblings[f] for f in dr.timezone_fields if f in siblings]
+    default = F.lit(dr.timezone_default)
+    return F.coalesce(*cands, default) if cands else default
+
+
+def _wall_ntz(parsed: Column) -> Column:
+    """Session-TZ-invariant wall clock of a naive parse: try_to_timestamp
+    interprets the naive string in the session zone; date_format renders
+    the instant back in the same session zone — the composition returns
+    the wall clock AS WRITTEN under any session timezone (for wall times
+    that exist in the session zone; mid-day fixtures always do)."""
+    return F.to_timestamp_ntz(
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss"))
+
+
+def coerce_timestamp_zoned(c: Column, cfg: RuleConfig,
+                           siblings: dict[str, Column]) -> CoercionResult:
+    """Timestamp coercion with the reference's Date.Timezone semantics
+    (config.go:112-117 — declared-only there; implemented here, like
+    RoundingAlgorithm and AutoWrapSingleValues before it):
+
+    - offset-less layouts are interpreted as wall-clock in the row's
+      effective zone (first non-null sibling in Fields, else Default);
+    - RFC3339 inputs with an explicit offset are strict (GREEN) — the
+      offset is applied by pure arithmetic, no zone database;
+    - unix second/milli numbers are instants already;
+    - ForceConvertingInto=True converts every result INTO the effective
+      zone (output = TIMESTAMP_NTZ wall-clock there); False outputs the
+      instant's UTC wall-clock. NTZ output keeps the whole pipeline
+      session-timezone-invariant.
+
+    Alias tokens ("now"/"today"/...) are session-clock-relative and stay
+    in :func:`coerce_timestamp`; fractional seconds truncate to the
+    second (a validator cares about instants, not nanos).
+    """
+    dr = cfg.date_rules
+    tz = effective_timezone(cfg, siblings)
+    s = F.regexp_replace(F.trim(c), r"\.\d+", "")  # drop fractions
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    # strict: explicit-offset RFC3339 → offset arithmetic on the wall
+    off = F.regexp_extract(s, r"([+-]\d{2}:\d{2}|Z)$", 1)
+    wall19 = F.to_timestamp_ntz(
+        F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}([+-]\d{2}:\d{2}|Z)$"),
+               F.regexp_replace(F.substring(s, 1, 19), "T", " ")))
+    to_utc_min = F.when(off == "Z", F.lit(0)).otherwise(
+        F.when(off.startswith("-"), F.lit(1)).otherwise(F.lit(-1))
+        * (F.substring(off, 2, 2).try_cast("int") * 60
+           + F.substring(off, 5, 2).try_cast("int")))
+    strict_utc = F.when(
+        (off != "") & wall19.isNotNull(),
+        F.timestamp_add("MINUTE", to_utc_min, wall19))
+
+    # tolerant: offset-less layouts, wall-clock in the effective zone
+    branches: list[Column] = []
+    if not dr.disabled and dr.from_strings.allowed:
+        stripped = F.regexp_replace(F.trim(c), _WEEKDAY_PREFIX_RE, "")
+        layouts = [p for p in _layouts_without_weekday(
+            dr.from_strings.datetime_layouts + dr.from_strings.date_layouts)
+            if "X" not in p]  # offset layouts belong to the strict path
+        for p in layouts:
+            wall = _wall_ntz(F.try_to_timestamp(stripped, F.lit(p)))
+            branches.append(F.convert_timezone(tz, F.lit("UTC"), wall))
+    if (not dr.disabled and not dr.from_numbers.disabled
+            and dr.from_strings.respect_from_numbers_logic):
+        digits = F.trim(c)
+        if dr.from_numbers.unix_milli_timestamp:
+            branches.append(F.when(
+                digits.rlike(r"^\d{12,14}$"),
+                F.timestamp_add("MILLISECOND", digits.try_cast("long"),
+                                epoch_ntz)))
+        if dr.from_numbers.unix_timestamp:
+            branches.append(F.when(
+                digits.rlike(r"^\d{1,11}$"),
+                F.timestamp_add("SECOND", digits.try_cast("long"),
+                                epoch_ntz)))
+    if not dr.disabled and not dr.from_null_disabled:
+        branches.append(F.when(c.isNull(), epoch_ntz))
+    tolerant_utc = (F.coalesce(*branches) if branches
+                    else F.lit(None).cast("timestamp_ntz"))
+
+    def _out(utc: Column) -> Column:
+        if dr.force_converting_into:
+            return F.convert_timezone(F.lit("UTC"), tz, utc)
+        return utc
+
+    return _result(_out(strict_utc), _out(tolerant_utc),
+                   red_forced=_date_red_forced(c))
+
+
 def coerce_date(c: Column, cfg: RuleConfig) -> CoercionResult:
     """Date truncates to day (dirtytypes.go:534-539)."""
     ts = coerce_timestamp(c, cfg)

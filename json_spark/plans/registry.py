@@ -70,7 +70,7 @@ GATE_FRONT: list[str] = [
     "stats_quantiles_sketch",
     # new/changed THIS round — need a first driver row
     "snr_partition_verdicts", "suite_partition_verdicts",
-    "coercion_date",
+    "coercion_date", "coercion_date_zoned", "ann_recall_report",
 ]
 
 
@@ -428,6 +428,100 @@ def q_coercion_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("coercion_date_zoned", oracle="""
+WITH src AS (
+  SELECT event_id % 6 AS m6, event_id % 4 AS m4, event_id % 5 AS m5
+  FROM events),
+vals AS (
+  SELECT m6,
+    coalesce(CASE WHEN m5 = 0 THEN 'Europe/Berlin' END,
+             CASE m4 WHEN 0 THEN 'America/New_York'
+                     WHEN 1 THEN 'Asia/Kolkata' WHEN 3 THEN 'UTC' END,
+             'UTC') AS z
+  FROM src),
+parsed AS (
+  SELECT z,
+    CASE m6
+      WHEN 0 THEN epoch_us(timezone(z, TIMESTAMP '2024-06-15 10:00:00'))
+      WHEN 1 THEN epoch_us(timezone(z, TIMESTAMP '2024-01-15 00:00:00'))
+      WHEN 2 THEN epoch_us(TIMESTAMP '2024-06-15 10:00:00')
+                  - CAST(330 AS BIGINT) * 60 * 1000000
+      WHEN 3 THEN epoch_us(TIMESTAMP '2024-01-15 23:45:00')
+      WHEN 4 THEN 1718445600000000
+    END AS utc_us,
+    CASE m6 WHEN 2 THEN 'GREEN' WHEN 3 THEN 'GREEN'
+            WHEN 5 THEN 'RED' ELSE 'YELLOW' END AS verdict
+  FROM vals),
+modes AS (
+  SELECT 'utc' AS mode, verdict, utc_us AS us FROM parsed
+  UNION ALL
+  SELECT 'zoned', verdict,
+         CASE WHEN utc_us IS NULL THEN NULL
+              ELSE epoch_us(timezone(z, timezone('UTC',
+                            make_timestamp(utc_us)))) END
+  FROM parsed)
+SELECT mode, verdict, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(us) AS BIGINT) AS sum_us,
+       CAST(min(us) AS BIGINT) AS min_us,
+       CAST(max(us) AS BIGINT) AS max_us
+FROM modes GROUP BY mode, verdict
+""")
+def q_coercion_date_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date.Timezone.Fields + ForceConvertingInto (reference
+    config.go:112-117, default.toml Fields=["timezone","tz"] — the last
+    declared-only rule; functions/coercion.py:coerce_timestamp_zoned).
+    Each event row derives a raw token (naive datetime, naive date
+    layout, RFC3339 +05:30, RFC3339 Z, unix seconds, garbage) plus two
+    sibling zone fields ('timezone' outranks 'tz'); the engine parses
+    offset-less tokens as wall-clock in the effective zone and, in
+    ForceConvertingInto mode, converts every instant INTO that zone.
+    Values compare as epoch-microsecond integers (TZ-proof: Spark
+    timestamp_diff on TIMESTAMP_NTZ ≡ DuckDB epoch_us), aggregated per
+    (mode, verdict); DuckDB applies the IANA zone DB via its ICU
+    timezone() — an independent second implementation.
+    """
+    import dataclasses
+    from ..functions.coercion import coerce_timestamp_zoned
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    m6 = F.pmod("event_id", F.lit(6))
+    m4 = F.pmod("event_id", F.lit(4))
+    m5 = F.pmod("event_id", F.lit(5))
+    raw = (
+        F.when(m6 == 0, F.lit("2024-06-15T10:00:00"))
+        .when(m6 == 1, F.lit("15 Jan 2024"))
+        .when(m6 == 2, F.lit("2024-06-15T10:00:00+05:30"))
+        .when(m6 == 3, F.lit("2024-01-15T23:45:00Z"))
+        .when(m6 == 4, F.lit("1718445600"))
+        .otherwise(F.lit("not a date")))
+    tz_sib = (
+        F.when(m4 == 0, F.lit("America/New_York"))
+        .when(m4 == 1, F.lit("Asia/Kolkata"))
+        .when(m4 == 3, F.lit("UTC")))
+    timezone_sib = F.when(m5 == 0, F.lit("Europe/Berlin"))
+    base = ev.select(raw.alias("raw"), tz_sib.alias("tz"),
+                     timezone_sib.alias("timezone"))
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    frames = []
+    for force in (False, True):
+        cfg = dataclasses.replace(
+            CFG, date_rules=dataclasses.replace(
+                CFG.date_rules, force_converting_into=force))
+        r = coerce_timestamp_zoned(
+            F.col("raw"), cfg,
+            {"tz": F.col("tz"), "timezone": F.col("timezone")})
+        frames.append(base.select(
+            F.lit("zoned" if force else "utc").alias("mode"),
+            r.verdict.alias("verdict"),
+            F.timestamp_diff("MICROSECOND", epoch_ntz, r.coerced)
+            .alias("us")))
+    u = frames[0].unionByName(frames[1])
+    return u.groupBy("mode", "verdict").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("us").alias("sum_us"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"))
+
+
 # =========================================================================
 # §2.3 FlexKeys — chameleon key normalization
 # =========================================================================
@@ -604,18 +698,237 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNR_N = 2000  # deterministic fixture size for driver-visible audio queries
 
+_CLIPS_CLOSED_FORM_CTE = f"""
+ids AS (SELECT i FROM range(0, {_SNR_N}) t(i)),
+base AS (
+  SELECT i,
+         'clip-' || lpad(CAST(CASE WHEN i % 1000 = 999 AND i > 0
+                                   THEN i - 1 ELSE i END AS VARCHAR),
+                         12, '0') AS clip_id
+  FROM ids),
+seeded AS (
+  SELECT i, clip_id,
+    xor(list_reduce(
+      list_prepend(4294967295,
+        [CAST(ascii(substring(clip_id, j, 1)) AS BIGINT)
+         for j in generate_series(1, length(clip_id))]),
+      (acc, b) -> list_reduce(
+        list_prepend(xor(acc, b), [0, 0, 0, 0, 0, 0, 0, 0]),
+        (x, y) -> xor(x >> 1,
+                      CASE WHEN x & 1 = 1 THEN 3988292384 ELSE 0 END))),
+      4294967295) AS seed
+  FROM base),
+rows_ AS (
+  SELECT i, seed,
+    CASE WHEN (seed % 10000) / 10000.0 < 0.70 THEN 'pcm_s16le'
+         WHEN (seed % 10000) / 10000.0 < 0.70 + 0.14 THEN 'flac'
+         WHEN (seed % 10000) / 10000.0 < 0.70 + 0.14 + 0.10 THEN 'opus'
+         ELSE 'mp3' END AS codec
+  FROM seeded),
+full_ AS (
+  SELECT i, seed, codec,
+    CASE WHEN codec = 'opus'
+         THEN CASE WHEN seed % 2 = 0 THEN 44100 ELSE 48000 END
+         ELSE CASE seed % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                   ELSE 48000 END END AS sr_hz,
+    CASE WHEN i % 101 = 100 THEN NULL ELSE 50 + seed % 151 END AS dur_ms
+  FROM rows_)"""
 
-@register("snr_partition_verdicts")
+
+
+
+@register("snr_partition_verdicts", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict
+FROM full_ GROUP BY codec
+""")
 def q_snr_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-codec SNR>=30dB verdict roll-up over the end-to-end decode
+    path (Arrow PCM decode → SNR vs regenerated reference → worst-verdict
+    rollup, operators/snr.py). The oracle never reads a byte: the planted
+    corruption set is generator-determined (row i % 997 == 996 gets
+    uniform ±0.3 noise ⇒ SNR ≈ 7 dB; clean clips sit at PCM16
+    quantization noise ≈ 90 dB), and each row's codec is re-derived via
+    the CRC-32 SQL fold — so a match proves decode+SNR+rollup classify
+    exactly the planted rows. min/mean snr_db stay in the suite/pytest
+    goldens (real dB values are not SQL-derivable).
+    """
     from ..fixtures.gen import generate_clips
     from ..operators.snr import snr_check, snr_partition_rollup
     clips = generate_clips(spark, _SNR_N, partitions=8)
-    return snr_partition_rollup(snr_check(clips, extra_cols=["codec"]),
+    roll = snr_partition_rollup(snr_check(clips, extra_cols=["codec"]),
                                 ["codec"])
+    return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
 
 
-@register("suite_partition_verdicts")
+@register("suite_partition_verdicts", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+clips_cf AS (
+  SELECT f.i, b.clip_id,
+         CASE WHEN f.i % 1000 = 999 AND f.i > 0 THEN f.i - 1 ELSE f.i END
+           AS base_i,
+         f.codec, f.sr_hz, f.dur_ms, f.i % 997 = 996 AS corrupt
+  FROM full_ f JOIN base b USING (i)),
+per_part AS (
+  SELECT codec AS partition_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM clips_cf GROUP BY 1),
+stats_red AS (
+  SELECT codec AS partition_id,
+         (count(*) FILTER (WHERE sr_hz IS NULL)) / CAST(count(*) AS DOUBLE)
+           > 0.05
+         OR (count(*) FILTER (WHERE dur_ms IS NULL))
+            / CAST(count(*) AS DOUBLE) > 0.05 AS red
+  FROM clips_cf GROUP BY 1),
+dup_roll AS (
+  SELECT partition_id, CAST(sum(dup_count) AS BIGINT) AS n_dup_rows,
+         CAST(count(*) AS BIGINT) AS n_dup_keys
+  FROM (SELECT codec AS partition_id, clip_id, count(*) AS dup_count
+        FROM clips_cf GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY 1),
+ref_roll AS (
+  SELECT codec AS partition_id,
+         CAST(count(*) FILTER (WHERE base_i % 991 = 990) AS BIGINT)
+           AS n_orphans,
+         CAST(count(*) FILTER (WHERE base_i % 983 = 982
+                               AND base_i % 991 <> 990) AS BIGINT)
+           AS n_mismatch,
+         CAST(count(*) FILTER (WHERE corrupt) AS BIGINT) AS n_snr_red
+  FROM clips_cf GROUP BY 1),
+cur_sr AS (
+  SELECT codec, bucket, n / sum(n) OVER (PARTITION BY codec) AS p
+  FROM (SELECT codec,
+               CAST(least(9, greatest(0, floor(sr_hz / 5000.0))) AS INT)
+                 AS bucket,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM clips_cf WHERE sr_hz IS NOT NULL GROUP BY 1, 2)),
+base_sr AS (
+  SELECT bucket, n / sum(n) OVER () AS q
+  FROM (SELECT CAST(least(9, greatest(0, floor(sr_hz / 5000.0))) AS INT)
+                 AS bucket,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM clips_cf WHERE codec <> 'opus' AND sr_hz IS NOT NULL
+        GROUP BY 1)),
+cur_dur AS (
+  SELECT codec, bucket, n / sum(n) OVER (PARTITION BY codec) AS p
+  FROM (SELECT codec,
+               CAST(least(9, greatest(0, floor(dur_ms / 100.0))) AS INT)
+                 AS bucket,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM clips_cf WHERE dur_ms IS NOT NULL GROUP BY 1, 2)),
+base_dur AS (
+  SELECT bucket, n / sum(n) OVER () AS q
+  FROM (SELECT CAST(least(9, greatest(0, floor(dur_ms / 100.0))) AS INT)
+                 AS bucket,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM clips_cf WHERE codec <> 'opus' AND dur_ms IS NOT NULL
+        GROUP BY 1)),
+drift_sr AS (
+  SELECT codec,
+         sum((greatest(coalesce(p, 0), 1e-6) - greatest(coalesce(q, 0), 1e-6))
+             * ln(greatest(coalesce(p, 0), 1e-6)
+                  / greatest(coalesce(q, 0), 1e-6))) AS psi,
+         max(abs(cp - cq)) AS ks
+  FROM (SELECT codec, p, q,
+               sum(coalesce(p, 0)) OVER (PARTITION BY codec ORDER BY bucket)
+                 AS cp,
+               sum(coalesce(q, 0)) OVER (PARTITION BY codec ORDER BY bucket)
+                 AS cq
+        FROM cur_sr FULL JOIN base_sr USING (bucket))
+  GROUP BY codec),
+drift_dur AS (
+  SELECT codec,
+         sum((greatest(coalesce(p, 0), 1e-6) - greatest(coalesce(q, 0), 1e-6))
+             * ln(greatest(coalesce(p, 0), 1e-6)
+                  / greatest(coalesce(q, 0), 1e-6))) AS psi,
+         max(abs(cp - cq)) AS ks
+  FROM (SELECT codec, p, q,
+               sum(coalesce(p, 0)) OVER (PARTITION BY codec ORDER BY bucket)
+                 AS cp,
+               sum(coalesce(q, 0)) OVER (PARTITION BY codec ORDER BY bucket)
+                 AS cq
+        FROM cur_dur FULL JOIN base_dur USING (bucket))
+  GROUP BY codec)
+SELECT p.partition_id, 'stats' AS check_name,
+       CASE WHEN s.red THEN 'RED' ELSE 'GREEN' END AS verdict,
+       p.n_rows,
+       CAST(CASE WHEN s.red THEN 0 ELSE p.n_rows END AS BIGINT) AS n_green,
+       CAST(0 AS BIGINT) AS n_yellow,
+       CAST(CASE WHEN s.red THEN p.n_rows ELSE 0 END AS BIGINT) AS n_red
+FROM per_part p JOIN stats_red s USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'uniqueness',
+       CASE WHEN coalesce(d.n_dup_keys, 0) > 0 THEN 'RED' ELSE 'GREEN' END,
+       p.n_rows,
+       p.n_rows - coalesce(d.n_dup_rows, 0),
+       CAST(0 AS BIGINT),
+       coalesce(d.n_dup_rows, 0)
+FROM per_part p LEFT JOIN dup_roll d USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'referential',
+       CASE WHEN r.n_orphans > 0 THEN 'RED' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - r.n_orphans, CAST(0 AS BIGINT), r.n_orphans
+FROM per_part p JOIN ref_roll r USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'transcript',
+       CASE WHEN r.n_mismatch > 0 THEN 'RED' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - r.n_mismatch, CAST(0 AS BIGINT), r.n_mismatch
+FROM per_part p JOIN ref_roll r USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'drift_sr_hz',
+       CASE WHEN d.psi > 0.25 OR d.ks > 0.25 THEN 'RED'
+            WHEN d.psi > 0.1 OR d.ks > 0.1 THEN 'YELLOW'
+            ELSE 'GREEN' END,
+       p.n_rows,
+       CAST(CASE WHEN NOT (d.psi > 0.1 OR d.ks > 0.1)
+                 THEN p.n_rows ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN (d.psi > 0.1 OR d.ks > 0.1)
+                 AND NOT (d.psi > 0.25 OR d.ks > 0.25)
+                 THEN p.n_rows ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN d.psi > 0.25 OR d.ks > 0.25
+                 THEN p.n_rows ELSE 0 END AS BIGINT)
+FROM per_part p JOIN drift_sr d ON p.partition_id = d.codec
+UNION ALL
+SELECT p.partition_id, 'drift_dur_ms',
+       CASE WHEN d.psi > 0.25 OR d.ks > 0.25 THEN 'RED'
+            WHEN d.psi > 0.1 OR d.ks > 0.1 THEN 'YELLOW'
+            ELSE 'GREEN' END,
+       p.n_rows,
+       CAST(CASE WHEN NOT (d.psi > 0.1 OR d.ks > 0.1)
+                 THEN p.n_rows ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN (d.psi > 0.1 OR d.ks > 0.1)
+                 AND NOT (d.psi > 0.25 OR d.ks > 0.25)
+                 THEN p.n_rows ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN d.psi > 0.25 OR d.ks > 0.25
+                 THEN p.n_rows ELSE 0 END AS BIGINT)
+FROM per_part p JOIN drift_dur d ON p.partition_id = d.codec
+UNION ALL
+SELECT partition_id, 'header', 'GREEN', n_rows, n_rows,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM per_part
+UNION ALL
+SELECT p.partition_id, 'snr',
+       CASE WHEN r.n_snr_red > 0 THEN 'RED' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - r.n_snr_red, CAST(0 AS BIGINT), r.n_snr_red
+FROM per_part p JOIN ref_roll r USING (partition_id)
+""")
 def q_suite_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ValidationSuite partition verdicts (8 checks × codec
+    partitions: stats, uniqueness, referential, transcript, drift_sr_hz,
+    drift_dur_ms, header, snr — plans/suite.py). The oracle re-derives
+    the ENTIRE verdict table without reading a byte of audio: every
+    planted defect is row-id arithmetic (dups i%1000, corruption i%997,
+    orphans i%991, transcript mismatches i%983, null dur i%101), each
+    row's codec/sr/dur come from the CRC-32 SQL fold, and the PSI/KS
+    drift gates are replicated over the closed-form histograms (the
+    drifted 'opus' codec draws sr_hz from {44100, 48000} only).
+    metrics_json (real dB/mean values) stays in the suite goldens.
+    """
     from ..fixtures.gen import generate_clips, generate_manifest
     from ..plans.suite import SuiteConfig, ValidationSuite, build_baseline_shares
     clips = generate_clips(spark, _SNR_N, partitions=8)
@@ -623,7 +936,9 @@ def q_suite_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = SuiteConfig()
     baseline = build_baseline_shares(clips.filter(F.col("codec") != "opus"), cfg)
     res = ValidationSuite(cfg).run(spark, clips, manifest, baseline)
-    return res.partition_verdicts
+    return res.partition_verdicts.select(
+        "partition_id", "check_name", "verdict", "n_rows",
+        "n_green", "n_yellow", "n_red")
 
 
 # =========================================================================
@@ -1162,6 +1477,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=10, nprobe=8, vec_nprobe=2)
 
 
+@register("ann_recall_report")
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN recall: recall@10 of the three production
+    index shapes (IVF, PQ, IVF-PQ) against the exact brute-force top-k
+    (``ann_cosine_topk``, itself oracle-proven), joined on
+    (query_id, neighbor_id). One row per method with the measured recall
+    and its pytest floor — so the recall contract shows up in the
+    CORRECTNESS/BENCH artifacts, not only in tests. Probabilistic values
+    ⇒ rows-only driver check; floors are asserted here as a hard
+    ``passes`` column and in tests/test_pq.py / test_pipeline.py.
+    """
+    exact = q_ann_cosine_topk(spark, sf_dir) \
+        .select("query_id", "neighbor_id").persist()
+    frames = []
+    for method, fn, floor in (("ivf", q_ann_ivf_topk, 0.85),
+                              ("pq", q_ann_pq_topk, 0.80),
+                              ("ivfpq", q_ann_ivfpq_topk, 0.75)):
+        approx = fn(spark, sf_dir).select(
+            "query_id", "neighbor_id").distinct()
+        j = exact.join(approx.withColumn("__hit", F.lit(1)),
+                       ["query_id", "neighbor_id"], "left")
+        hits = F.coalesce(F.sum("__hit"), F.lit(0))
+        frames.append(j.agg(
+            F.lit(method).alias("method"),
+            F.countDistinct("query_id").alias("n_queries"),
+            F.lit(10).cast("long").alias("k"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            hits.cast("long").alias("n_hits"),
+            F.round(hits / F.count(F.lit(1)), 4).alias("recall_at_10"),
+            F.lit(floor).alias("recall_floor"),
+            (F.round(hits / F.count(F.lit(1)), 4) >= floor).alias("passes"),
+        ))
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
 # ---- multimodal binary columns (rows-only: WAV decode not in SQL) -------
 
 @register("multimodal_meta")
@@ -1193,44 +1546,6 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codec, sample rate, and duration derived WITHOUT reading a byte —
 # zlib.crc32(clip_id) (IEEE CRC-32: init 0xFFFFFFFF, reflected poly
 # 0xEDB88320, final xor) computed as a pure SQL byte fold.
-_CLIPS_CLOSED_FORM_CTE = f"""
-ids AS (SELECT i FROM range(0, {_SNR_N}) t(i)),
-base AS (
-  SELECT i,
-         'clip-' || lpad(CAST(CASE WHEN i % 1000 = 999 AND i > 0
-                                   THEN i - 1 ELSE i END AS VARCHAR),
-                         12, '0') AS clip_id
-  FROM ids),
-seeded AS (
-  SELECT i, clip_id,
-    xor(list_reduce(
-      list_prepend(4294967295,
-        [CAST(ascii(substring(clip_id, j, 1)) AS BIGINT)
-         for j in generate_series(1, length(clip_id))]),
-      (acc, b) -> list_reduce(
-        list_prepend(xor(acc, b), [0, 0, 0, 0, 0, 0, 0, 0]),
-        (x, y) -> xor(x >> 1,
-                      CASE WHEN x & 1 = 1 THEN 3988292384 ELSE 0 END))),
-      4294967295) AS seed
-  FROM base),
-rows_ AS (
-  SELECT i, seed,
-    CASE WHEN (seed % 10000) / 10000.0 < 0.70 THEN 'pcm_s16le'
-         WHEN (seed % 10000) / 10000.0 < 0.70 + 0.14 THEN 'flac'
-         WHEN (seed % 10000) / 10000.0 < 0.70 + 0.14 + 0.10 THEN 'opus'
-         ELSE 'mp3' END AS codec
-  FROM seeded),
-full_ AS (
-  SELECT i, seed, codec,
-    CASE WHEN codec = 'opus'
-         THEN CASE WHEN seed % 2 = 0 THEN 44100 ELSE 48000 END
-         ELSE CASE seed % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                   WHEN 2 THEN 22050 WHEN 3 THEN 44100
-                   ELSE 48000 END END AS sr_hz,
-    CASE WHEN i % 101 = 100 THEN NULL ELSE 50 + seed % 151 END AS dur_ms
-  FROM rows_)"""
-
-
 @register("audio_header_integrity", oracle=f"""
 WITH {_CLIPS_CLOSED_FORM_CTE},
 sized AS (

@@ -279,3 +279,94 @@ def test_object_numeric_keys(spark):
         (None, None, "GREEN"),
         ("[1]", None, "RED"),
     ])
+
+
+# ------------------------------------------------- Date.Timezone siblings
+
+def test_timestamp_zoned_sibling_fields(spark):
+    """Date.Timezone.Fields (config.go:112-117): offset-less timestamps
+    parse as wall-clock in the first non-null sibling zone field
+    ('timezone' outranks 'tz', config.go:190-194 default order), falling
+    back to Timezone.Default; explicit-offset RFC3339 stays strict.
+    Output is the instant's UTC wall clock (TIMESTAMP_NTZ)."""
+    import dataclasses
+    from json_spark.functions import coerce_timestamp_zoned
+
+    rows = [
+        # (raw, tz, timezone, want_utc, want_verdict)
+        ("2024-06-15T10:00:00", "Asia/Kolkata", None,
+         datetime.datetime(2024, 6, 15, 4, 30), "YELLOW"),
+        ("2024-06-15T10:00:00", None, None,            # default UTC
+         datetime.datetime(2024, 6, 15, 10, 0), "YELLOW"),
+        ("2024-06-15T10:00:00", "Asia/Kolkata", "Europe/Berlin",  # CEST +2
+         datetime.datetime(2024, 6, 15, 8, 0), "YELLOW"),
+        ("2024-01-15T10:00:00", "America/New_York", None,  # EST -5
+         datetime.datetime(2024, 1, 15, 15, 0), "YELLOW"),
+        ("2024-06-15T10:00:00+05:30", "America/New_York", None,  # strict
+         datetime.datetime(2024, 6, 15, 4, 30), "GREEN"),
+        ("2024-06-15T10:00:00Z", None, None,
+         datetime.datetime(2024, 6, 15, 10, 0), "GREEN"),
+        ("15 Jun 2024", "America/New_York", None,      # EDT -4 midnight
+         datetime.datetime(2024, 6, 15, 4, 0), "YELLOW"),
+        ("1718445600", "Asia/Kolkata", None,           # unix = instant
+         datetime.datetime(2024, 6, 15, 10, 0), "YELLOW"),
+        ("not a date", None, None, None, "RED"),
+        ("true", "UTC", None, None, "RED"),            # bool rejected
+    ]
+    df = spark.createDataFrame(
+        [(i, r[0], r[1], r[2]) for i, r in enumerate(rows)],
+        "i long, raw string, tz string, timezone string")
+    res = coerce_timestamp_zoned(
+        F.col("raw"), CFG, {"tz": F.col("tz"), "timezone": F.col("timezone")})
+    got = df.select("i", *res.with_prefix("x")).orderBy("i").collect()
+    for row, (raw, _, _, want, verdict) in zip(got, rows):
+        assert row["x__verdict"] == verdict, raw
+        assert row["x__coerced"] == want, raw
+
+
+def test_timestamp_zoned_force_converting_into(spark):
+    """ForceConvertingInto=True converts every parsed instant INTO the
+    effective zone: output = wall-clock there (TIMESTAMP_NTZ)."""
+    import dataclasses
+    from json_spark.functions import coerce_timestamp_zoned
+
+    cfg = dataclasses.replace(
+        CFG, date_rules=dataclasses.replace(
+            CFG.date_rules, force_converting_into=True))
+    rows = [
+        # +05:30 instant 04:30 UTC → New York (EDT -4) 00:30 wall
+        ("2024-06-15T10:00:00+05:30", "America/New_York",
+         datetime.datetime(2024, 6, 15, 0, 30), "GREEN"),
+        # naive in zone round-trips to itself under force
+        ("2024-06-15T10:00:00", "Asia/Kolkata",
+         datetime.datetime(2024, 6, 15, 10, 0), "YELLOW"),
+        # unix instant 10:00 UTC → Kolkata 15:30
+        ("1718445600", "Asia/Kolkata",
+         datetime.datetime(2024, 6, 15, 15, 30), "YELLOW"),
+    ]
+    df = spark.createDataFrame(
+        [(i, r[0], r[1]) for i, r in enumerate(rows)],
+        "i long, raw string, tz string")
+    res = coerce_timestamp_zoned(F.col("raw"), cfg, {"tz": F.col("tz")})
+    got = df.select("i", *res.with_prefix("x")).orderBy("i").collect()
+    for row, (raw, _, want, verdict) in zip(got, rows):
+        assert row["x__verdict"] == verdict, raw
+        assert row["x__coerced"] == want, raw
+
+
+def test_timezone_config_loads_from_toml(tmp_path):
+    """[Date.Timezone] Fields / ForceConvertingInto round-trip through
+    the TOML loader (reference default.toml [Date.Timezone] keys)."""
+    from json_spark.config import load_config
+    p = tmp_path / "cfg.toml"
+    p.write_text(
+        '[Date]\n[Date.Timezone]\nDefault = "Asia/Tokyo"\n'
+        'Fields = ["zone_id"]\nForceConvertingInto = true\n')
+    cfg = load_config(str(p))
+    assert cfg.date_rules.timezone_default == "Asia/Tokyo"
+    assert cfg.date_rules.timezone_fields == ("zone_id",)
+    assert cfg.date_rules.force_converting_into is True
+    # defaults mirror config.go:190-194
+    d = default_config().date_rules
+    assert d.timezone_fields == ("timezone", "tz")
+    assert d.force_converting_into is False
