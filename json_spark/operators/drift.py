@@ -76,7 +76,10 @@ def psi(current: DataFrame, baseline: DataFrame,
     keys = list(group_cols or [])
     cur = current.select(*keys, *on, F.col("share").alias("p"))
     base = baseline.select(*on, F.col("share").alias("q"))
-    j = cur.join(F.broadcast(base), on, "full_outer").fillna({"p": 0.0, "q": 0.0})
+    # No broadcast hint: Spark cannot build-side a full outer join (the
+    # hint is ignored with a WARN); both sides are bucket-sized aggregates
+    # so the shuffle is over dozens of rows regardless of input scale.
+    j = cur.join(base, on, "full_outer").fillna({"p": 0.0, "q": 0.0})
     p = F.greatest(F.col("p"), F.lit(EPS))
     q = F.greatest(F.col("q"), F.lit(EPS))
     term = (p - q) * F.log(p / q)
@@ -132,7 +135,8 @@ def ks_statistic(current: DataFrame, baseline: DataFrame,
     keys = list(group_cols or [])
     cur = current.select(*keys, bucket_col, F.col("share").alias("p"))
     base = baseline.select(bucket_col, F.col("share").alias("q"))
-    j = cur.join(F.broadcast(base), [bucket_col], "full_outer").fillna(
+    # full outer join cannot broadcast (see psi()); both sides bucket-sized
+    j = cur.join(base, [bucket_col], "full_outer").fillna(
         {"p": 0.0, "q": 0.0}
     )
     w = (

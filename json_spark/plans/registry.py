@@ -71,6 +71,7 @@ GATE_FRONT: list[str] = [
     # new/changed THIS round — need a first driver row
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
+    "audio_flac_roundtrip",
 ]
 
 
@@ -1717,6 +1718,46 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("long")).alias("n_pitch_match"),
         F.sum("n_out").alias("sum_n_out"),
     )
+
+
+@register("audio_flac_roundtrip", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+g AS (
+  SELECT codec,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n
+  FROM full_)
+SELECT codec,
+       count(*) AS n_clips,
+       count(*) AS n_decoded,
+       count(*) AS n_bit_exact,
+       CAST(sum(n) AS BIGINT) AS sum_samples,
+       CAST(sum(42 + 11 * ((n + 4095) // 4096) + 2 * n) AS BIGINT)
+           AS sum_flac_bytes
+FROM g GROUP BY codec
+""")
+def q_audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FLAC as a second container (functions/flac.py — pure-Python
+    verbatim-subframe codec, CRC-8/CRC-16/MD5 enforced): transcode every
+    clip's PCM to spec-compliant FLAC and decode it back through the
+    engine path (operators/multimodal.py:flac_roundtrip). The oracle
+    re-derives, per codec, the clip counts, total sample counts, AND the
+    exact encoded container sizes in closed form — 42 header bytes plus
+    11 bytes/frame plus 2 bytes/sample for the 4096-block verbatim
+    layout — so any drift in STREAMINFO, frame headers, or subframe
+    packing changes sum_flac_bytes; any CRC/MD5 bug flips
+    n_decoded/n_bit_exact (decode enforces all three checksums).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import flac_roundtrip
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    rt = flac_roundtrip(clips)
+    return rt.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("bit_exact").cast("long")).alias("n_bit_exact"),
+        F.sum("n_samples").alias("sum_samples"),
+        F.sum("flac_bytes").alias("sum_flac_bytes"))
 
 
 @register("event_sessions", oracle="""

@@ -1,0 +1,137 @@
+"""Real FLAC container codec (functions/flac.py) + its engine wiring.
+
+The VERDICT-r2 stretch: make a second container honest — flac payloads
+must decode for real (``decoded=true``), not via the deterministic fake.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from json_spark.fixtures.signal import pcm16_wav_bytes, reference_signal
+from json_spark.functions.flac import (
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+    parse_flac_streaminfo,
+)
+
+
+def _ints(clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
+    sig = reference_signal(clip_id, sr, dur_ms)
+    return np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int16)
+
+
+def test_crc_known_vectors():
+    # CRC-8 poly 0x07 and CRC-16 poly 0x8005 (init 0) published vectors
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+
+
+def test_streaminfo_fields():
+    ints = _ints("clip-si", 22050, 137)
+    blob = encode_flac(ints, 22050, block_size=1024)
+    assert blob[:4] == b"fLaC"
+    si = parse_flac_streaminfo(blob)
+    assert si["sr_hz"] == 22050
+    assert si["channels"] == 1 and si["bits"] == 16
+    assert si["n_samples"] == len(ints)
+    assert si["min_block"] == si["max_block"] == 1024
+    assert si["md5"] == hashlib.md5(ints.astype("<i2").tobytes()).digest()
+
+
+@pytest.mark.parametrize("sr,dur,block", [
+    (8000, 100, 4096), (44100, 137, 1024), (16000, 1, 4096),
+    (48000, 200, 192),
+])
+def test_roundtrip_bit_exact(sr, dur, block):
+    ints = _ints(f"clip-{sr}-{dur}", sr, dur)
+    blob = encode_flac(ints, sr, block_size=block)
+    sig, sr2 = decode_flac(blob)
+    assert sr2 == sr
+    assert np.array_equal(np.round(sig * 32767.0).astype(np.int16), ints)
+
+
+def test_container_size_closed_form():
+    # the audio_flac_roundtrip oracle's byte formula:
+    # 42 + 11 * ceil(n/4096) + 2*n for the default block size
+    for n in (1, 100, 4096, 4097, 30000):
+        ints = np.arange(n, dtype=np.int16)
+        blob = encode_flac(ints, 16000)
+        assert len(blob) == 42 + 11 * ((n + 4095) // 4096) + 2 * n
+
+
+def test_every_corruption_detected():
+    ints = _ints("clip-corrupt", 8000, 150)
+    blob = bytearray(encode_flac(ints, 8000, block_size=512))
+    frames_at = parse_flac_streaminfo(bytes(blob))["frames_at"]
+    # flip one bit at every frame-region offset: CRC-8 covers headers,
+    # CRC-16 covers frames, MD5 covers the reassembled stream
+    for off in range(frames_at, len(blob)):
+        bad = bytearray(blob)
+        bad[off] ^= 0x01
+        with pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+
+
+def test_md5_covers_metadata_tamper():
+    ints = _ints("clip-md5", 8000, 80)
+    blob = bytearray(encode_flac(ints, 8000))
+    blob[26] ^= 0xFF  # a byte inside the STREAMINFO MD5 field
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(blob))
+
+
+def test_not_flac_rejected():
+    with pytest.raises(ValueError):
+        parse_flac_streaminfo(b"RIFF....WAVE")
+    with pytest.raises(ValueError):
+        decode_flac(pcm16_wav_bytes(reference_signal("x", 8000, 50), 8000))
+
+
+def test_flac_rows_decode_for_real(spark):
+    # golden: a clips frame whose codec='flac' rows carry REAL FLAC bytes
+    # → audio_features decodes them (decoded=true) with the right RMS, and
+    # extract_media_meta reads the STREAMINFO header without a full decode
+    from json_spark.operators.multimodal import audio_features, extract_media_meta
+
+    rows = []
+    for i in range(8):
+        cid = f"flacclip-{i:03d}"
+        sr = [8000, 16000][i % 2]
+        ints = _ints(cid, sr, 120)
+        rows.append((cid, bytes(encode_flac(ints, sr)), sr, 120, "flac", "t"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    feats = {r["clip_id"]: r for r in audio_features(df).collect()}
+    assert len(feats) == 8
+    for r in feats.values():
+        assert r["decoded"] is True  # the real FLAC path, not the fake
+        assert 0.376 <= r["rms"] <= 0.385  # generator clean-RMS band
+
+    meta = {r["clip_id"]: r for r in extract_media_meta(df).collect()}
+    for i in range(8):
+        m = meta[f"flacclip-{i:03d}"]
+        sr = [8000, 16000][i % 2]
+        assert m["container"] == "flac"
+        assert m["sr_hz"] == sr and m["bits"] == 16 and m["channels"] == 1
+        assert m["n_samples"] == max(1, sr * 120 // 1000)
+
+
+def test_flac_roundtrip_stage(spark):
+    from json_spark.fixtures.gen import generate_clips
+    from json_spark.operators.multimodal import flac_roundtrip
+
+    clips = generate_clips(spark, 64, partitions=4)
+    out = flac_roundtrip(clips).collect()
+    assert len(out) == 64
+    assert all(r["decoded"] and r["bit_exact"] for r in out)
+    for r in out:
+        n = r["n_samples"]
+        assert r["flac_bytes"] == 42 + 11 * ((n + 4095) // 4096) + 2 * n
