@@ -54,6 +54,7 @@ HEADLINE = [
     "fuzzy_referential",
     "coercion_number",
     "coercion_date",
+    "coercion_date_zoned",
     "drift_psi",
     "drift_ks",
     "drift_rolling",

@@ -71,7 +71,7 @@ GATE_FRONT: list[str] = [
     # new/changed THIS round — need a first driver row
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
-    "audio_flac_roundtrip",
+    "audio_flac_roundtrip", "multimodal_meta",
 ]
 
 
@@ -1518,15 +1518,42 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- multimodal binary columns (rows-only: WAV decode not in SQL) -------
 
-@register("multimodal_meta")
+@register("multimodal_meta", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+g AS (
+  SELECT sr_hz,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n
+  FROM full_)
+SELECT 'wav' AS container, sr_hz,
+       count(*) AS n,
+       CAST(sum(CAST(round(1000.0 * n / sr_hz * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_dur_us,
+       CAST(sum(n) AS BIGINT) AS sum_samples,
+       count(*) AS n_pcm16_mono
+FROM g GROUP BY sr_hz
+""")
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media metadata from header peeks (operators/multimodal.py:
+    extract_media_meta) — container tag, sample rate, channel/bit layout,
+    sample count, header-implied duration — WITHOUT a full decode. The
+    oracle re-derives every header field from the generator contract
+    (CRC-32 SQL fold): per (container, sr) clip counts, total samples,
+    pcm16-mono layout count, and the header-implied duration summed as
+    per-row-rounded integer microseconds (order-independent, so IEEE
+    summation order cannot flip the hash; the division 1000.0*n/sr is
+    the identical double on both engines).
+    """
     from ..fixtures.gen import generate_clips
     from ..operators.multimodal import extract_media_meta
     clips = generate_clips(spark, _SNR_N, partitions=8)
     return extract_media_meta(clips).groupBy("container", "sr_hz").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("meta_dur_ms"), 3).alias("avg_dur_ms"),
+        F.sum(F.round(F.col("meta_dur_ms") * 1000).cast("long"))
+        .alias("sum_dur_us"),
         F.sum("n_samples").alias("sum_samples"),
+        F.sum(((F.col("bits") == 16) & (F.col("channels") == 1))
+              .cast("long")).alias("n_pcm16_mono"),
     )
 
 

@@ -358,6 +358,41 @@ CHECKS = {
         ("partial+final hash aggregate", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "coercion_date_zoned": [
+        # the whole zoned coercion (17-layout coalesce, offset arithmetic,
+        # convert_timezone for both modes) must stay pure Column exprs
+        ("no Python stage", True,
+         lambda p: "Python" not in p and "Arrow" not in p),
+        ("whole-stage codegen", True,
+         lambda p: "Found 0 WholeStageCodegen" not in p.split("== CODEGEN ==")[-1]
+         and "WholeStageCodegen" in p.split("== CODEGEN ==")[-1]),
+        ("scan pruned to event_id only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "audio_flac_roundtrip": [
+        # fixture source + the FLAC transcode stage; payload bytes must
+        # never reach an exchange (the 5 scalar outputs shuffle instead)
+        ("exactly two Python stages (fixture source + transcode)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 2),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "multimodal_meta": [
+        ("exactly two Python stages (fixture source + header peek)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 2),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
 }
 
 
