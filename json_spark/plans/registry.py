@@ -71,7 +71,8 @@ GATE_FRONT: list[str] = [
     # new/changed THIS round — need a first driver row
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
-    "audio_flac_roundtrip", "multimodal_meta",
+    "audio_flac_roundtrip", "multimodal_meta", "config_schema",
+    "drift_psi", "drift_psi_categorical", "drift_ks",
 ]
 
 
@@ -3203,3 +3204,82 @@ def q_stats_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice__quantiles").getItem(1).alias("p50"),
         F.col("l_extendedprice__quantiles").getItem(2).alias("p75"),
     )
+
+
+@register("config_schema", oracle="""
+SELECT * FROM (VALUES
+  ('Bool.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Bool.FallbackValue', 'FallbackValue', 'checkbox', 'false'),
+  ('Bool.FromStrings.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Bool.FromStrings.CustomListForTrue', 'CustomListForTrue', 'text',
+   '["true", "yes", "on"]'),
+  ('Bool.FromStrings.CustomListForFalse', 'CustomListForFalse', 'text',
+   '["false", "no", "off", ""]'),
+  ('Bool.FromStrings.CaseInsensitive', 'CaseInsensitive', 'checkbox', 'true'),
+  ('Bool.FromStrings.RespectFromNumbersLogic', 'RespectFromNumbersLogic',
+   'checkbox', 'true'),
+  ('Bool.FromNumbers.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Bool.FromNumbers.CustomParseFunc', 'CustomParseFunc', 'select', 'binary'),
+  ('Bool.FromNull.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Bool.FromNull.Inverse', 'Inverse', 'checkbox', 'false'),
+  ('Number.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Number.FromStrings.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Number.FromStrings.SpacingAllowed', 'SpacingAllowed', 'checkbox', 'true'),
+  ('Number.FromStrings.ExponentNotationAllowed', 'ExponentNotationAllowed',
+   'checkbox', 'true'),
+  ('Number.FromStrings.CommasAllowed', 'CommasAllowed', 'checkbox', 'true'),
+  ('Number.FromStrings.RoundingAlgorithm', 'RoundingAlgorithm', 'select',
+   'floor'),
+  ('Number.FromBools.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Number.FromNull.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Date.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Date.Timezone.Default', 'Default', 'text', 'UTC'),
+  ('Date.Timezone.Fields', 'Fields', 'text', '["timezone", "tz"]'),
+  ('Date.Timezone.ForceConvertingInto', 'ForceConvertingInto', 'checkbox',
+   'false'),
+  ('Date.FromNumbers.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Date.FromNumbers.UnixTimestamp', 'UnixTimestamp', 'checkbox', 'true'),
+  ('Date.FromNumbers.UnixMilliTimestamp', 'UnixMilliTimestamp', 'checkbox',
+   'true'),
+  ('Date.FromStrings.Allowed', 'Allowed', 'checkbox', 'true'),
+  ('Date.FromStrings.Aliases', 'Aliases', 'checkbox', 'true'),
+  ('Date.FromStrings.RespectFromNumbersLogic', 'RespectFromNumbersLogic',
+   'checkbox', 'true'),
+  ('Date.FromStrings.Layouts.Time', 'Time', 'text',
+   '["3:04PM", "15:04", "15:04:05"]'),
+  ('Date.FromStrings.Layouts.Date', 'Date', 'text',
+   '["2006-01-02", "2006/01/02", "02 Jan 06", "02-Jan-06", "Mon, 02 Jan 06", "Mon, 02-Jan-06", "Monday, 02 Jan 06", "Monday, 02-Jan-06", "02 Jan 2006", "02-Jan-2006", "Mon, 02 Jan 2006", "Mon, 02-Jan-2006", "Monday, 02 Jan 2006", "Monday, 02-Jan-2006"]'),
+  ('Date.FromStrings.Layouts.DateTime', 'DateTime', 'text',
+   '["2006-01-02T15:04:05", "2006-01-02T15:04:05Z07:00", "2006-01-02T15:04:05.999999999Z07:00"]'),
+  ('Date.FromNull.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('FlexKeys.Disabled', 'Disabled', 'checkbox', 'true'),
+  ('FlexKeys.CaseInsensitive', 'CaseInsensitive', 'checkbox', 'false'),
+  ('FlexKeys.ChameleonCase', 'ChameleonCase', 'checkbox', 'false'),
+  ('Array.Disabled', 'Disabled', 'checkbox', 'false'),
+  ('Array.AutoWrapSingleValues', 'AutoWrapSingleValues', 'checkbox', 'false')
+) AS t(name, label, ftype, value)
+""")
+def q_config_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config introspection / schema generation (reference formgen:
+    internal/formgen/introspect.go:19-137, cmd/config-schema/main.go:12-26;
+    engine: config/introspect.py). Flattens the introspected FormModel of
+    the default config into (name, label, ftype, value) rows. The oracle
+    is a HAND-TRANSCRIBED golden of the reference's default.toml surface
+    (the one query class where nothing is derivable by a second engine —
+    pure config metadata), so any drift in the walk order, key naming,
+    type mapping, select values, or Go-layout rendering fails the hash.
+    Pure driver-side metadata: the DataFrame is config-sized by nature.
+    """
+    from ..config.introspect import introspect
+
+    def walk(sec, out):
+        for f in sec.fields:
+            out.append((f.name, f.label, f.type, f.value))
+        for s in sec.subsections:
+            walk(s, out)
+
+    rows: list[tuple[str, str, str, str]] = []
+    for sec in introspect().sections:
+        walk(sec, rows)
+    return spark.createDataFrame(
+        rows, "name string, label string, ftype string, value string")
