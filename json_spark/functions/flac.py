@@ -227,6 +227,23 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     chunks: list[np.ndarray] = []
     total = info["n_samples"]
     got = 0
+    try:
+        pos, chunks = _decode_frames(data, pos, total, chunks)
+    except (IndexError, struct.error) as exc:
+        # corrupt length/number fields can walk the cursor off the buffer;
+        # the documented contract is ValueError for ANY malformed stream
+        raise ValueError(f"truncated or corrupt frame: {exc}") from exc
+    pcm = (np.concatenate(chunks)[:total] if chunks
+           else np.empty(0, dtype=np.int16))
+    if info["md5"] != b"\x00" * 16:
+        if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != info["md5"]:
+            raise ValueError("stream MD5 mismatch")
+    return pcm.astype(np.float32) / 32767.0, info["sr_hz"]
+
+
+def _decode_frames(data: bytes, pos: int, total: int,
+                   chunks: list) -> tuple[int, list]:
+    got = 0
     while got < total:
         start = pos
         if pos + 5 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
@@ -282,9 +299,4 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         pos += 2
         chunks.append(samples)
         got += block
-    pcm = (np.concatenate(chunks)[:total] if chunks
-           else np.empty(0, dtype=np.int16))
-    if info["md5"] != b"\x00" * 16:
-        if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != info["md5"]:
-            raise ValueError("stream MD5 mismatch")
-    return pcm.astype(np.float32) / 32767.0, info["sr_hz"]
+    return pos, chunks

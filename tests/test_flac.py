@@ -135,3 +135,44 @@ def test_flac_roundtrip_stage(spark):
     for r in out:
         n = r["n_samples"]
         assert r["flac_bytes"] == 42 + 11 * ((n + 4095) // 4096) + 2 * n
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): arbitrary int16 signals, block sizes, rates
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(st.integers(min_value=-32768, max_value=32767),
+                         min_size=0, max_size=5000),
+        block=st.sampled_from([1, 7, 192, 256, 1024, 4096]),
+        sr=st.sampled_from([8000, 22050, 44100, 96000]),
+    )
+    def test_property_roundtrip_any_signal(samples, block, sr):
+        ints = np.asarray(samples, dtype=np.int16)
+        blob = encode_flac(ints, sr, block_size=block)
+        sig, sr2 = decode_flac(blob)
+        assert sr2 == sr
+        assert np.array_equal(np.round(sig * 32767.0).astype(np.int16), ints)
+        si = parse_flac_streaminfo(blob)
+        assert si["n_samples"] == len(ints)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=3000),
+        flip=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_property_frame_corruption_detected(n, flip):
+        ints = (np.arange(n, dtype=np.int64) * 2654435761 % 65536
+                - 32768).astype(np.int16)
+        blob = bytearray(encode_flac(ints, 16000, block_size=512))
+        frames_at = parse_flac_streaminfo(bytes(blob))["frames_at"]
+        off = frames_at + flip % (len(blob) - frames_at)
+        blob[off] ^= 1 << (flip % 8)
+        with pytest.raises(ValueError):
+            decode_flac(bytes(blob))
+except ImportError:  # pragma: no cover
+    pass
