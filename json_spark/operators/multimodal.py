@@ -333,6 +333,99 @@ def le32(bytes_col: Column, pos: int) -> Column:
     return F.conv(swapped, 16, 10).cast("long")
 
 
+def be_uint(bytes_col: Column, pos: int, n: int) -> Column:
+    """Big-endian unsigned read of ``n`` bytes (n ≤ 8) at 1-based ``pos``
+    from a binary column — hex + base-16 conv, pure codegen (see le32)."""
+    return F.conv(F.hex(F.substring(bytes_col, pos, n)), 16, 10).cast("long")
+
+
+def flac_header_columns(bytes_col: Column) -> dict[str, Column]:
+    """FLAC STREAMINFO fields as pure Column expressions — the
+    zero-Python header path for the second container (functions/flac.py
+    holds the full Arrow-stage codec; this reads ONLY the 42 leading
+    bytes). STREAMINFO is required first-block by the FLAC spec, so the
+    offsets are fixed: magic 1-4, block header 5-8 (type 0, length 34),
+    the packed sr/channels/bps/total-samples u64 at bytes 19-26.
+
+    ``hdr_sr_hz`` stays a signed-long shift: sample rates are 20 bits
+    (< 2^19 for every real rate), so the packed top bit is 0 and the
+    conv→long cast is lossless.
+    """
+    packed = be_uint(bytes_col, 19, 8)
+    return {
+        "flac_ok": (F.length(bytes_col) >= 42)
+        & (F.substring(bytes_col, 1, 4) == F.lit(b"fLaC"))
+        & ((be_uint(bytes_col, 5, 1).bitwiseAND(F.lit(127))) == 0)
+        & (be_uint(bytes_col, 6, 3) == 34),
+        "hdr_sr_hz": F.shiftrightunsigned(packed, 44),
+        "channels": F.shiftrightunsigned(packed, 41).bitwiseAND(F.lit(7)) + 1,
+        "bits": F.shiftrightunsigned(packed, 36).bitwiseAND(F.lit(31)) + 1,
+        "n_samples": packed.bitwiseAND(F.lit((1 << 36) - 1)),
+    }
+
+
+def flac_header_verdicts() -> dict[str, Column]:
+    """FLAC container checks as GREEN/YELLOW/RED verdict Columns for the
+    streaming/batch rule surface (twin of :func:`wav_header_verdicts`):
+
+    - ``bytes``: RED when the fLaC magic / STREAMINFO shape is missing or
+      the payload is shorter than the verbatim-subframe lower bound
+      (42 + 2·n_samples — valid for the engine's verbatim codec, which
+      never compresses below raw), i.e. a truncated upload; GREEN else.
+    - ``sr_hz``: YELLOW when the container is sound but STREAMINFO's rate
+      contradicts the metadata column (recoverable by trusting the
+      header); RED when unreadable; GREEN on agreement.
+    """
+    hdr = flac_header_columns(F.col("bytes"))
+    container_ok = (hdr["flac_ok"]
+                    & (F.length("bytes") >= 42 + 2 * hdr["n_samples"]))
+    return {
+        "bytes": F.when(container_ok, "GREEN").otherwise("RED"),
+        "sr_hz": F.when(~hdr["flac_ok"], "RED")
+        .when(hdr["hdr_sr_hz"] == F.col("sr_hz"), "GREEN")
+        .otherwise("YELLOW"),
+    }
+
+
+TRANSCODE_FLAC_SCHEMA = (
+    "clip_id string, codec string, sr_hz int, dur_ms int, bytes binary"
+)
+
+
+def transcode_flac(clips: DataFrame) -> DataFrame:
+    """WAV→FLAC transcode keeping the clips-table shape: each payload's
+    raw int16 samples re-containered as real FLAC (functions/flac.py).
+    Map-only Arrow stage over the source partitioning; undecodable
+    payloads pass through as null bytes (verdict surface decides)."""
+    from ..functions.flac import encode_flac
+
+    def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            out: list[bytes | None] = []
+            for j in range(batch.num_rows):
+                try:
+                    wav = memoryview(payloads[j].as_buffer())
+                    n_bytes = struct.unpack("<I", wav[40:44])[0]
+                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
+                    sr = struct.unpack("<I", wav[24:28])[0]
+                    out.append(bytes(encode_flac(ints, sr)))
+                except (ValueError, struct.error, AttributeError):
+                    out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),
+                 pa.array(out, pa.binary())],
+                ["clip_id", "codec", "sr_hz", "dur_ms", "bytes"])
+
+    return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
+                        "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
 def wav_header_columns(bytes_col: Column) -> dict[str, Column]:
     """Canonical-WAV header fields as pure Column expressions — the
     zero-Python fast path for header-level audio integrity checks at

@@ -73,6 +73,7 @@ GATE_FRONT: list[str] = [
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
     "drift_psi", "drift_psi_categorical", "drift_ks",
+    "flac_header_integrity",
 ]
 
 
@@ -1786,6 +1787,57 @@ def q_audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("bit_exact").cast("long")).alias("n_bit_exact"),
         F.sum("n_samples").alias("sum_samples"),
         F.sum("flac_bytes").alias("sum_flac_bytes"))
+
+
+@register("flac_header_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+g AS (
+  SELECT codec,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n
+  FROM full_)
+SELECT codec,
+       count(*) AS n_clips,
+       count(*) AS n_flac_ok,
+       count(*) AS n_sr_match,
+       count(*) AS n_nsamples_match,
+       count(*) AS n_pcm16_mono,
+       CAST(sum(n) AS BIGINT) AS sum_samples
+FROM g GROUP BY codec
+""")
+def q_flac_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Python STREAMINFO integrity over real FLAC containers: clips
+    transcode to FLAC in one Arrow stage (multimodal.py:transcode_flac),
+    then every header field — magic/shape, sample rate, channel/bit
+    layout, total samples — is read by pure Column byte surgery
+    (multimodal.py:flac_header_columns; hex+conv shifts, no Python, no
+    full decode) and compared against the metadata columns. The oracle
+    re-derives the expected fields per codec from the generator contract.
+    The WAV twin is `audio_header_integrity`; together the two containers
+    share one rule surface (wav_header_verdicts / flac_header_verdicts).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import flac_header_columns, transcode_flac
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    fl = transcode_flac(clips)
+    hdr = flac_header_columns(F.col("bytes"))
+    expected_n = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100) DIV 1000"))
+    parsed = fl.select(
+        "codec",
+        hdr["flac_ok"].alias("flac_ok"),
+        (hdr["hdr_sr_hz"] == F.col("sr_hz").cast("long")).alias("sr_match"),
+        (hdr["n_samples"] == expected_n).alias("ns_match"),
+        ((hdr["channels"] == 1) & (hdr["bits"] == 16)).alias("pcm16_mono"),
+        hdr["n_samples"].alias("n_samples"))
+    return parsed.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("flac_ok").cast("long")).alias("n_flac_ok"),
+        F.sum(F.col("sr_match").cast("long")).alias("n_sr_match"),
+        F.sum(F.col("ns_match").cast("long")).alias("n_nsamples_match"),
+        F.sum(F.col("pcm16_mono").cast("long")).alias("n_pcm16_mono"),
+        F.sum("n_samples").alias("sum_samples"))
 
 
 @register("event_sessions", oracle="""

@@ -176,3 +176,96 @@ try:
             decode_flac(bytes(blob))
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_flac_header_columns_pure_column(spark):
+    # zero-Python STREAMINFO reads: fields recovered by byte surgery match
+    # the encoder, and corrupt/truncated containers are classified RED
+    from pyspark.sql import functions as F
+    from json_spark.operators.multimodal import (
+        flac_header_columns,
+        flac_header_verdicts,
+    )
+
+    ints = _ints("col-clip", 22050, 90)
+    good = bytes(encode_flac(ints, 22050))
+    sr_lie = bytes(encode_flac(ints, 44100))     # header says 44100
+    truncated = good[: 42 + len(ints)]           # half the verbatim bytes
+    not_flac = b"RIFFxxxxWAVE" + b"\x00" * 64
+    df = spark.createDataFrame(
+        [("good", bytearray(good), 22050),
+         ("srlie", bytearray(sr_lie), 22050),
+         ("trunc", bytearray(truncated), 22050),
+         ("notflac", bytearray(not_flac), 22050)],
+        "clip_id string, bytes binary, sr_hz int")
+
+    hdr = flac_header_columns(F.col("bytes"))
+    rows = {r["clip_id"]: r for r in df.select(
+        "clip_id", hdr["flac_ok"].alias("ok"),
+        hdr["hdr_sr_hz"].alias("sr"), hdr["channels"].alias("ch"),
+        hdr["bits"].alias("bits"), hdr["n_samples"].alias("n")).collect()}
+    assert rows["good"]["ok"] and rows["good"]["sr"] == 22050
+    assert rows["good"]["ch"] == 1 and rows["good"]["bits"] == 16
+    assert rows["good"]["n"] == len(ints)
+    assert rows["srlie"]["sr"] == 44100
+    assert rows["trunc"]["ok"]            # header intact; length rule catches it
+    assert not rows["notflac"]["ok"]
+
+    v = flac_header_verdicts()
+    verd = {r["clip_id"]: r for r in df.select(
+        "clip_id", v["bytes"].alias("vb"), v["sr_hz"].alias("vs")).collect()}
+    assert (verd["good"]["vb"], verd["good"]["vs"]) == ("GREEN", "GREEN")
+    assert (verd["srlie"]["vb"], verd["srlie"]["vs"]) == ("GREEN", "YELLOW")
+    assert verd["trunc"]["vb"] == "RED"
+    assert (verd["notflac"]["vb"], verd["notflac"]["vs"]) == ("RED", "RED")
+
+
+def test_streaming_flac_header_verdicts(spark, tmp_path):
+    """The FLAC container rules run unchanged as streaming rules — the
+    second container shares the WAV twin's streaming surface."""
+    from pyspark.sql import functions as F
+    from json_spark.operators.multimodal import flac_header_verdicts
+    from json_spark.streaming.validate import streaming_windowed_verdicts
+
+    ints = _ints("s-clip", 8000, 100)
+    good = bytes(encode_flac(ints, 8000))
+    sr_lie = bytes(encode_flac(ints, 16000))
+    truncated = good[:60]
+    schema = "ts timestamp, codec string, bytes binary, sr_hz int"
+    src, sink, chk = (str(tmp_path / d) for d in ("fsrc", "fsink", "fchk"))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, codec string, bytes binary, sr_hz int"
+        ).select(F.to_timestamp("ts").alias("ts"), "codec", "bytes", "sr_hz"
+                 ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_windowed_verdicts(
+            stream, flac_header_verdicts(), event_time_col="ts",
+            window_duration="1 minute", watermark="2 minutes",
+            partition_cols=["codec"])
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write([("2026-01-01 00:00:05", "flac", bytearray(good), 8000),
+           ("2026-01-01 00:00:15", "flac", bytearray(sr_lie), 8000),
+           ("2026-01-01 00:00:25", "flac", bytearray(truncated), 8000)])
+    run()
+    # later batches advance the watermark so the 00:00 window finalizes
+    write([("2026-01-01 00:02:30", "flac", bytearray(good), 8000)])
+    run()
+    write([("2026-01-01 00:04:00", "flac", bytearray(good), 8000)])
+    run()
+
+    rows = {r["window_start"].strftime("%H:%M"): r
+            for r in spark.read.parquet(sink).collect()}
+    w0 = rows["00:00"]
+    assert w0["n_rows"] == 3
+    assert w0["n_green"] == 1
+    assert w0["n_yellow"] == 1     # sample-rate lie: recoverable
+    assert w0["n_red"] == 1        # truncated payload
+    assert w0["verdict"] == "RED"

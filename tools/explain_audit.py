@@ -393,6 +393,19 @@ CHECKS = {
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
                                   p.split("== CODEGEN ==")[0])) == 1),
     ],
+    "flac_header_integrity": [
+        # fixture source + WAV→FLAC transcode; the STREAMINFO reads on top
+        # must be pure Column byte surgery (no third Python stage)
+        ("exactly two Python stages (fixture source + transcode)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 2),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
 }
 
 
