@@ -1,9 +1,12 @@
 """PCM decode + SNR invariant — the engine's only Python stage.
 
 North-rule check (BASELINE.json input_hint): decoded PCM must match the
-reference signal with SNR >= 30 dB ("allclose"). This is the one operator
-that genuinely cannot be a Column expression (byte-level WAV decode +
-numpy math), so it is an Arrow-batched ``mapInArrow`` stage: Arrow moves
+reference signal with SNR >= 30 dB ("allclose"). Container-agnostic:
+WAV decodes first; non-RIFF payloads fall through to the real FLAC
+codec (functions/flac.py), so the same invariant runs over either
+container. This is the one operator that genuinely cannot be a Column
+expression (byte-level container decode + numpy math), so it is an
+Arrow-batched ``mapInArrow`` stage: Arrow moves
 binary batches to the Python worker, numpy does vectorized math per clip,
 and ONLY the scalar results (snr_db, verdict) come back — the audio bytes
 never travel driver-ward or shuffle.
@@ -34,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.signal import decode_wav_pcm16, reference_signal, snr_db
+from ..functions.flac import decode_flac
 
 SNR_THRESHOLD_DB = 30.0
 
@@ -99,7 +103,12 @@ def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                 try:
                     if buf is None:
                         continue
-                    decoded, sr = decode_wav_pcm16(buf)
+                    try:
+                        decoded, sr = decode_wav_pcm16(buf)
+                    except (ValueError, struct.error):
+                        # second container: real FLAC decode (checksums
+                        # enforced); rejects non-fLaC instantly at magic
+                        decoded, sr = decode_flac(bytes(buf))
                     dur = int(durs[j]) if durs[j] is not None else 100
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)

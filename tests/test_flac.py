@@ -269,3 +269,42 @@ def test_streaming_flac_header_verdicts(spark, tmp_path):
     assert w0["n_yellow"] == 1     # sample-rate lie: recoverable
     assert w0["n_red"] == 1        # truncated payload
     assert w0["verdict"] == "RED"
+
+
+def test_snr_invariant_container_agnostic(spark):
+    """The suite's SNR>=30dB content invariant runs unchanged over FLAC
+    containers: clean clips GREEN (bit-exact transcode => snr inf), a
+    corrupted FLAC frame decodes to RED (checksum failure => null snr)."""
+    from json_spark.operators.multimodal import transcode_flac
+    from json_spark.operators.snr import snr_check
+    from json_spark.fixtures.gen import generate_clips
+
+    clips = generate_clips(spark, 64, partitions=4)
+    fl = transcode_flac(clips)  # same clip_id/dur_ms contract, FLAC bytes
+
+    def corrupt_some(df):
+        from pyspark.sql import functions as F
+        # flip one payload byte (a verbatim sample region) on 8 clips
+        return df.withColumn(
+            "bytes",
+            F.when(F.crc32(F.col("clip_id").cast("binary")) % 8 == 0,
+                   F.concat(F.substring("bytes", 1, 60),
+                            F.lit(b"\xff"),
+                            F.expr("substring(bytes, 62, "
+                                   "length(bytes) - 61)")))
+            .otherwise(F.col("bytes")))
+
+    out = {r["clip_id"]: r for r in
+           snr_check(corrupt_some(fl)).collect()}
+    assert len(out) == 64
+    n_red = 0
+    for cid, r in out.items():
+        import zlib
+        if zlib.crc32(cid.encode()) % 8 == 0:
+            assert r["verdict"] == "RED" and r["snr_db"] is None
+            n_red += 1
+        else:
+            # i%997 corruption is noise INSIDE the samples: still decodes;
+            # with only 64 rows none are planted-corrupt, so all GREEN
+            assert r["verdict"] == "GREEN" and r["snr_db"] > 30.0
+    assert n_red > 0
