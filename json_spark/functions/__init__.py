@@ -12,6 +12,7 @@ from .coercion import (
     coerce_timestamp_zoned,
     verdict_rank,
 )
+from .flac import decode_flac, encode_flac, parse_flac_streaminfo
 from .keys import chameleon_key, case_insensitive_key, detect_case, normalize_keys_map
 
 __all__ = [
@@ -27,6 +28,9 @@ __all__ = [
     "coerce_timestamp",
     "coerce_timestamp_zoned",
     "verdict_rank",
+    "decode_flac",
+    "encode_flac",
+    "parse_flac_streaminfo",
     "chameleon_key",
     "case_insensitive_key",
     "detect_case",

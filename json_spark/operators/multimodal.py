@@ -387,6 +387,23 @@ def flac_header_verdicts() -> dict[str, Column]:
     }
 
 
+def container_header_verdicts() -> dict[str, Column]:
+    """Mixed-container rule set: dispatch per row on the magic bytes —
+    RIFF payloads validate under the WAV rules, fLaC payloads under the
+    FLAC rules, anything else is RED. One pure-Column CASE, so a stream
+    (or batch table) carrying both containers validates in a single rule
+    surface with no Python stage."""
+    wav = wav_header_verdicts()
+    fl = flac_header_verdicts()
+    is_wav = F.substring(F.col("bytes"), 1, 4) == F.lit(b"RIFF")
+    is_flac = F.substring(F.col("bytes"), 1, 4) == F.lit(b"fLaC")
+    return {
+        col: F.when(is_wav, wav[col]).when(is_flac, fl[col])
+        .otherwise(F.lit("RED"))
+        for col in ("bytes", "sr_hz")
+    }
+
+
 TRANSCODE_FLAC_SCHEMA = (
     "clip_id string, codec string, sr_hz int, dur_ms int, bytes binary"
 )

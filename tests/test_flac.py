@@ -308,3 +308,30 @@ def test_snr_invariant_container_agnostic(spark):
             # with only 64 rows none are planted-corrupt, so all GREEN
             assert r["verdict"] == "GREEN" and r["snr_db"] > 30.0
     assert n_red > 0
+
+
+def test_mixed_container_dispatch(spark):
+    """One rule surface for a mixed WAV+FLAC table: per-row magic-byte
+    dispatch, pure Column (batch here; the same dict drops into
+    streaming_windowed_verdicts unchanged)."""
+    from pyspark.sql import functions as F
+    from json_spark.operators.multimodal import container_header_verdicts
+
+    ints = _ints("mix-clip", 8000, 100)
+    wav_good = pcm16_wav_bytes(ints.astype(np.float32) / 32767.0, 8000)
+    flac_good = bytes(encode_flac(ints, 8000))
+    flac_srlie = bytes(encode_flac(ints, 16000))
+    garbage = b"\x00" * 100
+    df = spark.createDataFrame(
+        [("w", bytearray(wav_good), 8000),
+         ("f", bytearray(flac_good), 8000),
+         ("fl", bytearray(flac_srlie), 8000),
+         ("g", bytearray(garbage), 8000)],
+        "clip_id string, bytes binary, sr_hz int")
+    v = container_header_verdicts()
+    rows = {r["clip_id"]: r for r in df.select(
+        "clip_id", v["bytes"].alias("vb"), v["sr_hz"].alias("vs")).collect()}
+    assert (rows["w"]["vb"], rows["w"]["vs"]) == ("GREEN", "GREEN")
+    assert (rows["f"]["vb"], rows["f"]["vs"]) == ("GREEN", "GREEN")
+    assert (rows["fl"]["vb"], rows["fl"]["vs"]) == ("GREEN", "YELLOW")
+    assert (rows["g"]["vb"], rows["g"]["vs"]) == ("RED", "RED")
