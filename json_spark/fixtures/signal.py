@@ -8,10 +8,13 @@ checker agree across processes, sessions, and cluster nodes.
 
 No audio libraries: WAV is a 44-byte RIFF header + little-endian PCM16
 frames, trivially (de)serialized with ``struct`` + ``numpy.frombuffer``.
-Real codecs (flac/opus/mp3) are modeled as opaque binary with a stubbed
+FLAC is a real second container (functions/flac.py — pure-Python
+verbatim-subframe codec); opus/mp3 remain opaque binary with a stubbed
 decode (see operators/multimodal.py) since their libs aren't in this
-container; the fixture stores PCM16-in-WAV for every codec label so the
-SNR path is fully exercised.
+container. The fixture stores PCM16-in-WAV for every codec label so the
+closed-form byte-level oracles stay derivable; FLAC payload paths are
+exercised by transcode (multimodal.py:transcode_flac) in their own
+queries/tests.
 """
 
 from __future__ import annotations
