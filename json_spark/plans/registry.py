@@ -54,6 +54,15 @@ ORACLE_SQL: dict[str, str] = {}
 #: already green in CORRECTNESS_r02 cycles behind them. Rotate per
 #: round so every oracle-backed query lands in the window at least once
 #: every two rounds.
+#:
+#: ROUND-4 ROTATION: unless their code changes again, swap this round's
+#: list out for the families that sat beyond slot 50 in r3 —
+#: text_token_stats/quality/langid/fingerprint, the dedup_* family,
+#: contamination_check, ann_cosine_topk, audio_header_integrity,
+#: audio_dominant_freq, audio_rms_check, audio_chunks, audio_resample,
+#: event_sessions, events_asof_join/range_join/rollup, dataset_split,
+#: doc_pack_batches, verdict_rollup, fd_profile — plus whatever r4 adds
+#: or changes.
 GATE_FRONT: list[str] = [
     # changed after their last driver check — stale green, check first
     "embedded_decode", "coercion_array", "coercion_object",
