@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "contamination_check",
+    "contamination_ngram_exact",
     "embedded_decode",
     "key_style_stats",
     "event_sessions",

@@ -633,3 +633,41 @@ def embedding_lsh_pairs(
         .distinct()
     )
     return verify_pairs_cosine(cand, df, id_col, vec_col, threshold)
+
+
+def ngram_overlap_join(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3-style eval-overlap rule):
+    every (train doc, eval doc) pair sharing at least one word n-gram,
+    with the shared-gram count. Complements :func:`minhash_lsh_join` —
+    LSH finds NEAR duplicates above a Jaccard threshold; this finds exact
+    verbatim substring leakage of length >= n tokens, however small the
+    overall similarity (a benchmark answer pasted into one line of a long
+    training document).
+
+    Scale shape: the eval corpus is benchmark-sized, so its exploded
+    distinct grams broadcast; the train side explodes to (doc, gram)
+    pairs and the broadcast hash join filters them map-side — the only
+    exchange is the final (train_id, eval_id) aggregate over actual hits.
+    At 10^12 train rows that is one scan + one hit-sized shuffle. For an
+    eval set too large to broadcast, drop the hint and the same plan
+    degrades to a shuffle join on the gram key.
+
+    Returns (train_id, eval_id, n_shared) — n_shared counts DISTINCT
+    shared grams (both sides deduplicate their grams first, so the count
+    is |gram-set intersection|, insensitive to repetition).
+    """
+    tr = ensure_parallelism(train_df).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"))
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"))
+    hits = tr.join(F.broadcast(ev), "__g")
+    return hits.groupBy("train_id", "eval_id").agg(
+        F.count_distinct(F.col("__g")).alias("n_shared"))

@@ -82,7 +82,7 @@ GATE_FRONT: list[str] = [
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
     "drift_psi", "drift_psi_categorical", "drift_ks",
-    "flac_header_integrity",
+    "flac_header_integrity", "contamination_ngram_exact",
 ]
 
 
@@ -1232,6 +1232,55 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(F.col("id_left").alias("train_id"),
                         F.col("id_right").alias("test_id"),
                         F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("contamination_ngram_exact", oracle="""
+WITH test_docs AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 5),
+g8 AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 8
+           THEN [array_to_string(toks[i:i+7], ' ')
+                 for i in generate_series(1, len(toks) - 7)]
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+t8 AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 8
+           THEN [array_to_string(toks[i:i+7], ' ')
+                 for i in generate_series(1, len(toks) - 7)]
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM test_docs))
+SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+       len(list_intersect(a.sh, b.sh)) AS n_shared
+FROM g8 a JOIN t8 b ON len(list_intersect(a.sh, b.sh)) >= 1
+""")
+def q_contamination_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination (operators/dedup.py:
+    ngram_overlap_join): flags verbatim >=8-token substring leakage from
+    the eval set into training data — the standard used to decontaminate
+    LLM benchmarks, complementing `contamination_check`'s Jaccard-
+    threshold near-dup rule (a pasted benchmark line in a long document
+    has tiny Jaccard but certain 8-gram overlap). Same deterministic eval
+    derivation as contamination_check: every 10th doc leaked verbatim,
+    every (10k+5)-th token-reversed as a non-leaked control. The oracle
+    computes the full exact gram-set intersection per pair; the Spark
+    plan is explode + broadcast hash join + one hit-sized aggregate —
+    never a cross join.
+    """
+    from ..operators.dedup import ngram_overlap_join
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    test = d.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter(F.pmod("doc_id", F.lit(10)) == 5).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text")))
+    return ngram_overlap_join(d, test, "doc_id", "text", n=8)
 
 
 @register("dedup_simhash", oracle="""

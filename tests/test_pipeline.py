@@ -349,3 +349,42 @@ def test_duplicate_clusters_components(spark):
     reps = {(r["cluster_id"], r["n_members"])
             for r in dedup.dedup_representatives(pairs).collect()}
     assert reps == {(10, 4), (20, 2), (30, 3)}
+
+
+def test_ngram_overlap_join_exact(spark):
+    """Exact 4-gram decontamination on a tiny corpus vs a brute-force
+    python twin: verbatim substring leakage found, sub-n overlap not."""
+    from json_spark.operators.dedup import ngram_overlap_join
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated text about spark physical plans"),
+        (3, "short doc"),
+    ]
+    evals = [
+        # verbatim 5-token substring of doc 1 → shares 4-grams
+        (101, "quick brown fox jumps over"),
+        # only 3 consecutive shared tokens with doc 1 → NO shared 4-gram
+        (102, "brown fox jumps backwards forever more"),
+        (103, "short doc"),  # whole-text fallback shingle, exact match
+    ]
+    tr = spark.createDataFrame(train, "doc_id long, text string")
+    ev = spark.createDataFrame(evals, "doc_id long, text string")
+    got = {(r["train_id"], r["eval_id"]): r["n_shared"]
+           for r in ngram_overlap_join(tr, ev, "doc_id", "text", n=4).collect()}
+
+    def grams(t, n=4):
+        toks = t.split()
+        if len(toks) < n:
+            return {t}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = {}
+    for tid, ttext in train:
+        for eid, etext in evals:
+            shared = grams(ttext) & grams(etext)
+            if shared:
+                expected[(tid, eid)] = len(shared)
+    assert got == expected
+    assert (1, 101) in got and (1, 102) not in got
+    assert got[(3, 103)] == 1

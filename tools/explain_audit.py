@@ -393,6 +393,16 @@ CHECKS = {
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
                                   p.split("== CODEGEN ==")[0])) == 1),
     ],
+    "contamination_ngram_exact": [
+        # the eval gram set broadcasts; train grams filter map-side
+        ("broadcast hash join on the gram key (never a cross join)", True,
+         lambda p: "BroadcastHashJoin" in p and "Cartesian" not in p
+         and "NestedLoop" not in p),
+        ("no Python stage (pure Column shingles)", True,
+         lambda p: "Python" not in p and "Arrow" not in p),
+        ("partial+final hash aggregate over hits", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "flac_header_integrity": [
         # fixture source + WAV→FLAC transcode; the STREAMINFO reads on top
         # must be pure Column byte surgery (no third Python stage)
