@@ -78,6 +78,7 @@ HEADLINE = [
     "dataset_split",
     "doc_pack_batches",
     "stratified_sample",
+    "temperature_sample",
     "token_heavy_hitters",
     "outlier_mad",
     "curation_pipeline",

@@ -148,3 +148,59 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_tokens").alias("sum_tokens"),
                 F.sum(F.col("n_copies") - 1).alias("n_dups_removed")))
+
+
+def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
+                       alpha: float = 0.5, keep_frac: float = 0.5,
+                       salt: str = "temp:",
+                       buckets: int = 1 << 20) -> tuple[DataFrame, DataFrame]:
+    """Temperature sampling (the mT5/XLM-R multilingual balancing rule):
+    strata are re-weighted q_s ∝ p_s^alpha so head languages shrink and
+    tail languages keep more of their mass, with an overall kept budget
+    of ``keep_frac`` of the corpus. Membership is the deterministic md5
+    bucket of the id against a per-stratum integer threshold — no RNG,
+    reproducible and stable under re-partitioning, like
+    :func:`stratified_sample` (whose rates are hand-set; here they are
+    DERIVED from the measured distribution).
+
+    Cross-engine determinism: alpha=0.5 evaluates via IEEE ``sqrt`` (not
+    ``pow``) and the normalizer Z folds the stratum weights SEQUENTIALLY
+    in lexical stratum order (``F.aggregate`` over a sorted struct array
+    ↔ DuckDB ``list_reduce`` over ``list(... ORDER BY ...)``), so every
+    intermediate double — and therefore every integer threshold — is
+    bit-identical in a DuckDB replay. Other alphas use ``pow``, whose
+    last-ulp may differ across libm builds (documented trade-off).
+
+    Scale shape: two aggregates over the corpus (counts; the kept-side
+    report), everything between is stratum-sized; the membership filter
+    is a broadcast join + map-side hash compare.
+
+    Returns (kept_rows, rates) where rates carries per-stratum
+    (stratum, n_before, thresh).
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum("__n").alias("__tot"))
+    c = counts.crossJoin(F.broadcast(tot))  # stratum-sized × 1 row
+    p = F.col("__n") / F.col("__tot")
+    w = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(alpha))
+    cw = c.withColumn("__w", w)
+    z = cw.agg(F.aggregate(
+        F.array_sort(F.collect_list(
+            F.struct(F.col(stratum_col).alias("s"), F.col("__w").alias("w")))),
+        F.lit(0.0), lambda acc, x: acc + x["w"]).alias("__z"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(keep_frac) * F.col("__tot")) * (F.col("__w") / F.col("__z"))
+        / F.col("__n"))
+    rates = (cw.crossJoin(F.broadcast(z))
+             .select(F.col(stratum_col),
+                     F.col("__n").alias("n_before"),
+                     F.floor(rate * F.lit(float(buckets)))
+                     .cast("long").alias("thresh")))
+    from .packing import hash32
+    bucket = F.pmod(hash32(F.col(id_col), salt), F.lit(buckets))
+    kept = (df.join(F.broadcast(rates.select(stratum_col, "thresh")),
+                    stratum_col)
+            .filter(bucket < F.col("thresh"))
+            .drop("thresh"))
+    return kept, rates

@@ -83,6 +83,7 @@ GATE_FRONT: list[str] = [
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
     "drift_psi", "drift_psi_categorical", "drift_ks",
     "flac_header_integrity", "contamination_ngram_exact",
+    "temperature_sample",
 ]
 
 
@@ -2478,6 +2479,51 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(d, "doc_id", "lang",
                              {"en": 200, "zh": 800}, default_per_mille=500)
+
+
+@register("temperature_sample", oracle="""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS tot FROM c),
+w AS (SELECT lang, n, tot, sqrt(n / tot) AS w FROM c, t),
+z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w ORDER BY lang)),
+                         (a, b) -> a + b) AS z
+      FROM w),
+r AS (SELECT lang, n,
+        CAST(floor(least(1.0, ((0.5 * tot) * (w / z)) / n) * 1048576.0)
+             AS BIGINT) AS thresh
+      FROM w, z),
+k AS (SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 1048576 < r.thresh
+      GROUP BY d.lang)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_before, r.thresh,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON r.lang = k.lang
+""")
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (operators/curation.py:temperature_sample,
+    alpha=0.5, kept budget 50%): per-language keep thresholds DERIVED
+    from the measured distribution (q ∝ √p — the mT5 multilingual
+    balancing rule), membership by deterministic md5 bucket. The oracle
+    replays the whole derivation — counts → √-weights → sequentially
+    folded normalizer → integer thresholds → kept membership — with
+    bit-identical doubles (sqrt/division are IEEE-exact; the fold order
+    is pinned lexically on both engines), then counts kept rows per
+    language exactly.
+    """
+    from ..operators.curation import temperature_sample
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept, rates = temperature_sample(d, "doc_id", "lang",
+                                     alpha=0.5, keep_frac=0.5)
+    report = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("__k"))
+    return (rates.join(report, "lang", "left")
+            .select("lang",
+                    F.col("n_before"),
+                    F.col("thresh"),
+                    F.coalesce(F.col("__k"), F.lit(0).cast("long"))
+                    .alias("n_kept")))
 
 
 @register("token_heavy_hitters", oracle="""

@@ -127,3 +127,32 @@ def test_curate_corpus_funnel_invariants(spark):
     assert sum(r["sum_tokens"] for r in rows) == tok(docs[0][1]) + tok(docs[4][1])
     assert set(out.columns) == {"split", "n_docs", "sum_tokens",
                                 "n_dups_removed"}
+
+
+def test_temperature_sample_rebalances(spark):
+    """alpha=0.5 temperature sampling: head strata keep a SMALLER fraction
+    than tail strata, overall kept mass ~= keep_frac, and membership is
+    deterministic (same rows on re-run)."""
+    from json_spark.operators.curation import temperature_sample
+
+    rows = [(i, "head" if i % 10 < 7 else ("mid" if i % 10 < 9 else "tail"))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept, rates = temperature_sample(df, "doc_id", "lang",
+                                     alpha=0.5, keep_frac=0.5)
+    r = {x["lang"]: x for x in rates.collect()}
+    assert r["head"]["n_before"] == 3500
+    # derived keep-rate ordering: tail keeps the largest fraction
+    frac = {k: v["thresh"] / (1 << 20) for k, v in r.items()}
+    assert frac["tail"] > frac["mid"] > frac["head"]
+    k = kept.count()
+    assert abs(k - 2500) < 250          # ~keep_frac of the corpus
+    ids1 = sorted(x["doc_id"] for x in kept.collect())
+    kept2, _ = temperature_sample(df, "doc_id", "lang",
+                                  alpha=0.5, keep_frac=0.5)
+    assert ids1 == sorted(x["doc_id"] for x in kept2.collect())
+    # sanity: expected-count arithmetic — per-stratum kept ~= thresh/2^20 * n
+    for lang, v in r.items():
+        exp = frac[lang] * v["n_before"]
+        got = kept.filter(F.col("lang") == lang).count()
+        assert abs(got - exp) < 4 * (exp ** 0.5 + 1)
