@@ -30,8 +30,20 @@ from pyspark.sql import functions as F
 
 
 def main(argv: list[str] | None = None) -> int:
+    # config-schema mode (reference cmd/config-schema/main.go:12-26):
+    # print the introspected FormModel JSON and exit — no Spark session
+    if argv is None:
+        import sys as _sys
+        argv = _sys.argv[1:]
+    if argv and argv[0] == "--config-schema":
+        from .config.introspect import config_schema_json
+        print(config_schema_json())
+        return 0
+
     ap = argparse.ArgumentParser(prog="json_spark",
                                  description="PySpark validation engine")
+    ap.add_argument("--config-schema", action="store_true",
+                    help="print the config form-model JSON schema and exit")
     ap.add_argument("--clips", required=True,
                     help="clips table path (parquet dir or Iceberg identifier)")
     ap.add_argument("--manifest", default=None,

@@ -128,3 +128,17 @@ def test_round_trip_default_and_mutated():
     ):
         rebuilt = config_from_dict(model_to_config_dict(introspect(cfg)))
         assert rebuilt == cfg
+
+
+def test_config_schema_cli_mode():
+    # python -m json_spark --config-schema (reference cmd/config-schema)
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "json_spark", "--config-schema"],
+        capture_output=True, text=True, timeout=120, check=True)
+    doc = json.loads(out.stdout)
+    assert [s["title"] for s in doc["sections"]] == [
+        "Bool", "Number", "Date", "FlexKeys", "Array"]
