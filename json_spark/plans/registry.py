@@ -83,7 +83,7 @@ GATE_FRONT: list[str] = [
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
     "drift_psi", "drift_psi_categorical", "drift_ks",
     "flac_header_integrity", "contamination_ngram_exact",
-    "temperature_sample",
+    "temperature_sample", "audio_content_dedup",
 ]
 
 
@@ -1897,6 +1897,52 @@ def q_flac_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ns_match").cast("long")).alias("n_nsamples_match"),
         F.sum(F.col("pcm16_mono").cast("long")).alias("n_pcm16_mono"),
         F.sum("n_samples").alias("sum_samples"))
+
+
+@register("audio_content_dedup", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+keyed AS (
+  SELECT codec,
+         concat_ws('|', sr_hz, coalesce(dur_ms, 100), seed % 997,
+                   seed % 31, seed % 17,
+                   coalesce(CAST(CASE WHEN i % 997 = 996 THEN seed END
+                                 AS VARCHAR), '')) AS key
+  FROM full_),
+g AS (
+  SELECT codec, key,
+         count(*) OVER (PARTITION BY key) AS n_h
+  FROM keyed)
+SELECT codec,
+       count(*) AS n_clips,
+       CAST(count(*) FILTER (WHERE n_h > 1) AS BIGINT) AS n_dup_clips,
+       CAST(count(DISTINCT key) FILTER (WHERE n_h > 1) AS BIGINT)
+           AS n_dup_hashes
+FROM g GROUP BY codec
+""")
+def q_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over the BINARY payload column (the media
+    analog of `dedup_exact`): clips grouped by md5 of their bytes; a clip
+    is a duplicate when its hash group has >1 member. Catches both the
+    planted duplicate clip_ids AND coincidental synth collisions (two
+    different ids whose (sr, dur, f0, phases) coincide render the
+    byte-identical signal — the oracle derives exactly this equivalence
+    class from the generator contract, with corrupted rows keyed by their
+    full seed since their noise is seed-unique). Scale shape: the 16-byte
+    hash is computed map-side and is the ONLY thing that shuffles — the
+    payload bytes never leave their scan partitions, so this runs at
+    10^12 rows wherever a count does.
+    """
+    from ..fixtures.gen import generate_clips
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    h = clips.select("codec", F.md5(F.col("bytes")).alias("__h"))
+    g = h.groupBy("__h", "codec").agg(F.count(F.lit(1)).alias("n_hc"))
+    tot = g.groupBy("__h").agg(F.sum("n_hc").alias("n_h"))
+    j = g.join(tot, "__h")
+    return j.groupBy("codec").agg(
+        F.sum("n_hc").alias("n_clips"),
+        F.sum(F.when(F.col("n_h") > 1, F.col("n_hc")).otherwise(F.lit(0)))
+        .alias("n_dup_clips"),
+        F.sum((F.col("n_h") > 1).cast("long")).alias("n_dup_hashes"))
 
 
 @register("event_sessions", oracle="""

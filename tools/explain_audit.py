@@ -403,6 +403,15 @@ CHECKS = {
         ("partial+final hash aggregate over hits", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "audio_content_dedup": [
+        # payload hashed map-side: the 16-byte digest shuffles, bytes don't
+        ("exactly one Python stage (the fixture source)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
     "flac_header_integrity": [
         # fixture source + WAV→FLAC transcode; the STREAMINFO reads on top
         # must be pure Column byte surgery (no third Python stage)
