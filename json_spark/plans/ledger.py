@@ -87,3 +87,55 @@ def make_lineage(input_path: str, code_version: str) -> str:
         {"input": input_path, "fingerprint": fingerprint, "code": code_version},
         sort_keys=True,
     )
+
+
+def ledger_trend(ledger: DataFrame, warn: float = 0.10,
+                 alert: float = 0.25) -> DataFrame:
+    """Cross-run metric drift from the append-only ledger — the payoff of
+    carrying metrics in the checkpoint rows (north rule: "per-partition
+    lineage + stats metrics"): for every (partition, check, metric),
+    compare the LATEST run's value against the PREVIOUS run's and emit a
+    GREEN/YELLOW/RED trend verdict, so a partition whose null-rate or row
+    count silently jumped between ingests is flagged without rescanning
+    any data.
+
+    Rules (relative change r = (cur − prev) / |prev|):
+    - no previous run         → NEW (nothing to compare)
+    - prev = 0                → GREEN iff cur = 0, else RED
+    - |r| ≤ warn              → GREEN
+    - |r| ≤ alert             → YELLOW
+    - else                    → RED
+
+    Scale shape: the ledger is |partitions| × |checks| × |runs| rows —
+    metadata-sized by construction — so the rank window and the
+    metric-key join are trivial at any corpus size; nothing here touches
+    the data itself.
+    """
+    w = Window.partitionBy("partition_id", "check_name").orderBy(
+        F.col("updated_at").desc())
+    ranked = (ledger.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= 2))
+    m = ranked.select(
+        "partition_id", "check_name", "__rn",
+        F.explode(F.from_json("metrics_json", "map<string,double>"))
+        .alias("metric", "value"))
+    cur = (m.filter(F.col("__rn") == 1)
+           .select("partition_id", "check_name", "metric",
+                   F.col("value").alias("cur")))
+    prev = (m.filter(F.col("__rn") == 2)
+            .select("partition_id", "check_name", "metric",
+                    F.col("value").alias("prev")))
+    j = cur.join(prev, ["partition_id", "check_name", "metric"], "left")
+    rel = (F.col("cur") - F.col("prev")) / F.abs(F.col("prev"))
+    verdict = (
+        F.when(F.col("prev").isNull(), "NEW")
+        .when(F.col("prev") == 0.0,
+              F.when(F.col("cur") == 0.0, "GREEN").otherwise("RED"))
+        .when(F.abs(rel) <= F.lit(warn), "GREEN")
+        .when(F.abs(rel) <= F.lit(alert), "YELLOW")
+        .otherwise("RED"))
+    return j.select(
+        "partition_id", "check_name", "metric", "prev", "cur",
+        F.when(F.col("prev").isNotNull() & (F.col("prev") != 0.0), rel)
+        .alias("rel_change"),
+        verdict.alias("trend"))

@@ -83,7 +83,7 @@ GATE_FRONT: list[str] = [
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
     "drift_psi", "drift_psi_categorical", "drift_ks",
     "flac_header_integrity", "contamination_ngram_exact",
-    "temperature_sample", "audio_content_dedup",
+    "temperature_sample", "audio_content_dedup", "ledger_trend",
 ]
 
 
@@ -1943,6 +1943,77 @@ def q_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_h") > 1, F.col("n_hc")).otherwise(F.lit(0)))
         .alias("n_dup_clips"),
         F.sum((F.col("n_h") > 1).cast("long")).alias("n_dup_hashes"))
+
+
+@register("ledger_trend", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+idn AS (
+  SELECT *, CASE WHEN i % 1000 = 999 AND i > 0 THEN i - 1 ELSE i END AS idn
+  FROM full_),
+runa AS (
+  SELECT codec, CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(count(*) FILTER (WHERE dur_ms IS NULL) AS DOUBLE)
+           / count(*) AS null_rate
+  FROM idn WHERE idn < 1000 GROUP BY codec),
+runb AS (
+  SELECT codec, CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(count(*) FILTER (WHERE dur_ms IS NULL) AS DOUBLE)
+           / count(*) AS null_rate
+  FROM idn GROUP BY codec),
+pairs AS (
+  SELECT b.codec, m.metric,
+         CASE m.metric WHEN 'n_rows' THEN a.n_rows ELSE a.null_rate END
+           AS prev,
+         CASE m.metric WHEN 'n_rows' THEN b.n_rows ELSE b.null_rate END
+           AS cur
+  FROM runb b LEFT JOIN runa a ON b.codec = a.codec
+  CROSS JOIN (SELECT unnest(['n_rows', 'null_rate']) AS metric) m)
+SELECT codec AS partition_id, 'stats' AS check_name, metric, prev, cur,
+       CASE WHEN prev IS NOT NULL AND prev <> 0.0
+            THEN (cur - prev) / abs(prev) END AS rel_change,
+       CASE WHEN prev IS NULL THEN 'NEW'
+            WHEN prev = 0.0 THEN CASE WHEN cur = 0.0 THEN 'GREEN'
+                                      ELSE 'RED' END
+            WHEN abs((cur - prev) / abs(prev)) <= 0.10 THEN 'GREEN'
+            WHEN abs((cur - prev) / abs(prev)) <= 0.25 THEN 'YELLOW'
+            ELSE 'RED' END AS trend
+FROM pairs
+""")
+def q_ledger_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run metric drift from the checkpoint ledger
+    (plans/ledger.py:ledger_trend): two deterministic ledger snapshots —
+    run A over the first 1000 row ids, run B over all 2000 — carry
+    per-codec (n_rows, null_rate) metrics in metrics_json; the trend
+    operator ranks runs by updated_at, joins latest vs previous per
+    metric key, and emits GREEN/YELLOW/RED relative-change verdicts. The
+    oracle re-derives both snapshots and every rel_change/verdict in
+    closed form from the generator contract (count arithmetic and one
+    exact IEEE division per metric — no order-dependent float folds).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..plans.ledger import ledger_trend
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    idn = F.substring("clip_id", 6, 12).cast("long")
+
+    def snapshot(df, ts: str):
+        agg = df.groupBy("codec").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("dur_ms").isNull().cast("long")).alias("__nn"))
+        return agg.select(
+            F.col("codec").alias("partition_id"),
+            F.lit("stats").alias("check_name"),
+            F.lit("DONE").alias("status"),
+            F.to_json(F.create_map(
+                F.lit("n_rows"), F.col("__n").cast("double"),
+                F.lit("null_rate"),
+                F.col("__nn").cast("double") / F.col("__n")))
+            .alias("metrics_json"),
+            F.lit("fixture").alias("lineage"),
+            F.lit(ts).cast("timestamp").alias("updated_at"))
+
+    ledger = snapshot(clips.filter(idn < 1000), "2026-01-01 00:00:00") \
+        .unionByName(snapshot(clips, "2026-01-02 00:00:00"))
+    return ledger_trend(ledger)
 
 
 @register("event_sessions", oracle="""
