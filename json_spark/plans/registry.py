@@ -2976,13 +2976,13 @@ WITH r AS (
 c AS (
   SELECT CASE
       WHEN raw IS NULL THEN 'GREEN'                        -- null allowed
-      WHEN json_valid(raw) AND json_type(raw::JSON) = 'ARRAY' THEN 'GREEN'
+      WHEN json_valid(raw) AND json_type(try_cast(raw AS JSON)) = 'ARRAY' THEN 'GREEN'
       WHEN NOT regexp_matches(raw, '^\\s*[\\[{]') THEN 'YELLOW'  -- AutoWrap
       ELSE 'RED' END AS verdict,
     CASE
       WHEN raw IS NULL THEN NULL
-      WHEN json_valid(raw) AND json_type(raw::JSON) = 'ARRAY'
-        THEN json_array_length(raw::JSON)
+      WHEN json_valid(raw) AND json_type(try_cast(raw AS JSON)) = 'ARRAY'
+        THEN json_array_length(try_cast(raw AS JSON))
       WHEN NOT regexp_matches(raw, '^\\s*[\\[{]') THEN 1   -- wrapped scalar
       ELSE NULL END AS n_elems
   FROM r),
@@ -3038,11 +3038,11 @@ WITH r AS (
 c AS (
   SELECT CASE
       WHEN raw IS NULL THEN 'GREEN'
-      WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT' THEN 'GREEN'
+      WHEN json_valid(raw) AND json_type(try_cast(raw AS JSON)) = 'OBJECT' THEN 'GREEN'
       ELSE 'RED' END AS verdict,
     CASE WHEN raw IS NOT NULL AND json_valid(raw)
-              AND json_type(raw::JSON) = 'OBJECT'
-         THEN len(json_keys(raw::JSON)) END AS n_keys
+              AND json_type(try_cast(raw AS JSON)) = 'OBJECT'
+         THEN len(json_keys(try_cast(raw AS JSON))) END AS n_keys
   FROM r)
 SELECT verdict, CAST(n_keys AS BIGINT) AS n_keys, count(*) AS n
 FROM c GROUP BY verdict, n_keys
@@ -3219,8 +3219,8 @@ WITH r AS (
     ELSE 'not json' END AS raw
   FROM events),
 c AS (
-  SELECT CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT' THEN
-    CAST(len(list_filter(json_keys(raw::JSON),
+  SELECT CASE WHEN json_valid(raw) AND json_type(try_cast(raw AS JSON)) = 'OBJECT' THEN
+    CAST(len(list_filter(json_keys(try_cast(raw AS JSON)),
       k -> lower(replace(replace(replace(k, '-', ''), '_', ''), ' ', ''))
            NOT IN ('qty', 'active', 'score'))) AS BIGINT)
   END AS n_unknown FROM r)
