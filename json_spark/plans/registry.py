@@ -474,7 +474,7 @@ modes AS (
                             make_timestamp(utc_us)))) END
   FROM parsed)
 SELECT mode, verdict, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(us) AS BIGINT) AS sum_us,
+       CAST(sum(us) AS DECIMAL(38,0)) AS sum_us,
        CAST(min(us) AS BIGINT) AS min_us,
        CAST(max(us) AS BIGINT) AS max_us
 FROM modes GROUP BY mode, verdict
@@ -530,7 +530,9 @@ def q_coercion_date_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = frames[0].unionByName(frames[1])
     return u.groupBy("mode", "verdict").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("us").alias("sum_us"),
+        # decimal(38,0): epoch-µs sums overflow int64 past ~5k rows/group
+        # under ANSI — a 128-bit sum survives any corpus size
+        F.sum(F.col("us").cast("decimal(38,0)")).alias("sum_us"),
         F.min("us").alias("min_us"),
         F.max("us").alias("max_us"))
 

@@ -47,6 +47,12 @@ _TYPE_ALIASES = {
 
 def _norm_type(t: str) -> str:
     t = t.strip().lower()
+    if t.startswith("decimal"):
+        # Spark "decimal(38,0)" and Arrow "decimal128(38, 0)" are the same
+        # physical decimal128 — canonicalize to decimal(p,s)
+        import re as _re
+        m = _re.match(r"decimal\d*\((\d+),\s*(-?\d+)\)", t)
+        return f"decimal({m.group(1)},{m.group(2)})" if m else "decimal"
     if t.startswith("array<") or t.startswith("list<") or t.startswith("list("):
         return "list"
     if t.startswith("map") or t.startswith("struct"):
