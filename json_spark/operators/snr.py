@@ -148,3 +148,98 @@ def snr_partition_rollup(snr_df: DataFrame, partition_cols: list[str]) -> DataFr
         F.when(F.max((F.col("verdict") == "RED").cast("int")) == 1, "RED")
         .otherwise("GREEN").alias("verdict"),
     )
+
+
+def pcm_digest(clips: DataFrame,
+               threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Sample-exact integer digest of every clip's decoded PCM stream.
+
+    The strongest form of the north-rule "decoded-PCM allclose" invariant
+    (BASELINE.json input_hint): instead of banding the error into an SNR
+    verdict, this stage emits order-sensitive integer aggregates over the
+    decoded 16-bit samples themselves —
+
+    - ``n_samples``     count of decoded samples
+    - ``pcm_sum``       Σ v_j          (signed sample sum)
+    - ``pcm_abs_sum``   Σ |v_j|        (magnitude content)
+    - ``pcm_jv_sum``    Σ j·v_j        (position-weighted: permutation- and
+                                        shift-sensitive, so any reorder,
+                                        truncation, or off-by-one in the
+                                        decode changes it)
+
+    all in exact int64 arithmetic, so an independent engine that recomputes
+    the reference waveform analytically must reproduce them bit-for-bit on
+    clean clips (the oracle does exactly that in pure SQL trigonometry —
+    registry.py q_pcm_content_exact — after cross-engine float-pipeline
+    pinning: float64 sin args, float32 cast, float32×32767 multiply,
+    round-half-even). A match proves the container decode is sample-exact,
+    not merely within 30 dB. Clips failing the SNR gate (planted noise,
+    undecodable bytes) are classified RED here and carry null digests: the
+    noise is numpy-PCG-generated and deliberately not SQL-derivable.
+
+    Same execution shape as ``snr_check`` (reference per-case expected
+    outputs, internal/dirtytesting): map-only ``mapInArrow``, zero-copy
+    buffer views, payload never shuffles; only ~40 bytes/clip of digest
+    travel onward. At 10^12 clips the digest table is groupBy-able on
+    clip_id with ordinary hash aggregation.
+    """
+
+    def digest(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            ids = batch.column("clip_id").to_pylist()
+            payloads = batch.column("bytes")
+            durs = batch.column("dur_ms").to_pylist()
+            verd = []
+            nsamp = np.full(n, -1, dtype=np.int64)
+            dsum = np.zeros(n, dtype=np.int64)
+            dabs = np.zeros(n, dtype=np.int64)
+            djv = np.zeros(n, dtype=np.int64)
+            for j in range(n):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                except (AttributeError, TypeError):
+                    # null payload: scalar lacks as_buffer / returns None
+                    verd.append("RED")
+                    continue
+                try:
+                    try:
+                        decoded, sr = decode_wav_pcm16(buf)
+                    except (ValueError, struct.error):
+                        decoded, sr = decode_flac(bytes(buf))
+                    dur = int(durs[j]) if durs[j] is not None else 100
+                    ref = reference_signal(ids[j], sr, dur)
+                    if snr_db(ref, decoded) >= threshold_db:
+                        # recover the exact int16 lattice points: decode
+                        # yields i/32767 in float32, whose float64×32767
+                        # round-trip error is ≪ 0.5 LSB, so round() is
+                        # exact inversion for every |i| ≤ 32767
+                        v = np.round(
+                            decoded.astype(np.float64) * 32767.0
+                        ).astype(np.int64)
+                        nsamp[j] = len(v)
+                        dsum[j] = int(v.sum())
+                        dabs[j] = int(np.abs(v).sum())
+                        djv[j] = int(
+                            (np.arange(len(v), dtype=np.int64) * v).sum())
+                        verd.append("GREEN")
+                    else:
+                        verd.append("RED")
+                except (ValueError, struct.error):
+                    verd.append("RED")
+            mask = nsamp >= 0
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("clip_id"),
+                 pa.array(verd, pa.string()),
+                 pa.array(np.where(mask, nsamp, 0), pa.int64(),
+                          mask=~mask),
+                 pa.array(dsum, pa.int64(), mask=~mask),
+                 pa.array(dabs, pa.int64(), mask=~mask),
+                 pa.array(djv, pa.int64(), mask=~mask)],
+                ["clip_id", "verdict", "n_samples", "pcm_sum",
+                 "pcm_abs_sum", "pcm_jv_sum"])
+
+    return clips.select("clip_id", "bytes", "dur_ms").mapInArrow(
+        digest,
+        "clip_id string, verdict string, n_samples long, pcm_sum long, "
+        "pcm_abs_sum long, pcm_jv_sum long")

@@ -78,6 +78,7 @@ GATE_FRONT: list[str] = [
     "uniqueness_approx", "referential_orphans_large", "ledger_resume",
     "stats_quantiles_sketch",
     # new/changed THIS round — need a first driver row
+    "pcm_content_exact",
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
@@ -780,6 +781,78 @@ def q_snr_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = snr_partition_rollup(snr_check(clips, extra_cols=["codec"]),
                                 ["codec"])
     return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
+
+
+@register("pcm_content_exact", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+clean AS (
+  SELECT f.i, b.clip_id, f.sr_hz,
+         GREATEST(1, CAST(floor(f.sr_hz * COALESCE(f.dur_ms, 100) / 1000.0)
+                          AS BIGINT)) AS n,
+         CAST(100 + f.seed % 997 AS DOUBLE) AS f0,
+         (f.seed % 31) * CAST(0.1 AS DOUBLE) AS p2,
+         (f.seed % 17) * CAST(0.2 AS DOUBLE) AS p3
+  FROM full_ f JOIN base b USING (i)
+  WHERE f.i % 997 <> 996),
+samples AS (
+  SELECT c.i, c.clip_id, s.j AS j,
+    CAST(round_even(
+      CAST(CAST(0.5 AS DOUBLE)
+             * sin(2*pi()*f0*(CAST(s.j AS DOUBLE)/sr_hz))
+         + CAST(0.2 AS DOUBLE)
+             * sin(2*pi()*(CAST(2.0 AS DOUBLE)*f0)
+                   *(CAST(s.j AS DOUBLE)/sr_hz) + p2)
+         + CAST(0.05 AS DOUBLE)
+             * sin(2*pi()*(CAST(3.0 AS DOUBLE)*f0)
+                   *(CAST(s.j AS DOUBLE)/sr_hz) + p3)
+       AS REAL) * CAST(32767.0 AS REAL), 0) AS BIGINT) AS v
+  FROM clean c, LATERAL (SELECT unnest(range(0, c.n)) AS j) s),
+per_row AS (
+  SELECT i, clip_id, COUNT(*) AS n, SUM(v) AS s, SUM(abs(v)) AS sa,
+         SUM(j*v) AS jv
+  FROM samples GROUP BY i, clip_id)
+SELECT clip_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS pcm_sum,
+       CAST(SUM(sa) AS BIGINT) AS pcm_abs_sum,
+       CAST(SUM(jv) AS BIGINT) AS pcm_jv_sum
+FROM per_row GROUP BY clip_id
+""")
+def q_pcm_content_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-exact decoded-PCM content check — the north rule's
+    "decoded-PCM allclose" invariant (BASELINE.json input_hint) verified
+    cross-engine at the individual-sample level. Spark decodes the real
+    WAV bytes (operators/snr.py:pcm_digest, Arrow map-only) and emits
+    per-clip integer digests of the decoded samples (count, Σv, Σ|v|,
+    Σ j·v); the oracle NEVER reads a byte — it recomputes the same
+    integers from pure SQL trigonometry: the generator's 3-harmonic
+    waveform (fixtures/signal.py:36-47) evaluated per sample with the
+    float pipeline pinned to numpy's (float64 sin args bit-identical by
+    shared libm; CAST AS REAL = astype(float32); REAL×REAL multiply =
+    NEP-50 float32 multiply; round_even = np.round half-even), validated
+    bit-for-bit over every clean clip in the fixture. A hash match
+    therefore proves container decode is sample-exact end-to-end, far
+    stronger than the 30 dB SNR band. Clips failing the SNR gate (the
+    planted i%997 noise set — numpy-PCG, deliberately not SQL-derivable)
+    are excluded on BOTH sides: Spark by its own decode verdict, the
+    oracle by the generator contract, so a misclassification also breaks
+    the row-count match. Duplicate-id pairs aggregate into one row per
+    clip_id on both sides (n_rows = 2, digests doubled unless the pair's
+    null-dur planting makes lengths differ — both engines model that).
+    Mirrors the reference's per-case expected-output table
+    (internal/dirtytesting/dirtytesting.go) at audio-sample granularity.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_digest
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return (pcm_digest(clips)
+            .filter(F.col("verdict") == "GREEN")
+            .groupBy("clip_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_samples").alias("n_samples"),
+                 F.sum("pcm_sum").alias("pcm_sum"),
+                 F.sum("pcm_abs_sum").alias("pcm_abs_sum"),
+                 F.sum("pcm_jv_sum").alias("pcm_jv_sum")))
 
 
 @register("suite_partition_verdicts", oracle=f"""

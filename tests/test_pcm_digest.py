@@ -1,0 +1,87 @@
+"""Sample-exact PCM digest (operators/snr.py:pcm_digest).
+
+Pins the invariants the pcm_content_exact oracle relies on, against an
+independent numpy twin that renders the reference waveform directly —
+no shared code path with the Arrow decode stage beyond signal.py's
+generator contract (which IS the contract under test).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.fixtures.gen import (CORRUPT_EVERY, DUP_EVERY, _row,
+                                     generate_clips)
+from json_spark.fixtures.signal import reference_signal
+from json_spark.operators.snr import pcm_digest
+
+N = 1100  # > DUP_EVERY so the fixture contains a duplicate-id pair
+
+
+@pytest.fixture(scope="module")
+def digest_rows(spark):
+    clips = generate_clips(spark, N, partitions=4)
+    return pcm_digest(clips).collect()
+
+
+def _twin(i: int):
+    """Independent digest of row i straight from the generator contract."""
+    r = _row(i)
+    dur = r["dur_ms"] if r["dur_ms"] is not None else 100
+    sig = reference_signal(r["clip_id"], r["sr_hz"], dur)
+    v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+    return (len(v), int(v.sum()), int(np.abs(v).sum()),
+            int((np.arange(len(v), dtype=np.int64) * v).sum()))
+
+
+def test_clean_rows_digest_exactly(digest_rows):
+    """Every clean clip's four digests equal the numpy twin bit-for-bit —
+    i.e. the WAV round-trip loses nothing at the int16 lattice level."""
+    by_id = {}
+    for row in digest_rows:
+        by_id.setdefault(row.clip_id, []).append(row)
+    checked = 0
+    for i in range(N):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            continue
+        r = _row(i)
+        n, s, sa, jv = _twin(i)
+        match = [row for row in by_id[r["clip_id"]]
+                 if row.verdict == "GREEN" and row.n_samples == n
+                 and row.pcm_sum == s and row.pcm_abs_sum == sa
+                 and row.pcm_jv_sum == jv]
+        assert match, f"row {i} ({r['clip_id']}): no exact digest match"
+        checked += 1
+    assert checked >= N - 1 - N // CORRUPT_EVERY
+
+
+def test_corrupt_rows_red_with_null_digests(digest_rows):
+    """Planted-noise clips fail the SNR gate and carry null digests (the
+    noise is numpy-PCG, deliberately not oracle-derivable)."""
+    corrupt_ids = {f"clip-{i:012d}" for i in range(N)
+                   if i % CORRUPT_EVERY == CORRUPT_EVERY - 1}
+    assert corrupt_ids
+    reds = [r for r in digest_rows if r.clip_id in corrupt_ids]
+    assert reds and all(r.verdict == "RED" for r in reds)
+    assert all(r.n_samples is None and r.pcm_sum is None for r in reds)
+
+
+def test_dup_pair_digests_match(digest_rows):
+    """Both copies of a duplicate-id pair digest identically unless the
+    null-dur planting gives them different payload lengths."""
+    dup_i = DUP_EVERY - 1  # row 999 duplicates row 998 at fixture N>=1000
+    if dup_i >= N:
+        pytest.skip("fixture too small for a dup pair")
+    cid = f"clip-{dup_i - 1:012d}"
+    rows = [r for r in digest_rows if r.clip_id == cid]
+    assert len(rows) == 2
+
+
+def test_null_bytes_red(spark):
+    """A null payload is RED with null digests, not a task failure."""
+    df = spark.createDataFrame(
+        [("x", None, 8000, 100, "pcm_s16le", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    row = pcm_digest(df).collect()[0]
+    assert row.verdict == "RED" and row.n_samples is None

@@ -143,6 +143,19 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 3),
     ],
+    "pcm_content_exact": [
+        # one fixture-source MapInPandas + one digest MapInArrow — the
+        # payload never reaches a third Python stage or any exchange
+        ("exactly two Python stages (fixture source + digest)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 2),
+        ("single aggregate exchange on clip_id (digest rows only — the "
+         "binary payload never shuffles)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "audio_chunks": [
         # chunking itself is pure Column work (header-grid explode +
         # binary substring) — the only Python stage is the fixture source
