@@ -243,3 +243,103 @@ def pcm_digest(clips: DataFrame,
         digest,
         "clip_id string, verdict string, n_samples long, pcm_sum long, "
         "pcm_abs_sum long, pcm_jv_sum long")
+
+
+#: |v| at or below this is "near-silence" (~0.5% FS ≈ -46 dBFS)
+SILENCE_THR = 164
+#: |v| at or above this approaches the loudness ceiling (~0.73 FS) —
+#: the fixture waveform peaks at 0.75 FS, so clean clips legitimately
+#: graze it; real clipping detection would use 32767 exactly
+CEILING_THR = 24000
+#: amplitude histogram: 16 bins of width 4096 over [-32768, 32768)
+HIST_BINS = 16
+HIST_WIDTH = 4096
+
+
+def pcm_amplitude_profile(clips: DataFrame,
+                          extra_cols: list[str] | None = None,
+                          threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Amplitude-domain profile of every clip's decoded PCM stream:
+    near-silence and ceiling-proximity sample counts plus a 16-bin
+    amplitude histogram — the content-level inputs for silence/clipping
+    curation filters and decoded-waveform distribution drift.
+
+    All outputs are exact integer counts over the recovered int16
+    lattice (same inversion as ``pcm_digest``), so the DuckDB oracle
+    reproduces them bit-for-bit from pure SQL trigonometry: bin =
+    (v + 32768) // 4096, thresholds compared on identical integers.
+    Clips failing the SNR gate are RED with null counts (planted noise
+    is not SQL-derivable), and the gate itself is cross-checked by the
+    oracle's closed-form corrupt set.
+
+    Map-only Arrow stage; per clip only ~20 integers travel onward, the
+    payload never shuffles. At 10^12 clips the histogram aggregates
+    map-side into |codec|×16 rows.
+    """
+    extra = list(extra_cols or [])
+
+    def profile(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            ids = batch.column("clip_id").to_pylist()
+            payloads = batch.column("bytes")
+            durs = batch.column("dur_ms").to_pylist()
+            verd = []
+            nsamp = np.full(n, -1, dtype=np.int64)
+            nsil = np.zeros(n, dtype=np.int64)
+            ncap = np.zeros(n, dtype=np.int64)
+            hists: list[list[int] | None] = []
+            for j in range(n):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                except (AttributeError, TypeError):
+                    verd.append("RED")
+                    hists.append(None)
+                    continue
+                try:
+                    try:
+                        decoded, sr = decode_wav_pcm16(buf)
+                    except (ValueError, struct.error):
+                        decoded, sr = decode_flac(bytes(buf))
+                    dur = int(durs[j]) if durs[j] is not None else 100
+                    ref = reference_signal(ids[j], sr, dur)
+                    if snr_db(ref, decoded) >= threshold_db:
+                        v = np.round(
+                            decoded.astype(np.float64) * 32767.0
+                        ).astype(np.int64)
+                        av = np.abs(v)
+                        nsamp[j] = len(v)
+                        nsil[j] = int((av <= SILENCE_THR).sum())
+                        ncap[j] = int((av >= CEILING_THR).sum())
+                        hists.append(np.bincount(
+                            (v + 32768) // HIST_WIDTH,
+                            minlength=HIST_BINS).tolist())
+                        verd.append("GREEN")
+                    else:
+                        verd.append("RED")
+                        hists.append(None)
+                except (ValueError, struct.error):
+                    verd.append("RED")
+                    hists.append(None)
+            mask = nsamp >= 0
+            arrays = [batch.column("clip_id")]
+            names = ["clip_id"]
+            for c in extra:
+                arrays.append(batch.column(c).cast(pa.string()))
+                names.append(c)
+            arrays += [pa.array(verd, pa.string()),
+                       pa.array(np.where(mask, nsamp, 0), pa.int64(),
+                                mask=~mask),
+                       pa.array(nsil, pa.int64(), mask=~mask),
+                       pa.array(ncap, pa.int64(), mask=~mask),
+                       pa.array(hists, pa.list_(pa.int64()))]
+            names += ["verdict", "n_samples", "n_silence", "n_ceiling",
+                      "hist"]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    in_cols = ["clip_id", "bytes", "dur_ms", *extra]
+    out_schema = ", ".join(
+        ["clip_id string"] + [f"{c} string" for c in extra]
+        + ["verdict string, n_samples long, n_silence long, "
+           "n_ceiling long, hist array<long>"])
+    return clips.select(*in_cols).mapInArrow(profile, out_schema)

@@ -78,7 +78,7 @@ GATE_FRONT: list[str] = [
     "uniqueness_approx", "referential_orphans_large", "ledger_resume",
     "stats_quantiles_sketch",
     # new/changed THIS round — need a first driver row
-    "pcm_content_exact",
+    "pcm_content_exact", "audio_clipping_silence", "audio_amplitude_hist",
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
@@ -783,10 +783,14 @@ def q_snr_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
 
 
-@register("pcm_content_exact", oracle=f"""
-WITH {_CLIPS_CLOSED_FORM_CTE},
+# Per-sample analytic twin of the decoded PCM stream: every clean clip's
+# int16 samples recomputed in pure SQL with the float pipeline pinned to
+# numpy's (float64 sin args — bit-identical via shared libm; CAST AS REAL
+# = astype(float32); REAL×REAL = NEP-50 float32 multiply; round_even =
+# np.round half-even). Validated bit-for-bit over the full fixture.
+_PCM_SAMPLES_CTE = f"""{_CLIPS_CLOSED_FORM_CTE},
 clean AS (
-  SELECT f.i, b.clip_id, f.sr_hz,
+  SELECT f.i, b.clip_id, f.codec, f.sr_hz,
          GREATEST(1, CAST(floor(f.sr_hz * COALESCE(f.dur_ms, 100) / 1000.0)
                           AS BIGINT)) AS n,
          CAST(100 + f.seed % 997 AS DOUBLE) AS f0,
@@ -795,7 +799,7 @@ clean AS (
   FROM full_ f JOIN base b USING (i)
   WHERE f.i % 997 <> 996),
 samples AS (
-  SELECT c.i, c.clip_id, s.j AS j,
+  SELECT c.i, c.clip_id, c.codec, s.j AS j,
     CAST(round_even(
       CAST(CAST(0.5 AS DOUBLE)
              * sin(2*pi()*f0*(CAST(s.j AS DOUBLE)/sr_hz))
@@ -806,7 +810,11 @@ samples AS (
              * sin(2*pi()*(CAST(3.0 AS DOUBLE)*f0)
                    *(CAST(s.j AS DOUBLE)/sr_hz) + p3)
        AS REAL) * CAST(32767.0 AS REAL), 0) AS BIGINT) AS v
-  FROM clean c, LATERAL (SELECT unnest(range(0, c.n)) AS j) s),
+  FROM clean c, LATERAL (SELECT unnest(range(0, c.n)) AS j) s)"""
+
+
+@register("pcm_content_exact", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
 per_row AS (
   SELECT i, clip_id, COUNT(*) AS n, SUM(v) AS s, SUM(abs(v)) AS sa,
          SUM(j*v) AS jv
@@ -853,6 +861,66 @@ def q_pcm_content_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("pcm_sum").alias("pcm_sum"),
                  F.sum("pcm_abs_sum").alias("pcm_abs_sum"),
                  F.sum("pcm_jv_sum").alias("pcm_jv_sum")))
+
+
+@register("audio_clipping_silence", oracle=f"""
+WITH {_PCM_SAMPLES_CTE}
+SELECT codec,
+       CAST(count(DISTINCT i) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) FILTER (WHERE abs(v) <= 164) AS BIGINT) AS n_silence,
+       CAST(count(*) FILTER (WHERE abs(v) >= 24000) AS BIGINT) AS n_ceiling
+FROM samples GROUP BY codec
+""")
+def q_audio_clipping_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence / loudness-ceiling curation filter on decoded CONTENT:
+    per-codec counts of near-silent samples (|v| ≤ 164 ≈ -46 dBFS) and
+    samples grazing the loudness ceiling (|v| ≥ 24000 ≈ 0.73 FS — the
+    fixture waveform peaks at 0.75 FS, so clean clips legitimately reach
+    it). The training-pipeline use is dropping silent / hard-limited
+    audio before it wastes tokens. Exact integer thresholds on the
+    recovered int16 lattice (operators/snr.py:pcm_amplitude_profile), so
+    the oracle reproduces every count from the analytic per-sample twin
+    without reading a byte.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_amplitude_profile
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return (pcm_amplitude_profile(clips, extra_cols=["codec"])
+            .filter(F.col("verdict") == "GREEN")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("n_samples").alias("n_samples"),
+                 F.sum("n_silence").alias("n_silence"),
+                 F.sum("n_ceiling").alias("n_ceiling")))
+
+
+@register("audio_amplitude_hist", oracle=f"""
+WITH {_PCM_SAMPLES_CTE}
+SELECT codec, (v + 32768) // 4096 AS bin,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM samples GROUP BY codec, bin
+""")
+def q_audio_amplitude_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-waveform amplitude distribution per codec — the
+    content-level drift primitive (a shifted or re-normalized ingest
+    batch moves these histograms long before metadata does). 16 bins of
+    width 4096 over [-32768, 32768); per-clip histograms come out of the
+    Arrow stage as exact int64 counts (numpy bincount) and aggregate
+    map-side, so at 10^12 clips the shuffle carries |codec|×16 rows.
+    Empty bins are filtered to match the oracle's GROUP BY (which only
+    produces observed bins). Same analytic per-sample oracle as
+    pcm_content_exact — counts match bit-for-bit.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_amplitude_profile
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    prof = pcm_amplitude_profile(clips, extra_cols=["codec"])
+    return (prof.filter(F.col("verdict") == "GREEN")
+            .select("codec", F.posexplode("hist").alias("bin", "n"))
+            .groupBy("codec", F.col("bin").cast("long").alias("bin"))
+            .agg(F.sum("n").alias("n_samples"))
+            .filter(F.col("n_samples") > 0))
 
 
 @register("suite_partition_verdicts", oracle=f"""

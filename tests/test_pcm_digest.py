@@ -77,6 +77,38 @@ def test_dup_pair_digests_match(digest_rows):
     assert len(rows) == 2
 
 
+def test_amplitude_profile_exact(spark):
+    """pcm_amplitude_profile: histogram sums to n_samples; silence and
+    ceiling counts equal the numpy twin on every clean clip."""
+    from json_spark.operators.snr import (CEILING_THR, HIST_BINS,
+                                          HIST_WIDTH, SILENCE_THR,
+                                          pcm_amplitude_profile)
+    n_small = 257
+    clips = generate_clips(spark, n_small, partitions=4)
+    rows = pcm_amplitude_profile(clips).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.clip_id, []).append(r)
+    for i in range(n_small):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            continue
+        meta = _row(i)
+        dur = meta["dur_ms"] if meta["dur_ms"] is not None else 100
+        sig = reference_signal(meta["clip_id"], meta["sr_hz"], dur)
+        v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+        av = np.abs(v)
+        hist = np.bincount((v + 32768) // HIST_WIDTH,
+                           minlength=HIST_BINS).tolist()
+        match = [r for r in by_id[meta["clip_id"]]
+                 if r.verdict == "GREEN"
+                 and r.n_samples == len(v)
+                 and r.n_silence == int((av <= SILENCE_THR).sum())
+                 and r.n_ceiling == int((av >= CEILING_THR).sum())
+                 and list(r.hist) == hist]
+        assert match, f"row {i}: profile mismatch"
+        assert sum(match[0].hist) == match[0].n_samples
+
+
 def test_null_bytes_red(spark):
     """A null payload is RED with null digests, not a task failure."""
     df = spark.createDataFrame(
