@@ -88,6 +88,15 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # audio path (2000-clip deterministic fixture, decode included)
+    "snr_partition_verdicts",
+    "audio_header_integrity",
+    "pcm_content_exact",
+    "audio_clipping_silence",
+    "audio_amplitude_hist",
+    "audio_chunks",
+    "audio_resample",
+    "audio_content_dedup",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -45,6 +45,24 @@ def reference_signal(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     return sig.astype(np.float32)
 
 
+def reference_slice(clip_id: str, sr_hz: int, start: int,
+                    count: int) -> np.ndarray:
+    """Samples [start, start+count) of the canonical signal, without
+    rendering the whole clip — bit-identical to
+    ``reference_signal(...)[start:start+count]`` because the per-sample
+    math is position-keyed only (t = j/sr in exact-integer float64), so
+    a chunk-level checker pays O(chunk) instead of O(clip) per chunk."""
+    seed = clip_seed(clip_id)
+    t = np.arange(start, start + count, dtype=np.float64) / sr_hz
+    f0 = 100.0 + (seed % 997)
+    sig = (
+        0.5 * np.sin(2 * np.pi * f0 * t)
+        + 0.2 * np.sin(2 * np.pi * (2.0 * f0) * t + (seed % 31) * 0.1)
+        + 0.05 * np.sin(2 * np.pi * (3.0 * f0) * t + (seed % 17) * 0.2)
+    )
+    return sig.astype(np.float32)
+
+
 def pcm16_wav_bytes(signal: np.ndarray, sr_hz: int) -> bytes:
     """Encode float [-1,1] → 16-bit PCM WAV (44-byte canonical header)."""
     pcm = np.clip(signal, -1.0, 1.0)

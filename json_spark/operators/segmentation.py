@@ -37,23 +37,27 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..fixtures.signal import decode_wav_pcm16
+from ..fixtures.signal import decode_wav_pcm16, reference_slice, snr_db
 from .multimodal import wav_header_columns
 
 
-def chunk_audio(clips: DataFrame, chunk_ms: int = 20) -> DataFrame:
+def chunk_audio(clips: DataFrame, chunk_ms: int = 20,
+                extra_cols: list[str] | None = None) -> DataFrame:
     """Split each clip's PCM payload into fixed-duration chunks, entirely
     with Column expressions.
 
     Output: one row per chunk — ``clip_id``, ``codec``, ``chunk_idx``
     (0-based), ``chunk`` (binary slice), ``chunk_len`` (bytes; the tail
     chunk may be short), ``bytes_per_chunk`` (the grid this clip used —
-    depends on its header sample rate).
+    depends on its header sample rate), plus any ``extra_cols`` carried
+    through untouched (e.g. ``sr_hz``/``dur_ms`` for a downstream stage
+    that regenerates the reference per chunk).
 
     Rows whose container is unreadable (no RIFF/WAVE magic) are dropped:
     segmentation of an undecodable payload is meaningless — the header /
     SNR checks are where such rows get flagged.
     """
+    extra = list(extra_cols or [])
     hdr = wav_header_columns(F.col("bytes"))
     samples_per_chunk = F.greatest(
         F.lit(1).cast("long"),
@@ -66,7 +70,7 @@ def chunk_audio(clips: DataFrame, chunk_ms: int = 20) -> DataFrame:
     # data_bytes == 0 would make sequence(0, -1) step backwards and emit
     # two bogus chunk rows; an empty data section has zero chunks
     gridded = clips.filter(hdr["riff_ok"] & (data_bytes > 0)).select(
-        "clip_id", "codec", "bytes", bpc,
+        "clip_id", "codec", *extra, "bytes", bpc,
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
         .alias("chunk_idx"),
     )
@@ -76,11 +80,93 @@ def chunk_audio(clips: DataFrame, chunk_ms: int = 20) -> DataFrame:
         .cast("int"),
         F.col("bytes_per_chunk").cast("int"))
     return gridded.select(
-        "clip_id", "codec", "chunk_idx",
+        "clip_id", "codec", *extra, "chunk_idx",
         chunk.alias("chunk"),
         F.length(chunk).cast("long").alias("chunk_len"),
         "bytes_per_chunk",
     )
+
+
+def chunk_content_digest(chunks: DataFrame,
+                         threshold_db: float = 30.0) -> DataFrame:
+    """Sample-exact content digest of each CHUNK produced by
+    :func:`chunk_audio` — proves the JVM-side binary ``substring``
+    slicing is lossless at the int16 lattice level, chunk by chunk.
+
+    Each chunk's raw PCM16 slice decodes with ``np.frombuffer`` (no
+    header — chunks are data-section slices) and is gated per chunk
+    against the reference slice at its grid offset
+    (fixtures/signal.py:reference_slice — O(chunk), not O(clip)):
+    chunks of planted-noise clips fail the 30 dB gate chunk-locally and
+    emit null digests, exactly the set the analytic oracle excludes.
+    GREEN chunks emit exact int64 digests (count, Σv, Σ|v|, Σ j_local·v)
+    that pure SQL trigonometry reproduces bit-for-bit.
+
+    Input needs ``clip_id, chunk, chunk_idx, bytes_per_chunk, sr_hz``
+    (pass ``extra_cols=["sr_hz"]`` to chunk_audio — the reference slice
+    is position-keyed, so clip duration is irrelevant here).
+    Map-only: chunk bytes arrive on the source partitioning and never
+    shuffle; ~40 digest bytes per chunk travel onward.
+    """
+
+    def digest(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            ids = batch.column("clip_id").to_pylist()
+            idxs = batch.column("chunk_idx").to_pylist()
+            bpcs = batch.column("bytes_per_chunk").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            payloads = batch.column("chunk")
+            verd = []
+            nsamp = np.full(n, -1, dtype=np.int64)
+            dsum = np.zeros(n, dtype=np.int64)
+            dabs = np.zeros(n, dtype=np.int64)
+            djv = np.zeros(n, dtype=np.int64)
+            for j in range(n):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                except (AttributeError, TypeError):
+                    verd.append("RED")
+                    continue
+                try:
+                    v16 = np.frombuffer(buf, dtype="<i2")
+                    if len(v16) == 0:
+                        verd.append("RED")
+                        continue
+                    start = int(idxs[j]) * (int(bpcs[j]) // 2)
+                    ref = reference_slice(ids[j], int(srs[j]), start,
+                                          len(v16))
+                    decoded = v16.astype(np.float32) / 32767.0
+                    if snr_db(ref, decoded) >= threshold_db:
+                        v = v16.astype(np.int64)
+                        nsamp[j] = len(v)
+                        dsum[j] = int(v.sum())
+                        dabs[j] = int(np.abs(v).sum())
+                        djv[j] = int(
+                            (np.arange(len(v), dtype=np.int64) * v).sum())
+                        verd.append("GREEN")
+                    else:
+                        verd.append("RED")
+                except (ValueError, struct.error):
+                    verd.append("RED")
+            mask = nsamp >= 0
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("clip_id"),
+                 batch.column("chunk_idx").cast(pa.int64()),
+                 pa.array(verd, pa.string()),
+                 pa.array(np.where(mask, nsamp, 0), pa.int64(),
+                          mask=~mask),
+                 pa.array(dsum, pa.int64(), mask=~mask),
+                 pa.array(dabs, pa.int64(), mask=~mask),
+                 pa.array(djv, pa.int64(), mask=~mask)],
+                ["clip_id", "chunk_idx", "verdict", "n_samples",
+                 "pcm_sum", "pcm_abs_sum", "pcm_jv_sum"])
+
+    cols = ["clip_id", "chunk", "chunk_idx", "bytes_per_chunk", "sr_hz"]
+    return chunks.select(*cols).mapInArrow(
+        digest,
+        "clip_id string, chunk_idx long, verdict string, n_samples long, "
+        "pcm_sum long, pcm_abs_sum long, pcm_jv_sum long")
 
 
 RESAMPLE_SCHEMA = ("clip_id string, codec string, n_out bigint, "

@@ -79,6 +79,7 @@ GATE_FRONT: list[str] = [
     "stats_quantiles_sketch",
     # new/changed THIS round — need a first driver row
     "pcm_content_exact", "audio_clipping_silence", "audio_amplitude_hist",
+    "audio_chunk_content",
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
@@ -893,6 +894,53 @@ def q_audio_clipping_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_samples").alias("n_samples"),
                  F.sum("n_silence").alias("n_silence"),
                  F.sum("n_ceiling").alias("n_ceiling")))
+
+
+@register("audio_chunk_content", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+chunked AS (
+  SELECT s.i, s.clip_id,
+         s.j // GREATEST(1, (CAST(c.sr_hz AS BIGINT) * 20) // 1000)
+           AS chunk_idx,
+         s.j %  GREATEST(1, (CAST(c.sr_hz AS BIGINT) * 20) // 1000)
+           AS j_local,
+         s.v
+  FROM samples s JOIN clean c USING (i))
+SELECT clip_id, chunk_idx,
+       CAST(count(DISTINCT i) AS BIGINT) AS n_copies,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS pcm_sum,
+       CAST(SUM(abs(v)) AS BIGINT) AS pcm_abs_sum,
+       CAST(SUM(j_local * v) AS BIGINT) AS pcm_jv_sum
+FROM chunked GROUP BY clip_id, chunk_idx
+""")
+def q_audio_chunk_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level decoded-content integrity: chunking ∘ decode ≡ the
+    analytic chunk grid, sample-exact. chunk_audio's pure-Column binary
+    substring slices (operators/segmentation.py:44) are digested chunk
+    by chunk (chunk_content_digest: frombuffer + per-chunk SNR gate vs
+    the position-keyed reference slice), and the oracle reproduces every
+    digest by regrouping the per-sample analytic twin on the same
+    integer grid (chunk = j // (sr·20ms samples)) — so a hash match
+    proves the 45-byte header offset, the bytes_per_chunk stride, AND
+    the tail-chunk truncation are all exactly right. Chunks of
+    planted-noise clips fail the gate chunk-locally on the Spark side
+    and are excluded by the generator contract on the oracle side.
+    ~13k result rows at the 2000-clip fixture. Map-only until the final
+    integer-row groupBy; payload bytes never shuffle.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.segmentation import chunk_audio, chunk_content_digest
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    ch = chunk_audio(clips, chunk_ms=20, extra_cols=["sr_hz"])
+    return (chunk_content_digest(ch)
+            .filter(F.col("verdict") == "GREEN")
+            .groupBy("clip_id", "chunk_idx")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.sum("n_samples").alias("n_samples"),
+                 F.sum("pcm_sum").alias("pcm_sum"),
+                 F.sum("pcm_abs_sum").alias("pcm_abs_sum"),
+                 F.sum("pcm_jv_sum").alias("pcm_jv_sum")))
 
 
 @register("audio_amplitude_hist", oracle=f"""

@@ -95,3 +95,44 @@ def test_resample_identity_at_target_rate():
     spec = np.abs(np.fft.rfft(y))
     k = int(np.argmax(spec[1:])) + 1
     assert abs(k * sr / len(y) - f0) <= sr / len(y)
+
+
+def test_chunk_content_digest_exact(spark):
+    """Every GREEN chunk's digests equal slicing the full numpy render
+    at the same grid — the Column-side substring is sample-lossless."""
+    from json_spark.fixtures.gen import _row
+    from json_spark.operators.segmentation import chunk_content_digest
+
+    n_small = 60
+    clips = generate_clips(spark, n_small, partitions=4)
+    ch = chunk_audio(clips, chunk_ms=CHUNK_MS, extra_cols=["sr_hz"])
+    rows = chunk_content_digest(ch).collect()
+    assert rows and all(r.verdict == "GREEN" for r in rows)
+    by_key = {(r.clip_id, r.chunk_idx): r for r in rows}
+    for i in range(n_small):
+        meta = _row(i)
+        dur = meta["dur_ms"] if meta["dur_ms"] is not None else 100
+        sig = reference_signal(meta["clip_id"], meta["sr_hz"], dur)
+        v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+        spc = max(1, meta["sr_hz"] * CHUNK_MS // 1000)
+        for k in range((len(v) + spc - 1) // spc):
+            part = v[k * spc:(k + 1) * spc]
+            r = by_key[(meta["clip_id"], k)]
+            assert r.n_samples == len(part)
+            assert r.pcm_sum == int(part.sum())
+            assert r.pcm_abs_sum == int(np.abs(part).sum())
+            assert r.pcm_jv_sum == int(
+                (np.arange(len(part), dtype=np.int64) * part).sum())
+
+
+def test_chunk_content_corrupt_red(spark):
+    """Chunks of a planted-noise clip fail the per-chunk SNR gate."""
+    from json_spark.operators.segmentation import chunk_content_digest
+
+    n = 1000  # includes corrupt row 996
+    clips = generate_clips(spark, n, partitions=4)
+    ch = chunk_audio(clips, chunk_ms=CHUNK_MS, extra_cols=["sr_hz"])
+    rows = (chunk_content_digest(ch)
+            .filter(F.col("clip_id") == "clip-000000000996").collect())
+    assert rows and all(r.verdict == "RED" for r in rows)
+    assert all(r.n_samples is None for r in rows)
