@@ -97,6 +97,8 @@ HEADLINE = [
     "audio_chunks",
     "audio_resample",
     "audio_content_dedup",
+    # fused suite: header+snr+content+silence off ONE scan of bytes
+    "suite_content_verdicts",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

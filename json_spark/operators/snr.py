@@ -58,29 +58,69 @@ def _probe_wav_header(buf) -> tuple[bool, int | None, int | None]:
     return True, sr, n_bytes
 
 
-def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
-              extra_cols: list[str] | None = None,
-              emit_header: bool = False) -> DataFrame:
-    """Per-clip SNR vs the regenerated reference signal.
+#: |v| at or below this is "near-silence" (~0.5% FS ≈ -46 dBFS)
+SILENCE_THR = 164
+#: |v| at or above this approaches the loudness ceiling (~0.73 FS) —
+#: the fixture waveform peaks at 0.75 FS, so clean clips legitimately
+#: graze it; real clipping detection would use 32767 exactly
+CEILING_THR = 24000
+#: amplitude histogram: 16 bins of width 4096 over [-32768, 32768)
+HIST_BINS = 16
+HIST_WIDTH = 4096
 
-    Output: clip_id, extra_cols…, snr_db double, verdict (GREEN if
-    snr >= threshold, RED otherwise — decode failures are RED with
-    snr_db = null). With ``emit_header`` the stage also returns the
-    container header fields it parses anyway (riff_ok, hdr_sr_hz,
-    data_bytes, payload_len) so a fused caller gets header integrity
-    from the same single pass over the audio payload.
+
+def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
+             extra_cols: list[str] | None = None,
+             emit_header: bool = False,
+             emit_digest: bool = False,
+             emit_profile: bool = False) -> DataFrame:
+    """The ONE decode pass over the audio payload — every content-level
+    check family is a column group off this single Arrow kernel, so a
+    caller wanting SNR + header + sample-exact digests + amplitude
+    profile pays exactly one scan of ``bytes`` and one container decode
+    per clip (measured: a second scan of the binary column costs ~5.4s
+    of a ~57s suite at local[12] on the 2M-clip fixture — see
+    plans/suite.py:check_media).
+
+    Always emitted: clip_id, extra_cols… (as string), snr_db double
+    (null on decode failure), verdict (GREEN iff snr >= threshold).
+    Optional groups, each computed from the same decoded buffer:
+
+    - ``emit_header``  : riff_ok, hdr_sr_hz, data_bytes, payload_len —
+      the 44-byte container probe (byte slicing, ~1µs/row).
+    - ``emit_digest``  : n_samples, pcm_sum, pcm_abs_sum, pcm_jv_sum —
+      order-sensitive exact int64 digests of the recovered int16
+      lattice (see pcm_digest for the inversion argument). Null unless
+      the clip passes the SNR gate.
+    - ``emit_profile`` : n_samples, n_silence, n_ceiling, hist —
+      near-silence / ceiling sample counts and the 16-bin amplitude
+      histogram. Null unless GREEN.
+
+    Scale shape is unchanged from snr_check: map-only mapInArrow over
+    the source partitioning, zero-copy buffer views, only scalar results
+    (~40-170 bytes/clip) travel onward — the payload never shuffles.
     """
     extra = list(extra_cols or [])
+    emit_nsamp = emit_digest or emit_profile
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
-    out_schema = ", ".join(
+    schema_parts = (
         ["clip_id string"]
         + [f"{c} string" for c in extra]
-        + ["snr_db double", "verdict string"]
-        + (["riff_ok boolean, hdr_sr_hz bigint, data_bytes bigint, "
-            "payload_len bigint"] if emit_header else [])
-    )
+        + ["snr_db double", "verdict string"])
+    if emit_header:
+        schema_parts.append(
+            "riff_ok boolean, hdr_sr_hz bigint, data_bytes bigint, "
+            "payload_len bigint")
+    if emit_nsamp:
+        schema_parts.append("n_samples long")
+    if emit_digest:
+        schema_parts.append("pcm_sum long, pcm_abs_sum long, pcm_jv_sum long")
+    if emit_profile:
+        schema_parts.append(
+            "n_silence long, n_ceiling long, hist array<long>")
+    out_schema = ", ".join(schema_parts)
 
-    def check(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             n = batch.num_rows
             ids = batch.column("clip_id").to_pylist()
@@ -88,21 +128,30 @@ def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             durs = batch.column("dur_ms").to_pylist()
             snrs = np.full(n, np.nan)
             hdr = ([], [], [], []) if emit_header else None
+            nsamp = np.full(n, -1, dtype=np.int64)
+            dsum = np.zeros(n, dtype=np.int64)
+            dabs = np.zeros(n, dtype=np.int64)
+            djv = np.zeros(n, dtype=np.int64)
+            nsil = np.zeros(n, dtype=np.int64)
+            ncap = np.zeros(n, dtype=np.int64)
+            hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
                 try:
                     buf = memoryview(payloads[j].as_buffer())
-                except AttributeError:
-                    pass  # null payload
+                except (AttributeError, TypeError):
+                    pass  # null payload: scalar lacks as_buffer
                 if emit_header:
                     riff, hsr, dbytes = _probe_wav_header(buf)
                     hdr[0].append(riff)
                     hdr[1].append(hsr)
                     hdr[2].append(dbytes)
                     hdr[3].append(None if buf is None else len(buf))
+                if emit_profile:
+                    hists.append(None)
+                if buf is None:
+                    continue
                 try:
-                    if buf is None:
-                        continue
                     try:
                         decoded, sr = decode_wav_pcm16(buf)
                     except (ValueError, struct.error):
@@ -113,8 +162,29 @@ def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)
                 except (ValueError, struct.error):
-                    pass  # malformed payload stays RED / null snr
-            ok = snrs >= threshold_db  # NaN compares False → RED
+                    continue  # malformed payload stays RED / null snr
+                if emit_nsamp and snrs[j] >= threshold_db:
+                    # recover the exact int16 lattice points: decode
+                    # yields i/32767 in float32, whose float64x32767
+                    # round-trip error is << 0.5 LSB, so round() is
+                    # exact inversion for every |i| <= 32767
+                    v = np.round(
+                        decoded.astype(np.float64) * 32767.0
+                    ).astype(np.int64)
+                    nsamp[j] = len(v)
+                    if emit_digest:
+                        dsum[j] = int(v.sum())
+                        dabs[j] = int(np.abs(v).sum())
+                        djv[j] = int(
+                            (np.arange(len(v), dtype=np.int64) * v).sum())
+                    if emit_profile:
+                        av = np.abs(v)
+                        nsil[j] = int((av <= SILENCE_THR).sum())
+                        ncap[j] = int((av >= CEILING_THR).sum())
+                        hists[j] = np.bincount(
+                            (v + 32768) // HIST_WIDTH,
+                            minlength=HIST_BINS).tolist()
+            ok = snrs >= threshold_db  # NaN compares False -> RED
             arrays = [batch.column("clip_id")]
             names = ["clip_id"]
             for c in extra:
@@ -131,10 +201,44 @@ def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                            pa.array(hdr[1], pa.int64()),
                            pa.array(hdr[2], pa.int64()),
                            pa.array(hdr[3], pa.int64())]
-                names += ["riff_ok", "hdr_sr_hz", "data_bytes", "payload_len"]
+                names += ["riff_ok", "hdr_sr_hz", "data_bytes",
+                          "payload_len"]
+            mask = nsamp >= 0
+            if emit_nsamp:
+                arrays.append(pa.array(np.where(mask, nsamp, 0), pa.int64(),
+                                       mask=~mask))
+                names.append("n_samples")
+            if emit_digest:
+                arrays += [pa.array(dsum, pa.int64(), mask=~mask),
+                           pa.array(dabs, pa.int64(), mask=~mask),
+                           pa.array(djv, pa.int64(), mask=~mask)]
+                names += ["pcm_sum", "pcm_abs_sum", "pcm_jv_sum"]
+            if emit_profile:
+                arrays += [pa.array(nsil, pa.int64(), mask=~mask),
+                           pa.array(ncap, pa.int64(), mask=~mask),
+                           pa.array(hists, pa.list_(pa.int64()))]
+                names += ["n_silence", "n_ceiling", "hist"]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return clips.select(*in_cols).mapInArrow(check, out_schema)
+    return clips.select(*in_cols).mapInArrow(scan, out_schema)
+
+
+def snr_check(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
+              extra_cols: list[str] | None = None,
+              emit_header: bool = False) -> DataFrame:
+    """Per-clip SNR vs the regenerated reference signal.
+
+    Output: clip_id, extra_cols..., snr_db double, verdict (GREEN if
+    snr >= threshold, RED otherwise — decode failures are RED with
+    snr_db = null). With ``emit_header`` the stage also returns the
+    container header fields it parses anyway (riff_ok, hdr_sr_hz,
+    data_bytes, payload_len) so a fused caller gets header integrity
+    from the same single pass over the audio payload. Thin facade over
+    :func:`pcm_scan` — the north-rule check (BASELINE.json input_hint)
+    with no content column groups.
+    """
+    return pcm_scan(clips, threshold_db, extra_cols,
+                    emit_header=emit_header)
 
 
 def snr_partition_rollup(snr_df: DataFrame, partition_cols: list[str]) -> DataFrame:
@@ -156,13 +260,13 @@ def pcm_digest(clips: DataFrame,
 
     The strongest form of the north-rule "decoded-PCM allclose" invariant
     (BASELINE.json input_hint): instead of banding the error into an SNR
-    verdict, this stage emits order-sensitive integer aggregates over the
+    verdict, this emits order-sensitive integer aggregates over the
     decoded 16-bit samples themselves —
 
     - ``n_samples``     count of decoded samples
-    - ``pcm_sum``       Σ v_j          (signed sample sum)
-    - ``pcm_abs_sum``   Σ |v_j|        (magnitude content)
-    - ``pcm_jv_sum``    Σ j·v_j        (position-weighted: permutation- and
+    - ``pcm_sum``       sum v_j        (signed sample sum)
+    - ``pcm_abs_sum``   sum |v_j|      (magnitude content)
+    - ``pcm_jv_sum``    sum j*v_j      (position-weighted: permutation- and
                                         shift-sensitive, so any reorder,
                                         truncation, or off-by-one in the
                                         decode changes it)
@@ -171,89 +275,21 @@ def pcm_digest(clips: DataFrame,
     the reference waveform analytically must reproduce them bit-for-bit on
     clean clips (the oracle does exactly that in pure SQL trigonometry —
     registry.py q_pcm_content_exact — after cross-engine float-pipeline
-    pinning: float64 sin args, float32 cast, float32×32767 multiply,
+    pinning: float64 sin args, float32 cast, float32x32767 multiply,
     round-half-even). A match proves the container decode is sample-exact,
     not merely within 30 dB. Clips failing the SNR gate (planted noise,
     undecodable bytes) are classified RED here and carry null digests: the
     noise is numpy-PCG-generated and deliberately not SQL-derivable.
 
-    Same execution shape as ``snr_check`` (reference per-case expected
-    outputs, internal/dirtytesting): map-only ``mapInArrow``, zero-copy
-    buffer views, payload never shuffles; only ~40 bytes/clip of digest
-    travel onward. At 10^12 clips the digest table is groupBy-able on
-    clip_id with ordinary hash aggregation.
+    Facade over :func:`pcm_scan` (one decode pass; reference per-case
+    expected outputs, internal/dirtytesting): map-only ``mapInArrow``,
+    zero-copy buffer views, payload never shuffles; only ~40 bytes/clip
+    of digest travel onward. At 10^12 clips the digest table is
+    groupBy-able on clip_id with ordinary hash aggregation.
     """
-
-    def digest(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            n = batch.num_rows
-            ids = batch.column("clip_id").to_pylist()
-            payloads = batch.column("bytes")
-            durs = batch.column("dur_ms").to_pylist()
-            verd = []
-            nsamp = np.full(n, -1, dtype=np.int64)
-            dsum = np.zeros(n, dtype=np.int64)
-            dabs = np.zeros(n, dtype=np.int64)
-            djv = np.zeros(n, dtype=np.int64)
-            for j in range(n):
-                try:
-                    buf = memoryview(payloads[j].as_buffer())
-                except (AttributeError, TypeError):
-                    # null payload: scalar lacks as_buffer / returns None
-                    verd.append("RED")
-                    continue
-                try:
-                    try:
-                        decoded, sr = decode_wav_pcm16(buf)
-                    except (ValueError, struct.error):
-                        decoded, sr = decode_flac(bytes(buf))
-                    dur = int(durs[j]) if durs[j] is not None else 100
-                    ref = reference_signal(ids[j], sr, dur)
-                    if snr_db(ref, decoded) >= threshold_db:
-                        # recover the exact int16 lattice points: decode
-                        # yields i/32767 in float32, whose float64×32767
-                        # round-trip error is ≪ 0.5 LSB, so round() is
-                        # exact inversion for every |i| ≤ 32767
-                        v = np.round(
-                            decoded.astype(np.float64) * 32767.0
-                        ).astype(np.int64)
-                        nsamp[j] = len(v)
-                        dsum[j] = int(v.sum())
-                        dabs[j] = int(np.abs(v).sum())
-                        djv[j] = int(
-                            (np.arange(len(v), dtype=np.int64) * v).sum())
-                        verd.append("GREEN")
-                    else:
-                        verd.append("RED")
-                except (ValueError, struct.error):
-                    verd.append("RED")
-            mask = nsamp >= 0
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("clip_id"),
-                 pa.array(verd, pa.string()),
-                 pa.array(np.where(mask, nsamp, 0), pa.int64(),
-                          mask=~mask),
-                 pa.array(dsum, pa.int64(), mask=~mask),
-                 pa.array(dabs, pa.int64(), mask=~mask),
-                 pa.array(djv, pa.int64(), mask=~mask)],
-                ["clip_id", "verdict", "n_samples", "pcm_sum",
-                 "pcm_abs_sum", "pcm_jv_sum"])
-
-    return clips.select("clip_id", "bytes", "dur_ms").mapInArrow(
-        digest,
-        "clip_id string, verdict string, n_samples long, pcm_sum long, "
-        "pcm_abs_sum long, pcm_jv_sum long")
-
-
-#: |v| at or below this is "near-silence" (~0.5% FS ≈ -46 dBFS)
-SILENCE_THR = 164
-#: |v| at or above this approaches the loudness ceiling (~0.73 FS) —
-#: the fixture waveform peaks at 0.75 FS, so clean clips legitimately
-#: graze it; real clipping detection would use 32767 exactly
-CEILING_THR = 24000
-#: amplitude histogram: 16 bins of width 4096 over [-32768, 32768)
-HIST_BINS = 16
-HIST_WIDTH = 4096
+    return pcm_scan(clips, threshold_db, emit_digest=True).select(
+        "clip_id", "verdict", "n_samples", "pcm_sum", "pcm_abs_sum",
+        "pcm_jv_sum")
 
 
 def pcm_amplitude_profile(clips: DataFrame,
@@ -272,74 +308,13 @@ def pcm_amplitude_profile(clips: DataFrame,
     is not SQL-derivable), and the gate itself is cross-checked by the
     oracle's closed-form corrupt set.
 
-    Map-only Arrow stage; per clip only ~20 integers travel onward, the
-    payload never shuffles. At 10^12 clips the histogram aggregates
-    map-side into |codec|×16 rows.
+    Facade over :func:`pcm_scan` (one decode pass). Map-only Arrow
+    stage; per clip only ~20 integers travel onward, the payload never
+    shuffles. At 10^12 clips the histogram aggregates map-side into
+    |codec|x16 rows.
     """
     extra = list(extra_cols or [])
-
-    def profile(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            n = batch.num_rows
-            ids = batch.column("clip_id").to_pylist()
-            payloads = batch.column("bytes")
-            durs = batch.column("dur_ms").to_pylist()
-            verd = []
-            nsamp = np.full(n, -1, dtype=np.int64)
-            nsil = np.zeros(n, dtype=np.int64)
-            ncap = np.zeros(n, dtype=np.int64)
-            hists: list[list[int] | None] = []
-            for j in range(n):
-                try:
-                    buf = memoryview(payloads[j].as_buffer())
-                except (AttributeError, TypeError):
-                    verd.append("RED")
-                    hists.append(None)
-                    continue
-                try:
-                    try:
-                        decoded, sr = decode_wav_pcm16(buf)
-                    except (ValueError, struct.error):
-                        decoded, sr = decode_flac(bytes(buf))
-                    dur = int(durs[j]) if durs[j] is not None else 100
-                    ref = reference_signal(ids[j], sr, dur)
-                    if snr_db(ref, decoded) >= threshold_db:
-                        v = np.round(
-                            decoded.astype(np.float64) * 32767.0
-                        ).astype(np.int64)
-                        av = np.abs(v)
-                        nsamp[j] = len(v)
-                        nsil[j] = int((av <= SILENCE_THR).sum())
-                        ncap[j] = int((av >= CEILING_THR).sum())
-                        hists.append(np.bincount(
-                            (v + 32768) // HIST_WIDTH,
-                            minlength=HIST_BINS).tolist())
-                        verd.append("GREEN")
-                    else:
-                        verd.append("RED")
-                        hists.append(None)
-                except (ValueError, struct.error):
-                    verd.append("RED")
-                    hists.append(None)
-            mask = nsamp >= 0
-            arrays = [batch.column("clip_id")]
-            names = ["clip_id"]
-            for c in extra:
-                arrays.append(batch.column(c).cast(pa.string()))
-                names.append(c)
-            arrays += [pa.array(verd, pa.string()),
-                       pa.array(np.where(mask, nsamp, 0), pa.int64(),
-                                mask=~mask),
-                       pa.array(nsil, pa.int64(), mask=~mask),
-                       pa.array(ncap, pa.int64(), mask=~mask),
-                       pa.array(hists, pa.list_(pa.int64()))]
-            names += ["verdict", "n_samples", "n_silence", "n_ceiling",
-                      "hist"]
-            yield pa.RecordBatch.from_arrays(arrays, names)
-
-    in_cols = ["clip_id", "bytes", "dur_ms", *extra]
-    out_schema = ", ".join(
-        ["clip_id string"] + [f"{c} string" for c in extra]
-        + ["verdict string, n_samples long, n_silence long, "
-           "n_ceiling long, hist array<long>"])
-    return clips.select(*in_cols).mapInArrow(profile, out_schema)
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_profile=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "n_silence",
+        "n_ceiling", "hist")

@@ -79,11 +79,16 @@ GATE_FRONT: list[str] = [
     "stats_quantiles_sketch",
     # new/changed THIS round — need a first driver row
     "pcm_content_exact", "audio_clipping_silence", "audio_amplitude_hist",
-    "audio_chunk_content",
+    "audio_chunk_content", "suite_content_verdicts",
     "snr_partition_verdicts", "suite_partition_verdicts",
     "coercion_date", "coercion_date_zoned", "ann_recall_report",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
-    "drift_psi", "drift_psi_categorical", "drift_ks",
+    # ADVICE edge-case fixes changed these operators' behavior (null
+    # payloads, zero-length data chunks) after their r2 green row; the
+    # drift queries that previously held these slots changed plan-shape
+    # only (broadcast hint dropped from a full outer join — values
+    # identical), so they cycle behind.
+    "audio_chunks", "audio_resample", "audio_dominant_freq",
     "flac_header_integrity", "contamination_ngram_exact",
     "temperature_sample", "audio_content_dedup", "ledger_trend",
 ]
@@ -969,6 +974,71 @@ def q_audio_amplitude_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("codec", F.col("bin").cast("long").alias("bin"))
             .agg(F.sum("n").alias("n_samples"))
             .filter(F.col("n_samples") > 0))
+
+
+@register("suite_content_verdicts", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+part AS (
+  SELECT codec AS partition_id, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red
+  FROM full_ GROUP BY 1),
+dig AS (
+  SELECT codec AS partition_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(v) AS BIGINT) AS pcm_sum,
+         CAST(sum(abs(v)) AS BIGINT) AS pcm_abs_sum,
+         CAST(sum(j * v) AS BIGINT) AS pcm_jv_sum,
+         CAST(count(*) FILTER (WHERE abs(v) <= 164) AS BIGINT) AS n_silence,
+         CAST(count(*) FILTER (WHERE abs(v) >= 24000) AS BIGINT) AS n_ceiling
+  FROM samples GROUP BY 1),
+sil AS (
+  SELECT partition_id,
+         CAST(count(*) FILTER (WHERE ratio > 0.5) AS BIGINT) AS n_yellow
+  FROM (SELECT i, codec AS partition_id,
+               (count(*) FILTER (WHERE abs(v) <= 164))
+                 / CAST(count(*) AS DOUBLE) AS ratio
+        FROM samples GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT p.partition_id, 'pcm_content' AS check_name,
+       CASE WHEN p.n_red > 0 THEN 'RED' ELSE 'GREEN' END AS verdict,
+       p.n_rows, p.n_rows - p.n_red AS n_green,
+       CAST(0 AS BIGINT) AS n_yellow, p.n_red,
+       '{{"n_samples":' || d.n_samples || ',"pcm_sum":' || d.pcm_sum
+         || ',"pcm_abs_sum":' || d.pcm_abs_sum
+         || ',"pcm_jv_sum":' || d.pcm_jv_sum || '}}' AS metrics_json
+FROM part p JOIN dig d USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'silence',
+       CASE WHEN p.n_red > 0 THEN 'RED'
+            WHEN s.n_yellow > 0 THEN 'YELLOW' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - p.n_red - s.n_yellow, s.n_yellow, p.n_red,
+       '{{"n_silence":' || d.n_silence || ',"n_ceiling":' || d.n_ceiling
+         || '}}'
+FROM part p JOIN dig d USING (partition_id) JOIN sil s USING (partition_id)
+""")
+def q_suite_content_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ValidationSuite run with ``content_checks=True``: the
+    sample-exact PCM content check and the silence-curation check ride
+    the SAME single scan of ``bytes`` as header + SNR (pcm_scan emits
+    all four column groups from one container decode — plans/suite.py:
+    check_media). The oracle re-derives both verdict rows per codec
+    partition without reading a byte: verdict/row counts come from the
+    planted corruption arithmetic (i % 997), and metrics_json is
+    rebuilt integer-for-integer from the analytic per-sample twin
+    (pure-SQL trigonometry with the numpy float pipeline pinned), so a
+    hash match proves the fused pass aggregates the exact decoded
+    samples into the exact JSON the engine emits. Complements
+    suite_partition_verdicts, which pins the other six check families
+    of the same suite.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..plans.suite import SuiteConfig, ValidationSuite
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    res = ValidationSuite(SuiteConfig(content_checks=True)).run(spark, clips)
+    return res.partition_verdicts.filter(
+        F.col("check_name").isin("pcm_content", "silence")).select(
+        "partition_id", "check_name", "verdict", "n_rows",
+        "n_green", "n_yellow", "n_red", "metrics_json")
 
 
 @register("suite_partition_verdicts", oracle=f"""

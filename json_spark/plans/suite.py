@@ -37,7 +37,7 @@ from ..config.rules import RuleConfig
 from ..config import default_config
 from ..operators.drift import histogram, ks_statistic, psi
 from ..operators.referential import orphans, transcript_mismatches
-from ..operators.snr import snr_check, snr_partition_rollup
+from ..operators.snr import pcm_scan, snr_check, snr_partition_rollup
 from ..operators.stats import column_stats
 from ..operators.uniqueness import exact_duplicates
 from .ledger import ledger_append, ledger_read, make_lineage, pending_partitions
@@ -61,6 +61,12 @@ class SuiteConfig:
     ks_yellow: float = 0.1
     ks_red: float = 0.25
     snr_threshold_db: float = 30.0
+    #: fuse the sample-exact PCM content + silence-curation checks into
+    #: the media pass (same single scan of ``bytes`` — pcm_scan emits
+    #: the digest/profile column groups alongside header + SNR)
+    content_checks: bool = False
+    #: per-clip YELLOW when near-silent samples exceed this share
+    max_silence_ratio: float = 0.5
     drift_bins: int = 10
     #: columns drifted-checked (north star: sr_hz AND dur_ms) with their
     #: fixed bucket ranges — shared by baseline and current so edges match
@@ -379,9 +385,14 @@ class ValidationSuite:
         remains the zero-Python path when only header integrity is wanted.
 
         Returns (header_verdicts, header_violations, snr_verdicts,
-        snr_violations).
+        snr_violations); with ``cfg.content_checks`` two more verdict
+        frames (pcm_content, silence) and one more violation frame ride
+        the SAME decode pass — pcm_scan emits the sample-exact digest and
+        amplitude-profile column groups next to header + SNR, so four
+        check families cost one scan of the binary column.
         """
         c = self.cfg
+        content = c.content_checks
         enriched = clips.select(
             F.col(c.key_col).alias("clip_id"),
             F.col("bytes"),
@@ -389,9 +400,10 @@ class ValidationSuite:
             F.col(c.partition_col).cast("string").alias(c.partition_col),
             F.col("sr_hz"),
         )
-        raw = snr_check(enriched, c.snr_threshold_db,
-                        extra_cols=[c.partition_col, "sr_hz"],
-                        emit_header=True)
+        raw = pcm_scan(enriched, c.snr_threshold_db,
+                       extra_cols=[c.partition_col, "sr_hz"],
+                       emit_header=True,
+                       emit_digest=content, emit_profile=content)
         container_ok = (F.col("riff_ok")
                         & (F.col("payload_len") == 44 + F.col("data_bytes")))
         sr_ok = F.col("hdr_sr_hz") == F.col("sr_hz").cast("bigint")
@@ -407,13 +419,22 @@ class ValidationSuite:
         # cache-build allocation and GC compete with task CPU exactly
         # when no cores are idle, whereas at low parallelism concurrent
         # GC rides the idle cores.
+        sil_bad = F.coalesce(
+            F.col("n_silence") > c.max_silence_ratio * F.col("n_samples"),
+            F.lit(False)) if content else F.lit(False)
+        viol_cond = snr_red | (hdr_code != 0) | sil_bad
+        content_cols = ([
+            "n_samples", "pcm_sum", "pcm_abs_sum", "pcm_jv_sum",
+            "n_silence", "n_ceiling", sil_bad.alias("sil_bad"),
+        ] if content else [])
         slim = self._p(raw.select(
             F.col(c.partition_col).alias("partition_id"),
             "snr_db",
             snr_red.alias("snr_red"),
             hdr_code.alias("hdr_code"),
+            *content_cols,
             F.when(
-                snr_red | (hdr_code != 0),
+                viol_cond,
                 F.concat_ws(
                     "\x00", "clip_id",
                     F.coalesce(F.col("hdr_sr_hz").cast("string"), F.lit("?")),
@@ -423,6 +444,15 @@ class ValidationSuite:
         # ONE aggregation pass serves both check families' rollups; the
         # two verdict frames are cheap selects over the persisted
         # |partitions|-row result
+        content_aggs = ([
+            F.sum("n_samples").alias("c_n_samples"),
+            F.sum("pcm_sum").alias("c_pcm_sum"),
+            F.sum("pcm_abs_sum").alias("c_pcm_abs_sum"),
+            F.sum("pcm_jv_sum").alias("c_pcm_jv_sum"),
+            F.sum("n_silence").alias("c_n_silence"),
+            F.sum("n_ceiling").alias("c_n_ceiling"),
+            F.sum(F.col("sil_bad").cast("long")).alias("n_sil_yellow"),
+        ] if content else [])
         agg = self._p(slim.groupBy("partition_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("snr_red").cast("long")).alias("n_snr_red"),
@@ -430,6 +460,7 @@ class ValidationSuite:
             F.round(F.avg("snr_db"), 3).alias("mean_snr_db"),
             F.sum((F.col("hdr_code") == 2).cast("long")).alias("n_hdr_red"),
             F.sum((F.col("hdr_code") == 1).cast("long")).alias("n_hdr_yellow"),
+            *content_aggs,
         ))
         hv = agg.select(
             "partition_id",
@@ -467,6 +498,7 @@ class ValidationSuite:
         )
         viol_base = slim.filter(F.col("viol_info").isNotNull()).select(
             "partition_id", "snr_db", "snr_red", "hdr_code",
+            *(["sil_bad", "n_silence", "n_samples"] if content else []),
             F.split("viol_info", "\x00").getItem(0).alias("clip_id"),
             F.split("viol_info", "\x00").getItem(1).alias("hdr_sr"),
             F.split("viol_info", "\x00").getItem(2).alias("meta_sr"),
@@ -494,7 +526,63 @@ class ValidationSuite:
                                     F.lit("decode-failed"))),
                 1, 50).alias("offending_value_trunc50"),
         )
-        return hv, hviol, sv, sviol
+        if not content:
+            return hv, hviol, sv, sviol
+        # content frames: two more checks out of the same persisted agg.
+        # metrics_json carries exact-integer digests only (both engines
+        # format BIGINT identically; no float formatting ambiguity).
+        pcv = agg.select(
+            "partition_id",
+            F.lit("pcm_content").alias("check_name"),
+            F.when(F.col("n_snr_red") > 0, "RED").otherwise("GREEN")
+            .alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_snr_red")).alias("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.col("n_snr_red").cast("long").alias("n_red"),
+            F.concat(
+                F.lit('{"n_samples":'),
+                F.coalesce(F.col("c_n_samples").cast("string"), F.lit("0")),
+                F.lit(',"pcm_sum":'),
+                F.coalesce(F.col("c_pcm_sum").cast("string"), F.lit("0")),
+                F.lit(',"pcm_abs_sum":'),
+                F.coalesce(F.col("c_pcm_abs_sum").cast("string"), F.lit("0")),
+                F.lit(',"pcm_jv_sum":'),
+                F.coalesce(F.col("c_pcm_jv_sum").cast("string"), F.lit("0")),
+                F.lit("}")).alias("metrics_json"),
+        )
+        silv = agg.select(
+            "partition_id",
+            F.lit("silence").alias("check_name"),
+            F.when(F.col("n_snr_red") > 0, "RED")
+            .when(F.col("n_sil_yellow") > 0, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_snr_red") - F.col("n_sil_yellow"))
+            .alias("n_green"),
+            F.col("n_sil_yellow").cast("long").alias("n_yellow"),
+            F.col("n_snr_red").cast("long").alias("n_red"),
+            F.concat(
+                F.lit('{"n_silence":'),
+                F.coalesce(F.col("c_n_silence").cast("string"), F.lit("0")),
+                F.lit(',"n_ceiling":'),
+                F.coalesce(F.col("c_n_ceiling").cast("string"), F.lit("0")),
+                F.lit("}")).alias("metrics_json"),
+        )
+        silviol = viol_base.filter(F.col("sil_bad")).select(
+            "clip_id",
+            "partition_id",
+            F.lit("silence").alias("check_name"),
+            F.lit(f"near-silent sample share above {c.max_silence_ratio}")
+            .alias("reason"),
+            F.substring(
+                F.concat(F.lit("n_silence="),
+                         F.col("n_silence").cast("string"),
+                         F.lit("/"),
+                         F.col("n_samples").cast("string")),
+                1, 50).alias("offending_value_trunc50"),
+        )
+        return hv, hviol, sv, sviol, pcv, silv, silviol
 
     def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
@@ -555,6 +643,8 @@ class ValidationSuite:
         violation_frames: list[DataFrame] = []
 
         active_checks = ["stats", "uniqueness", "header", "snr"]
+        if c.content_checks:
+            active_checks += ["pcm_content", "silence"]
         if manifest is not None:
             active_checks += ["referential", "transcript"]
         if baseline_shares is not None:
@@ -604,11 +694,17 @@ class ValidationSuite:
             violation_frames.append(tviol)
         if baseline_shares is not None:
             verdict_frames.append(self.check_drift(work, baseline_shares))
-        hv, hviol, sv, sviol = self.check_media(work)
+        media = self.check_media(work)
+        hv, hviol, sv, sviol = media[:4]
         verdict_frames.append(hv)
         violation_frames.append(hviol)
         verdict_frames.append(sv)
         violation_frames.append(sviol)
+        if c.content_checks:
+            pcv, silv, silviol = media[4:]
+            verdict_frames.append(pcv)
+            verdict_frames.append(silv)
+            violation_frames.append(silviol)
 
         verdicts = verdict_frames[0]
         for fdf in verdict_frames[1:]:

@@ -160,3 +160,83 @@ def test_ledger_resume(spark, fixture_dir, tmp_path):
     r3 = suite.run(spark, clips, manifest, ledger_path=ledger_path,
                    input_path=fixture_dir, resume=True)
     assert r3.partition_verdicts.count() == 0
+
+
+# ---------------------------------------------------------------- content
+
+
+@pytest.fixture(scope="module")
+def content_result(spark, fixture_dir) -> SuiteResult:
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    return ValidationSuite(SuiteConfig(content_checks=True)).run(spark, clips)
+
+
+def test_content_checks_ride_the_media_pass(content_result):
+    """content_checks=True adds pcm_content + silence verdict rows per
+    partition, served by the same single decode pass as header + snr."""
+    names = {r["check_name"] for r in
+             content_result.partition_verdicts.select("check_name")
+             .distinct().collect()}
+    assert {"pcm_content", "silence", "header", "snr"} <= names
+
+
+def test_pcm_content_matches_standalone_digest(spark, fixture_dir,
+                                               content_result):
+    """The fused suite's per-partition digest totals equal the standalone
+    pcm_digest stage aggregated the same way — one pass, same integers."""
+    import json
+
+    from json_spark.operators.snr import pcm_scan
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    # carry codec THROUGH the scan (a clip_id join would fan out on the
+    # fixture's planted duplicate ids and double-count)
+    standalone = (pcm_scan(clips, extra_cols=["codec"], emit_digest=True)
+                  .groupBy("codec")
+                  .agg(F.sum("pcm_abs_sum").alias("abs_sum"),
+                       F.sum("n_samples").alias("ns")))
+    want = {r["codec"]: (r["abs_sum"], r["ns"]) for r in standalone.collect()}
+    got = {}
+    for r in content_result.partition_verdicts.filter(
+            F.col("check_name") == "pcm_content").collect():
+        m = json.loads(r["metrics_json"])
+        got[r["partition_id"]] = (m["pcm_abs_sum"], m["n_samples"])
+    assert got == want
+
+
+def test_silence_check_yellow_path(spark):
+    """A GREEN clip necessarily carries the reference waveform (the SNR
+    gate regenerates it from clip_id), so a mostly-silent-yet-GREEN clip
+    cannot exist in fixture data; the YELLOW path is exercised by
+    lowering the per-clip threshold below the waveform's natural
+    near-silence share. A truly silent clip fails the SNR gate → RED."""
+    import numpy as np
+
+    from json_spark.fixtures.signal import pcm16_wav_bytes, reference_signal
+    loud = reference_signal("clip-loud", 8000, 100)
+    quiet = np.zeros(800, dtype=np.float32)  # decodes fine, no signal
+    rows = [("clip-loud", bytearray(pcm16_wav_bytes(loud, 8000)),
+             8000, 100, "wav", "t"),
+            ("clip-quiet", bytearray(pcm16_wav_bytes(quiet, 8000)),
+             8000, 100, "wav", "t")]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    # threshold 0 → any near-silent sample trips the clip; the sine
+    # waveform crosses zero every half period, so clip-loud goes YELLOW
+    # while clip-quiet is RED (unverifiable content, SNR gate)
+    res = ValidationSuite(SuiteConfig(
+        content_checks=True, max_silence_ratio=0.0)).run(spark, clips)
+    sil = res.partition_verdicts.filter(
+        F.col("check_name") == "silence").collect()
+    assert len(sil) == 1
+    assert sil[0]["verdict"] == "RED"        # worst-of: the silent clip
+    assert sil[0]["n_red"] == 1 and sil[0]["n_yellow"] == 1
+    viol = {r["clip_id"]: r for r in res.violations.filter(
+        F.col("check_name") == "silence").collect()}
+    assert set(viol) == {"clip-loud"}
+    assert viol["clip-loud"]["offending_value_trunc50"].startswith(
+        "n_silence=")
+    # default threshold (0.5): the same pair yields no silence violation
+    res2 = ValidationSuite(SuiteConfig(content_checks=True)).run(spark, clips)
+    assert res2.violations.filter(
+        F.col("check_name") == "silence").count() == 0
