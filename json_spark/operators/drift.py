@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 EPS = 1e-6
 
 
+def _with_share(counts: DataFrame, keys: list[str]) -> DataFrame:
+    """share = n / Σn within each key group (global when no keys).
+
+    The count table is bucket-sized (|keys|×nbins rows) so ANY plan is
+    cheap — but the keyless ``Window.partitionBy()`` spelling compiles
+    to a single-partition WindowExec (Spark warns loudly), while a
+    1-row broadcast-total join keeps the plan exchange-clean and the
+    explain audit free of degenerate window nodes at every scale.
+    """
+    if keys:
+        w = Window.partitionBy(*keys)
+        return counts.withColumn("share", F.col("n") / F.sum("n").over(w))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (counts.join(F.broadcast(total))
+            .withColumn("share", F.col("n") / F.col("__total"))
+            .drop("__total"))
+
+
 def histogram(
     df: DataFrame,
     col: str,
@@ -50,8 +68,7 @@ def histogram(
         .groupBy(*keys, bucket)
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    return counts.withColumn("share", F.col("n") / F.sum("n").over(w))
+    return _with_share(counts, keys)
 
 
 def categorical_histogram(df: DataFrame, col: str,
@@ -61,8 +78,7 @@ def categorical_histogram(df: DataFrame, col: str,
     counts = df.groupBy(*keys, F.col(col).alias("category")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    return counts.withColumn("share", F.col("n") / F.sum("n").over(w))
+    return _with_share(counts, keys)
 
 
 def psi(current: DataFrame, baseline: DataFrame,
@@ -117,11 +133,14 @@ def rolling_psi(df: DataFrame, bucket: "F.Column", window_col: "F.Column",
                                F.lit(0)).alias("n")))
     wday = Window.partitionBy("w")
     wbucket = Window.partitionBy("bucket")
-    wall = Window.partitionBy()
-    sh = grid.select(
+    # corpus total as a 1-row broadcast join (not a global window — see
+    # _with_share): the grid is |windows|×nbins rows either way, but this
+    # keeps the plan free of single-partition WindowExec nodes
+    total = grid.agg(F.sum("n").alias("__total"))
+    sh = grid.join(F.broadcast(total)).select(
         "w",
         (F.col("n") / F.sum("n").over(wday)).alias("p"),
-        (F.sum("n").over(wbucket) / F.sum("n").over(wall)).alias("q"))
+        (F.sum("n").over(wbucket) / F.col("__total")).alias("q"))
     p = F.greatest(F.col("p"), F.lit(EPS))
     q = F.greatest(F.col("q"), F.lit(EPS))
     return sh.groupBy("w").agg(
