@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="ignore existing ledger rows (full re-run)")
     ap.add_argument("--partition-col", default="codec")
     ap.add_argument("--snr-threshold-db", type=float, default=30.0)
+    ap.add_argument("--content-checks", action="store_true",
+                    help="add the sample-exact PCM content + silence "
+                         "curation checks (same single decode pass as "
+                         "header + snr)")
+    ap.add_argument("--max-silence-ratio", type=float, default=0.5,
+                    help="per-clip YELLOW threshold for the silence check")
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under spark-submit on a "
                          "cluster)")
@@ -75,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     clips = spark.read.parquet(args.clips)
     manifest = spark.read.parquet(args.manifest) if args.manifest else None
     cfg = SuiteConfig(partition_col=args.partition_col,
-                      snr_threshold_db=args.snr_threshold_db)
+                      snr_threshold_db=args.snr_threshold_db,
+                      content_checks=args.content_checks,
+                      max_silence_ratio=args.max_silence_ratio)
     if args.baseline == "self":
         base_pop = clips
         if args.baseline_exclude is not None:

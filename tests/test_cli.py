@@ -42,3 +42,18 @@ def test_cli_run_and_resume(spark, tmp_path):
 
     rerun = _cli([*common, "--out", str(tmp_path / "out3"), "--no-resume"])
     assert rerun["n_partition_checks"] == 32       # --no-resume reprocesses
+
+
+def test_cli_content_checks(spark, tmp_path):
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    write_fixtures(spark, fixture, 2000, partitions=4)
+    out = str(tmp_path / "out")
+    res = _cli(["--clips", f"{fixture}/clips", "--out", out,
+                "--content-checks", "--cores", "4"])
+    # stats/uniqueness/header/snr + pcm_content/silence, 4 codecs
+    assert res["n_partition_checks"] == 24
+    got = {r["check_name"] for r in
+           spark.read.parquet(f"{out}/partition_verdicts")
+           .select("check_name").distinct().collect()}
+    assert {"pcm_content", "silence"} <= got
