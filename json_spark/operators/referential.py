@@ -77,3 +77,46 @@ def transcript_mismatches(clips: DataFrame, manifest: DataFrame,
                 F.col(value_col).alias("actual"),
                 F.col("__expected").alias("expected"))
     )
+
+
+def speech_rate_check(clips: DataFrame,
+                      min_cps: float = 10.0,
+                      max_cps: float = 5000.0,
+                      transcript_col: str = "transcript",
+                      dur_col: str = "dur_ms",
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Cross-field transcript-vs-audio consistency: characters of
+    transcript per second of audio must land in a plausible band.
+
+    A transcript paired with the wrong clip (or a duration recorded in
+    the wrong unit — the classic ms-vs-s ingest bug) moves the rate by
+    orders of magnitude, so even a generous band is a sharp detector:
+    misreading dur_ms as seconds divides every rate by 1000 and flips
+    the whole corpus to TOO_SLOW. Rows with null duration or null
+    transcript are UNRATABLE (YELLOW in suite terms) rather than
+    silently passed.
+
+    Pure Column arithmetic (length / dur), map-only into a group-sized
+    aggregate — no Python, no shuffle beyond the final groupBy. At
+    10^12 rows the output is |group| rows.
+    """
+    keys = list(group_cols or [])
+    rate = (F.length(F.col(transcript_col))
+            / (F.col(dur_col).cast("double") / 1000.0))
+    status = (
+        F.when(F.col(dur_col).isNull()
+               | F.col(transcript_col).isNull(), "UNRATABLE")
+        .when(rate < F.lit(min_cps), "TOO_SLOW")
+        .when(rate > F.lit(max_cps), "TOO_FAST")
+        .otherwise("OK"))
+    return (clips
+            .select(*keys, status.alias("status"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("status") == "OK").cast("long")).alias("n_ok"),
+                 F.sum((F.col("status") == "UNRATABLE").cast("long"))
+                 .alias("n_unratable"),
+                 F.sum((F.col("status") == "TOO_SLOW").cast("long"))
+                 .alias("n_too_slow"),
+                 F.sum((F.col("status") == "TOO_FAST").cast("long"))
+                 .alias("n_too_fast")))

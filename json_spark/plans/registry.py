@@ -3094,6 +3094,34 @@ def q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("transcript_rate_check", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE dur_ms IS NOT NULL) AS BIGINT) AS n_ok,
+       CAST(count(*) FILTER (WHERE dur_ms IS NULL) AS BIGINT)
+         AS n_unratable,
+       CAST(0 AS BIGINT) AS n_too_slow,
+       CAST(0 AS BIGINT) AS n_too_fast
+FROM full_ GROUP BY codec
+""")
+def q_transcript_rate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field speech-rate band check (transcript chars per second
+    of audio, operators/referential.py:speech_rate_check). The fixture
+    contract pins every ratable clip inside the band — transcripts are
+    4-11 words of 3-10 chars (15-120 chars) over 50-200 ms (75-2400
+    cps, band [10, 5000]) — and null-dur planting (i % 101) makes rows
+    UNRATABLE, so the oracle derives every outcome count from row-id
+    arithmetic without the PCG transcripts. The band is a sharp detector
+    anyway: misreading dur_ms as seconds divides every rate by 1000 and
+    flips the whole corpus to TOO_SLOW, breaking n_ok for every codec.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.referential import speech_rate_check
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return speech_rate_check(clips, group_cols=["codec"])
+
+
 @register("multimodal_frame_sample")
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.gen import generate_clips

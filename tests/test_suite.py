@@ -240,3 +240,24 @@ def test_silence_check_yellow_path(spark):
     res2 = ValidationSuite(SuiteConfig(content_checks=True)).run(spark, clips)
     assert res2.violations.filter(
         F.col("check_name") == "silence").count() == 0
+
+
+def test_speech_rate_band_edges(spark):
+    """Band classification hits every branch: OK, TOO_SLOW (the ms-vs-s
+    unit bug signature), TOO_FAST (wrong-clip pairing), UNRATABLE."""
+    from json_spark.operators.referential import speech_rate_check
+    rows = [
+        ("ok",    "twenty chars of text", 1000),   # 20 cps
+        ("slow",  "hi",                   60000),  # 0.03 cps
+        ("fast",  "x" * 600,              100),    # 6000 cps
+        ("nodur", "some text",            None),
+        ("notxt", None,                   500),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, transcript string, dur_ms int")
+    got = speech_rate_check(df, min_cps=10.0, max_cps=5000.0).collect()[0]
+    assert got["n_rows"] == 5
+    assert got["n_ok"] == 1
+    assert got["n_too_slow"] == 1
+    assert got["n_too_fast"] == 1
+    assert got["n_unratable"] == 2
