@@ -3094,6 +3094,51 @@ def q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("audio_perceptual_dedup", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+green AS (
+  SELECT codec, 100 + seed % 997 AS f0
+  FROM full_ WHERE i % 997 <> 996),
+cls AS (
+  SELECT f0, count(*) AS n_c FROM green GROUP BY f0)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(*) FILTER (WHERE n_c > 1) AS BIGINT) AS n_dup_clips,
+       CAST(count(DISTINCT f0) FILTER (WHERE n_c > 1) AS BIGINT)
+         AS n_dup_classes
+FROM green JOIN cls USING (f0) GROUP BY codec
+""")
+def q_audio_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (content-level) audio near-dup detection: clips group
+    on a gain/phase/dither-invariant fingerprint — the sub-Hz refined
+    fundamental estimate from perceptual_fingerprint
+    (operators/multimodal.py), the audio analog of SimHash banding.
+    Exact dedup (audio_content_dedup) only catches byte-identical
+    payloads; this catches re-gained / re-dithered / re-containered
+    copies of the same tone. The oracle derives every class from the
+    generator contract (f0 = 100 + seed % 997, seed via the CRC-32 SQL
+    fold), so a count match proves the Hann+zero-pad+parabolic estimate
+    recovers the EXACT integer fundamental for every clean clip in the
+    fixture — including same-f0 clips whose phases differ (genuinely
+    perceptually identical, correctly grouped). Scale shape: map-only
+    fingerprint, then a groupBy on one long per clip; the class table
+    (≤997 rows) broadcasts back for attribution; payloads never shuffle.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import perceptual_fingerprint
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    fp = perceptual_fingerprint(clips).filter(
+        F.col("verdict") == "GREEN").select("codec", "fp")
+    cls = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_c"))
+    return (fp.join(F.broadcast(cls), "fp")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum((F.col("n_c") > 1).cast("long")).alias("n_dup_clips"),
+                 F.count_distinct(
+                     F.when(F.col("n_c") > 1, F.col("fp")))
+                 .alias("n_dup_classes")))
+
+
 @register("transcript_rate_check", oracle=f"""
 WITH {_CLIPS_CLOSED_FORM_CTE}
 SELECT codec,

@@ -388,3 +388,49 @@ def test_ngram_overlap_join_exact(spark):
     assert got == expected
     assert (1, 101) in got and (1, 102) not in got
     assert got[(3, 103)] == 1
+
+
+def test_perceptual_fingerprint_invariance(spark):
+    """Gain-scaled + dithered + re-containered copies land on the same
+    fingerprint as their source; distinct tones land on distinct ones."""
+    import numpy as np
+
+    from json_spark.fixtures.signal import pcm16_wav_bytes, reference_signal
+    from json_spark.functions.flac import encode_flac
+    from json_spark.operators.multimodal import perceptual_fingerprint
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for cid, sr, dur in [("clip-000000000000", 16000, 120),
+                         ("clip-000000000007", 8000, 80)]:
+        sig = reference_signal(cid, sr, dur)
+        near = (0.4 * sig + rng.normal(0, 0.002, len(sig))
+                ).astype(np.float32)
+        ints = np.round(np.clip(sig, -1, 1) * 32767).astype("<i2")
+        rows += [
+            (cid, bytearray(pcm16_wav_bytes(sig, sr)), sr, dur, "wav", "t"),
+            (cid + "-gain", bytearray(pcm16_wav_bytes(near, sr)), sr, dur,
+             "wav", "t"),
+            (cid + "-flac", bytearray(encode_flac(ints, sr)), sr, dur,
+             "flac", "t"),
+        ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    got = {r["clip_id"]: r for r in perceptual_fingerprint(clips).collect()}
+    base0 = got["clip-000000000000"]
+    base7 = got["clip-000000000007"]
+    assert base0["verdict"] == "GREEN" and base7["verdict"] == "GREEN"
+    assert base0["fp"] != base7["fp"]                 # distinct tones
+    for cid, base in [("clip-000000000000", base0),
+                      ("clip-000000000007", base7)]:
+        # renamed copies carry a clip_id implying a DIFFERENT reference,
+        # so their reference-SNR label is RED — but the fingerprint is
+        # intrinsic and must equal the source's (the dedup use case)
+        for suffix in ("-gain", "-flac"):
+            copy = got[cid + suffix]
+            assert copy["fp"] == base["fp"], (cid, suffix)
+        assert got[cid + "-gain"]["verdict"] == "RED"
+        # same id + same content re-containered as FLAC: decodes through
+        # the FLAC path to the same samples -> fingerprint matches
+        assert abs(got[cid + "-flac"]["f0_hz"] - base["f0_hz"]) < 0.2
