@@ -37,7 +37,13 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..fixtures.signal import decode_wav_pcm16, reference_slice, snr_db
+from ..fixtures.signal import (
+    decode_wav_pcm16,
+    pcm16_wav_bytes,
+    reference_signal,
+    reference_slice,
+    snr_db,
+)
 from .multimodal import wav_header_columns
 
 
@@ -223,3 +229,105 @@ def resample_dominant_freq(clips: DataFrame,
 
     return clips.select("clip_id", "codec", "bytes").mapInArrow(
         res, RESAMPLE_SCHEMA)
+
+
+GAIN_NORMALIZE_SCHEMA = (
+    "clip_id string, codec string, decoded boolean, verdict string, "
+    "n_samples long, out_peak long, pcm_sum long, pcm_abs_sum long, "
+    "pcm_jv_sum long, out_bytes long"
+)
+
+
+def normalize_gain(clips: DataFrame, target_peak: int = 30000) -> DataFrame:
+    """Peak gain normalization — a CONTENT TRANSFORM with a sample-exact
+    cross-engine contract (the loudness-leveling step a training
+    pipeline runs before featurization).
+
+    Per clip: decode → recover the int16 lattice → scale every sample by
+    ``target_peak / max|v|`` → round half-even → re-encode as WAV →
+    decode the re-encoded bytes and digest THOSE samples. The digests
+    therefore certify the whole write path (scale, clip-to-lattice,
+    container re-encode, second decode), not just the arithmetic. The
+    contract is deterministic IEEE-754: the factor is one double
+    division, each product one double multiply, rounding is half-even —
+    so an independent engine reproduces every output sample bit-for-bit
+    from the analytic twin (registry.py q_audio_gain_normalize does it
+    in pure SQL).
+
+    Silent clips (max|v| = 0) pass through unscaled. Undecodable
+    payloads emit decoded=false with null digests. ``verdict`` is the
+    reference-SNR label (as in perceptual_fingerprint): the transform
+    runs on every decodable clip, but planted-noise rows are flagged so
+    the closed-form oracle (which cannot derive PCG noise) excludes
+    them by the engine's own classification.
+
+    Scale shape: map-only Arrow stage; the transformed payload stays in
+    the task (a real pipeline would write it straight to the sink
+    partition-aligned); only ~50 bytes of digest travel onward.
+    """
+
+    def norm(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            n = batch.num_rows
+            verd: list[str] = []
+            dec = np.zeros(n, dtype=bool)
+            nsamp = np.zeros(n, dtype=np.int64)
+            peak = np.zeros(n, dtype=np.int64)
+            dsum = np.zeros(n, dtype=np.int64)
+            dabs = np.zeros(n, dtype=np.int64)
+            djv = np.zeros(n, dtype=np.int64)
+            nbytes = np.zeros(n, dtype=np.int64)
+            for j in range(n):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                    sig, sr = decode_wav_pcm16(buf)
+                except (ValueError, struct.error, AttributeError):
+                    verd.append("RED")
+                    continue
+                dur = int(durs[j]) if durs[j] is not None else 100
+                ref = reference_signal(ids[j], sr, dur)
+                verd.append("GREEN" if snr_db(ref, sig) >= 30.0
+                            else "RED")
+                v = np.round(sig.astype(np.float64) * 32767.0
+                             ).astype(np.int64)
+                ma = int(np.abs(v).max()) if len(v) else 0
+                if ma > 0:
+                    factor = float(target_peak) / float(ma)
+                    v2 = np.round(v.astype(np.float64) * factor
+                                  ).astype(np.int64)
+                else:
+                    v2 = v
+                # re-encode -> re-decode: certify the write path too
+                wav = pcm16_wav_bytes(
+                    (v2 / 32767.0).astype(np.float32), sr)
+                sig2, _ = decode_wav_pcm16(memoryview(wav))
+                v3 = np.round(sig2.astype(np.float64) * 32767.0
+                              ).astype(np.int64)
+                dec[j] = True
+                nsamp[j] = len(v3)
+                peak[j] = int(np.abs(v3).max()) if len(v3) else 0
+                dsum[j] = int(v3.sum())
+                dabs[j] = int(np.abs(v3).sum())
+                djv[j] = int((np.arange(len(v3), dtype=np.int64)
+                              * v3).sum())
+                nbytes[j] = len(wav)
+            mask = ~dec
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("clip_id"), batch.column("codec"),
+                 pa.array(dec), pa.array(verd, pa.string()),
+                 pa.array(nsamp, pa.int64(), mask=mask),
+                 pa.array(peak, pa.int64(), mask=mask),
+                 pa.array(dsum, pa.int64(), mask=mask),
+                 pa.array(dabs, pa.int64(), mask=mask),
+                 pa.array(djv, pa.int64(), mask=mask),
+                 pa.array(nbytes, pa.int64(), mask=mask)],
+                ["clip_id", "codec", "decoded", "verdict", "n_samples",
+                 "out_peak", "pcm_sum", "pcm_abs_sum", "pcm_jv_sum",
+                 "out_bytes"])
+
+    return clips.select("clip_id", "codec", "dur_ms", "bytes").mapInArrow(
+        norm, GAIN_NORMALIZE_SCHEMA)

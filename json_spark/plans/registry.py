@@ -3094,6 +3094,58 @@ def q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("audio_gain_normalize", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+per AS (
+  SELECT i, clip_id, max(abs(v)) AS ma FROM samples GROUP BY i, clip_id),
+scaled AS (
+  SELECT s.i, s.clip_id, s.codec, s.j,
+         CAST(round_even(CAST(s.v AS DOUBLE)
+                         * (CAST(30000 AS DOUBLE) / CAST(p.ma AS DOUBLE)),
+                         0) AS BIGINT) AS v2
+  FROM samples s JOIN per p USING (i, clip_id)),
+per_row AS (
+  SELECT i, clip_id, codec, COUNT(*) AS n, max(abs(v2)) AS pk,
+         SUM(v2) AS s, SUM(abs(v2)) AS sa, SUM(j * v2) AS jv
+  FROM scaled GROUP BY i, clip_id, codec)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(max(pk) AS BIGINT) AS max_peak,
+       CAST(min(pk) AS BIGINT) AS min_peak,
+       CAST(SUM(s) AS BIGINT) AS pcm_sum,
+       CAST(SUM(sa) AS BIGINT) AS pcm_abs_sum,
+       CAST(SUM(jv) AS BIGINT) AS pcm_jv_sum
+FROM per_row GROUP BY codec
+""")
+def q_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak gain normalization as a sample-exact TRANSFORM contract
+    (operators/segmentation.py:normalize_gain): decode → scale every
+    sample by 30000/max|v| (one IEEE double divide + multiply,
+    round-half-even) → re-encode WAV → re-decode → digest. The oracle
+    replays the transform in pure SQL over the analytic per-sample twin
+    (round_even on the identical double products), so a hash match
+    proves every output sample of every clean clip — across the scale,
+    the lattice re-rounding, AND the container write/read round-trip —
+    bit-for-bit. Noise-planted rows are excluded by the engine's own
+    reference-SNR label on one side and the generator contract on the
+    other, so a misclassification also breaks the count match.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.segmentation import normalize_gain
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return (normalize_gain(clips, target_peak=30000)
+            .filter(F.col("verdict") == "GREEN")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("n_samples").alias("n_samples"),
+                 F.max("out_peak").alias("max_peak"),
+                 F.min("out_peak").alias("min_peak"),
+                 F.sum("pcm_sum").alias("pcm_sum"),
+                 F.sum("pcm_abs_sum").alias("pcm_abs_sum"),
+                 F.sum("pcm_jv_sum").alias("pcm_jv_sum")))
+
+
 @register("audio_perceptual_dedup", oracle=f"""
 WITH {_CLIPS_CLOSED_FORM_CTE},
 green AS (

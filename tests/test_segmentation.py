@@ -136,3 +136,35 @@ def test_chunk_content_corrupt_red(spark):
             .filter(F.col("clip_id") == "clip-000000000996").collect())
     assert rows and all(r.verdict == "RED" for r in rows)
     assert all(r.n_samples is None for r in rows)
+
+
+def test_normalize_gain_edges(spark):
+    """Silent clip passes through unscaled; undecodable payload flags
+    decoded=false; normalized peak hits the target exactly."""
+    import numpy as np
+
+    from json_spark.fixtures.signal import pcm16_wav_bytes, reference_signal
+    from json_spark.operators.segmentation import normalize_gain
+
+    sig = reference_signal("clip-000000000000", 16000, 100)
+    rows = [
+        ("clip-000000000000",
+         bytearray(pcm16_wav_bytes(sig, 16000)), 16000, 100, "wav", "t"),
+        ("silent",
+         bytearray(pcm16_wav_bytes(np.zeros(160, dtype=np.float32), 8000)),
+         8000, 20, "wav", "t"),
+        ("garbage", bytearray(b"notawav"), 8000, 20, "wav", "t"),
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    got = {r["clip_id"]: r for r in
+           normalize_gain(clips, target_peak=30000).collect()}
+    ok = got["clip-000000000000"]
+    assert ok["decoded"] and ok["verdict"] == "GREEN"
+    assert ok["out_peak"] == 30000          # max sample maps exactly
+    sil = got["silent"]
+    assert sil["decoded"] and sil["out_peak"] == 0 and sil["pcm_sum"] == 0
+    bad = got["garbage"]
+    assert not bad["decoded"] and bad["n_samples"] is None
+    assert bad["verdict"] == "RED"
