@@ -99,6 +99,8 @@ HEADLINE = [
     "audio_content_dedup",
     # fused suite: header+snr+content+silence off ONE scan of bytes
     "suite_content_verdicts",
+    "audio_perceptual_dedup",
+    "audio_gain_normalize",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -56,13 +56,14 @@ ORACLE_SQL: dict[str, str] = {}
 #: every two rounds.
 #:
 #: ROUND-4 ROTATION: unless their code changes again, swap this round's
-#: list out for the families that sat beyond slot 50 in r3 —
-#: text_token_stats/quality/langid/fingerprint, the dedup_* family,
-#: contamination_check, ann_cosine_topk, audio_header_integrity,
-#: audio_dominant_freq, audio_rms_check, audio_chunks, audio_resample,
-#: event_sessions, events_asof_join/range_join/rollup, dataset_split,
-#: doc_pack_batches, verdict_rollup, fd_profile — plus whatever r4 adds
-#: or changes.
+#: list out for the queries that sat beyond slot 50 in r3 — FIRST the
+#: three added late in r3 with judge-replica-only evidence
+#: (audio_gain_normalize, audio_perceptual_dedup, transcript_rate_check),
+#: then the families never rotated in: text_token_stats/quality/langid/
+#: fingerprint, the dedup_* family, contamination_check, ann_cosine_topk,
+#: audio_header_integrity, audio_rms_check, event_sessions,
+#: events_asof_join/range_join/rollup, dataset_split, doc_pack_batches,
+#: verdict_rollup, fd_profile — plus whatever r4 adds or changes.
 GATE_FRONT: list[str] = [
     # changed after their last driver check — stale green, check first
     "embedded_decode", "coercion_array", "coercion_object",
