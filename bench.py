@@ -147,8 +147,17 @@ def run(sf_dir: str, cores: int, spark=None) -> dict:
             if i >= 1 and sum(clean) >= 2:
                 break
         clean_times = [t for t, c in zip(attempts, clean) if c]
-        timings[name] = min(clean_times) if clean_times else min(attempts)
-        if not clean_times:
+        # Co-tenant contention can only INFLATE a wall-clock timing, so
+        # every attempt — tainted or not — is an upper bound on the
+        # engine's true cost, and the global min is the tightest one.
+        # (Min-over-clean-only let a cold-JVM-but-quiet first attempt
+        # outrank a warm attempt that overlapped a burst: e.g. a 28s
+        # cold decode beating a 2.2s warm one.) The taint flags remain
+        # as the reproducibility signal: a query whose best attempt was
+        # tainted is listed so the artifact shows which figures were
+        # achieved under contention.
+        timings[name] = min(attempts)
+        if not clean_times or min(clean_times) > min(attempts):
             tainted.append(name)
         detail[name] = {"attempts": attempts, "clean": clean,
                         "busy_at_gate": busy}
@@ -158,8 +167,8 @@ def run(sf_dir: str, cores: int, spark=None) -> dict:
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "timing": f"best_of_clean_{ATTEMPTS}_per_query"
-                  "_gated_heartbeat_tainted",
+        "timing": f"min_of_{ATTEMPTS}_attempts_per_query"
+                  "_gated_heartbeat_taint_flagged",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
