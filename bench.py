@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_clusters",
     "contamination_check",
     "contamination_ngram_exact",
     "embedded_decode",
@@ -101,6 +102,7 @@ HEADLINE = [
     "suite_content_verdicts",
     "audio_perceptual_dedup",
     "audio_gain_normalize",
+    "transcript_rate_check",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

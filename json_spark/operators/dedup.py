@@ -498,11 +498,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
 
     Per-round driver work is ONE scalar (the converged? count); labels
     are persisted each round and the previous round unpersisted, so
-    lineage stays flat.
+    lineage stays flat. The undirected edge list — whose lineage is the
+    whole upstream near-dup pipeline (scan + banding + verify) — is
+    persisted for the loop's lifetime: without that, every round's
+    message join re-executes pair generation from the corpus scan, the
+    most expensive stage of the pipeline, once per round.
     """
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     und = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = (
         und.select(F.col("u").alias("id")).distinct()
         .withColumn("cluster_id", F.col("id"))
@@ -529,6 +533,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # the convergence probe's limit(1) may have materialized only part
+    # of the final cache — fill it before dropping the edge list, so
+    # downstream consumers never re-derive the pair pipeline
+    labels.count()
+    und.unpersist()
     return labels
 
 

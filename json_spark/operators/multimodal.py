@@ -44,7 +44,8 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = (
-    "clip_id string, frame_idx int, frame_rms double"
+    "clip_id string, verdict string, frame_idx int, "
+    "frame_n long, frame_ss long, frame_rms double"
 )
 
 
@@ -235,40 +236,81 @@ def flac_roundtrip(clips: DataFrame) -> DataFrame:
 
 
 def frame_sample(clips: DataFrame, frame_ms: int = 25,
-                 max_frames: int = 8) -> DataFrame:
+                 max_frames: int = 8,
+                 threshold_db: float = 30.0) -> DataFrame:
     """Frame sampling: split each decoded clip into ``frame_ms`` windows
-    and emit up to ``max_frames`` evenly-spaced frames with their RMS —
-    the audio analogue of video frame-sampling (bounded fan-out per row)."""
+    and emit up to ``max_frames`` evenly-spaced frames — the audio
+    analogue of video frame-sampling (bounded fan-out per row).
+
+    Per frame this emits EXACT integer digests of the recovered int16
+    lattice — ``frame_n`` (sample count) and ``frame_ss`` (sum of
+    squares) — and derives ``frame_rms`` from them with a single
+    correctly-rounded divide + sqrt, so an independent engine replaying
+    the generator waveform in pure SQL reproduces every value
+    bit-for-bit (registry.py q_multimodal_frame_sample). A float mean
+    over the samples (numpy's pairwise summation) would NOT be
+    SQL-replayable; the integer detour is what makes the frame energy an
+    oracle-checkable contract. ``verdict`` is the reference-SNR label:
+    noise-planted clips keep their frames but are flagged RED so
+    oracle-gated consumers can exclude them (the PCG noise is
+    deliberately not SQL-derivable). Undecodable payloads yield no
+    frames. The frame grid is sized from the DECODED container rate (==
+    the ``sr_hz`` metadata column for every fixture clip, making the
+    grid closed-form). Map-only ``mapInArrow``: the payload never
+    shuffles, only ~40 bytes/frame travel onward.
+    """
+    import math
+
+    from ..fixtures.signal import reference_signal, snr_db
+
+    has_dur = "dur_ms" in clips.columns
+    sel = ["clip_id", "bytes"] + (["dur_ms"] if has_dur else [])
 
     def frames(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column("clip_id").to_pylist()
-            codecs = batch.column("codec").to_pylist()
+            durs = (batch.column("dur_ms").to_pylist() if has_dur
+                    else [None] * batch.num_rows)
             payloads = batch.column("bytes")
-            o_id, o_idx, o_rms = [], [], []
+            o_id, o_verd, o_idx, o_n, o_ss, o_rms = [], [], [], [], [], []
             for j in range(batch.num_rows):
-                sig, _ok = _decode(ids[j], payloads[j], codecs[j])
                 try:
-                    _sig2, sr = decode_wav_pcm16(
-                        memoryview(payloads[j].as_buffer()))
-                except (ValueError, struct.error):
-                    sr = 8000
-                win = max(1, int(sr * frame_ms / 1000))
-                n_frames = max(1, len(sig) // win)
+                    buf = memoryview(payloads[j].as_buffer())
+                    try:
+                        sig, sr = decode_wav_pcm16(buf)
+                    except (ValueError, struct.error):
+                        sig, sr = decode_flac(bytes(buf))
+                except (ValueError, struct.error, AttributeError):
+                    continue  # undecodable / null payload: no frames
+                dur = int(durs[j]) if durs[j] is not None else 100
+                ref = reference_signal(ids[j], sr, dur)
+                verd = ("GREEN" if snr_db(ref, sig) >= threshold_db
+                        else "RED")
+                # exact int16 lattice recovery (see pcm_scan: the
+                # i/32767 float32 round-trip error is << 0.5 LSB)
+                v = np.round(
+                    sig.astype(np.float64) * 32767.0).astype(np.int64)
+                win = max(1, sr * frame_ms // 1000)
+                n_frames = max(1, len(v) // win)
                 take = np.unique(np.linspace(
                     0, n_frames - 1, min(max_frames, n_frames)).astype(int))
                 for fi in take:
-                    fr = sig[fi * win:(fi + 1) * win].astype(np.float64)
+                    fr = v[fi * win:(fi + 1) * win]
+                    ss = int((fr * fr).sum())
                     o_id.append(ids[j])
+                    o_verd.append(verd)
                     o_idx.append(int(fi))
-                    o_rms.append(float(np.sqrt(np.mean(fr ** 2))) if len(fr) else 0.0)
+                    o_n.append(len(fr))
+                    o_ss.append(ss)
+                    o_rms.append(math.sqrt(ss / len(fr)) if len(fr) else 0.0)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(o_id, pa.string()), pa.array(o_idx, pa.int32()),
-                 pa.array(o_rms, pa.float64())],
-                ["clip_id", "frame_idx", "frame_rms"])
+                [pa.array(o_id, pa.string()), pa.array(o_verd, pa.string()),
+                 pa.array(o_idx, pa.int32()), pa.array(o_n, pa.int64()),
+                 pa.array(o_ss, pa.int64()), pa.array(o_rms, pa.float64())],
+                ["clip_id", "verdict", "frame_idx", "frame_n", "frame_ss",
+                 "frame_rms"])
 
-    return clips.select("clip_id", "codec", "bytes").mapInArrow(
-        frames, FRAME_SAMPLE_SCHEMA)
+    return clips.select(*sel).mapInArrow(frames, FRAME_SAMPLE_SCHEMA)
 
 
 DOMINANT_FREQ_SCHEMA = (

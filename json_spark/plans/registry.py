@@ -1669,12 +1669,17 @@ SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id
 """)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the exact embedding near-dup pairs:
-    the keep/drop labeling of a dedup pipeline (keep id == cluster_id).
-    Spark runs min-label propagation (O(diameter) rounds); the oracle is
-    an independent recursive-CTE reachability closure."""
+    """Connected components over embedding near-dup pairs: the keep/drop
+    labeling of a dedup pipeline (keep id == cluster_id). Pair generation
+    is the PRODUCTION path — LSH-bucketed candidates with an exact cosine
+    verify (embedding_lsh_pairs), not the O(n^2) self-join — while the
+    oracle closes the exhaustive pairs with a recursive CTE: the two
+    agree because the exact verify makes LSH precision exact and
+    tests/test_pipeline.py pins LSH recall == exact on the planted
+    fixture (per-pair miss probability ~1e-5 at the planted cosine).
+    Spark runs min-label propagation (O(diameter) rounds)."""
     base = _emb_with_planted(spark, sf_dir)
-    pairs = embedding_near_dups(base, "vec_id", "embedding", 0.9)
+    pairs = embedding_lsh_pairs(base, "vec_id", "embedding", 0.9)
     return duplicate_clusters(pairs).select("id", "cluster_id")
 
 
@@ -3228,15 +3233,48 @@ def q_transcript_rate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return speech_rate_check(clips, group_cols=["codec"])
 
 
-@register("multimodal_frame_sample")
+@register("multimodal_frame_sample", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+per AS (
+  SELECT s.i, s.clip_id,
+         s.j // GREATEST(1, c.sr_hz * 25 // 1000) AS frame_idx,
+         COUNT(*) AS fn, SUM(s.v * s.v) AS ss
+  FROM samples s JOIN clean c USING (i, clip_id)
+  WHERE s.j // GREATEST(1, c.sr_hz * 25 // 1000)
+        < GREATEST(1, c.n // GREATEST(1, c.sr_hz * 25 // 1000))
+  GROUP BY 1, 2, 3)
+SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(SUM(fn) AS BIGINT) AS n_samples,
+       CAST(SUM(ss) AS BIGINT) AS sum_sq,
+       round(sqrt(SUM(ss) / SUM(fn)), 6) AS pooled_rms
+FROM per GROUP BY frame_idx
+""")
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level content energy, sample-exact cross-engine: Spark
+    decodes the real WAV bytes and digests each 25 ms frame of the
+    recovered int16 lattice (count, sum of squares); the oracle NEVER
+    reads a byte — it regroups the same pure-SQL trigonometry samples as
+    pcm_content_exact by frame index (j // win, win = sr*25ms). The
+    pooled per-frame-index RMS is derived from the exact integer
+    aggregates with one correctly-rounded divide + sqrt on both engines
+    (positive values, so HALF_UP == half-away at round 6). The oracle
+    takes every frame because the fixture's duration contract
+    (dur_ms <= 200, default 100) keeps n_frames <= max_frames=8 — the
+    evenly-spaced linspace subsample only activates on longer clips.
+    Noise-planted clips are excluded by the engine's own reference-SNR
+    verdict on one side and the generator contract on the other."""
     from ..fixtures.gen import generate_clips
     from ..operators.multimodal import frame_sample
     clips = generate_clips(spark, _SNR_N, partitions=8)
-    return frame_sample(clips).groupBy("frame_idx").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("frame_rms"), 4).alias("avg_rms"),
-    )
+    fs = frame_sample(clips).filter(F.col("verdict") == "GREEN")
+    return (fs.groupBy("frame_idx")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum("frame_n").alias("n_samples"),
+                 F.sum("frame_ss").alias("sum_sq"))
+            .withColumn("pooled_rms",
+                        F.round(F.sqrt(F.col("sum_sq")
+                                       / F.col("n_samples")), 6)))
 
 
 # =========================================================================
