@@ -39,8 +39,9 @@ MEDIA_META_SCHEMA = (
 )
 
 AUDIO_FEATURES_SCHEMA = (
-    "clip_id string, codec string, decoded boolean, rms double, "
-    "peak double, zcr double"
+    "clip_id string, codec string, verdict string, decoded boolean, "
+    "n_samples long, sum_sq long, peak_i long, n_zc long, "
+    "rms double, peak double, zcr double"
 )
 
 FRAME_SAMPLE_SCHEMA = (
@@ -149,35 +150,102 @@ def extract_media_meta(clips: DataFrame) -> DataFrame:
     return clips.select("clip_id", "bytes").mapInArrow(meta, MEDIA_META_SCHEMA)
 
 
-def audio_features(clips: DataFrame) -> DataFrame:
+def audio_features(clips: DataFrame,
+                   threshold_db: float = 30.0) -> DataFrame:
     """Per-clip features (rms, peak, zero-crossing rate) from the decoded
     signal; ``decoded=false`` marks rows served by the deterministic fake
-    (codec library absent)."""
+    (codec library absent).
+
+    Every feature is derived from EXACT integer digests of the recovered
+    int16 lattice — ``n_samples``, ``sum_sq`` (Σ v²), ``peak_i``
+    (max |v|), ``n_zc`` (sign-change count) — with the float view
+    (rms = sqrt(ss/n)/32767, peak = pk/32767, zcr = nzc/(n−1)) computed
+    as single correctly-rounded IEEE ops, so an independent engine
+    replaying the generator waveform in pure SQL reproduces every value
+    bit-for-bit (registry.py q_multimodal_audio_features). A numpy float
+    mean would not be replayable; the integer detour makes the feature
+    set an oracle-checkable contract. ``verdict`` is the reference-SNR
+    label (RED for noise plants and fake-decoded rows), letting
+    oracle-gated consumers exclude rows whose samples are deliberately
+    not SQL-derivable while distribution-level consumers (the rms-band
+    noise detector) keep them.
+    """
+    import math
+
+    from ..fixtures.signal import reference_signal, snr_db
+
+    has_dur = "dur_ms" in clips.columns
+    sel = ["clip_id", "codec", "bytes"] + (["dur_ms"] if has_dur else [])
 
     def feats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column("clip_id").to_pylist()
             codecs = batch.column("codec").to_pylist()
+            durs = (batch.column("dur_ms").to_pylist() if has_dur
+                    else [None] * batch.num_rows)
             payloads = batch.column("bytes")
-            out = {k: [] for k in ("decoded", "rms", "peak", "zcr")}
+            out = {k: [] for k in ("verdict", "decoded", "n_samples",
+                                   "sum_sq", "peak_i", "n_zc",
+                                   "rms", "peak", "zcr")}
             for j in range(batch.num_rows):
-                sig, ok = _decode(ids[j], payloads[j], codecs[j])
-                sig64 = sig.astype(np.float64)
+                sig, ok, sr = None, True, 8000
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                    try:
+                        sig, sr = decode_wav_pcm16(buf)
+                    except (ValueError, struct.error):
+                        sig, sr = decode_flac(bytes(buf))
+                except (ValueError, struct.error, AttributeError):
+                    sig = None
+                if sig is None:
+                    try:
+                        sig = decode_external(
+                            bytes(payloads[j].as_buffer()), codecs[j])
+                    except (NotImplementedError, AttributeError):
+                        sig = _deterministic_fake(ids[j])
+                        ok = False
+                if ok:
+                    dur = int(durs[j]) if durs[j] is not None else 100
+                    try:
+                        verd = ("GREEN" if snr_db(
+                            reference_signal(ids[j], sr, dur), sig)
+                            >= threshold_db else "RED")
+                    except (ValueError, struct.error):
+                        verd = "RED"
+                else:
+                    verd = "RED"
+                v = np.round(
+                    sig.astype(np.float64) * 32767.0).astype(np.int64)
+                n = len(v)
+                ss = int((v * v).sum())
+                pk = int(np.abs(v).max()) if n else 0
+                neg = v < 0
+                nzc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
+                out["verdict"].append(verd)
                 out["decoded"].append(ok)
-                out["rms"].append(float(np.sqrt(np.mean(sig64 ** 2))))
-                out["peak"].append(float(np.max(np.abs(sig64))))
-                out["zcr"].append(
-                    float(np.mean(np.signbit(sig64[1:]) != np.signbit(sig64[:-1]))))
+                out["n_samples"].append(n)
+                out["sum_sq"].append(ss)
+                out["peak_i"].append(pk)
+                out["n_zc"].append(nzc)
+                out["rms"].append(
+                    math.sqrt(ss / n) / 32767.0 if n else 0.0)
+                out["peak"].append(pk / 32767.0)
+                out["zcr"].append(nzc / (n - 1) if n > 1 else 0.0)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(out["verdict"], pa.string()),
                  pa.array(out["decoded"], pa.bool_()),
+                 pa.array(out["n_samples"], pa.int64()),
+                 pa.array(out["sum_sq"], pa.int64()),
+                 pa.array(out["peak_i"], pa.int64()),
+                 pa.array(out["n_zc"], pa.int64()),
                  pa.array(out["rms"], pa.float64()),
                  pa.array(out["peak"], pa.float64()),
                  pa.array(out["zcr"], pa.float64())],
-                ["clip_id", "codec", "decoded", "rms", "peak", "zcr"])
+                ["clip_id", "codec", "verdict", "decoded", "n_samples",
+                 "sum_sq", "peak_i", "n_zc", "rms", "peak", "zcr"])
 
-    return clips.select("clip_id", "codec", "bytes").mapInArrow(
-        feats, AUDIO_FEATURES_SCHEMA)
+    return clips.select(*sel).mapInArrow(feats, AUDIO_FEATURES_SCHEMA)
 
 
 FLAC_ROUNDTRIP_SCHEMA = (

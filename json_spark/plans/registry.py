@@ -1885,17 +1885,60 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features")
+@register("multimodal_audio_features", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+sgn AS (
+  SELECT i, clip_id, codec, j, v,
+         lag(v) OVER (PARTITION BY i, clip_id ORDER BY j) AS pv
+  FROM samples),
+per AS (
+  SELECT i, clip_id, codec, COUNT(*) AS n, SUM(v*v) AS ss,
+         MAX(abs(v)) AS pk,
+         SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                  THEN 1 ELSE 0 END) AS nzc
+  FROM sgn GROUP BY i, clip_id, codec)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_decoded,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(ss) AS BIGINT) AS sum_sq,
+       CAST(MAX(pk) AS BIGINT) AS max_peak_i,
+       CAST(SUM(nzc) AS BIGINT) AS n_zero_cross,
+       round(sqrt(SUM(ss) / SUM(n)) / CAST(32767.0 AS DOUBLE), 6)
+         AS pooled_rms,
+       round(SUM(nzc) / SUM(n - 1), 6) AS pooled_zcr
+FROM per GROUP BY codec
+""")
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-content feature report, sample-exact cross-engine: Spark
+    decodes the real WAV bytes and digests each clip's recovered int16
+    lattice (count, Σv², max|v|, sign-change count); the oracle NEVER
+    reads a byte — it re-derives the same integers from the pure-SQL
+    trigonometry samples, with zero crossings via a lag window over the
+    sample index. Pooled rms/zcr are derived from the exact integer
+    aggregates with single correctly-rounded IEEE ops on both engines
+    (positive values, so HALF_UP == half-away at round 6). Noise plants
+    are excluded by the engine's own reference-SNR verdict on one side
+    and the generator contract (i %% 997) on the other; every clean clip
+    in this fixture decodes for real, pinning n_decoded == n."""
     from ..fixtures.gen import generate_clips
     from ..operators.multimodal import audio_features
     clips = generate_clips(spark, _SNR_N, partitions=8)
-    return audio_features(clips).groupBy("codec").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
-        F.round(F.avg("rms"), 4).alias("avg_rms"),
-        F.round(F.avg("zcr"), 4).alias("avg_zcr"),
-    )
+    f = audio_features(clips).filter(F.col("verdict") == "GREEN")
+    return (f.groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+                 F.sum("n_samples").alias("n_samples"),
+                 F.sum("sum_sq").alias("sum_sq"),
+                 F.max("peak_i").alias("max_peak_i"),
+                 F.sum("n_zc").alias("n_zero_cross"),
+                 F.sum(F.col("n_samples") - 1).alias("__nm1"))
+            .withColumn("pooled_rms",
+                        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples"))
+                                / F.lit(32767.0), 6))
+            .withColumn("pooled_zcr",
+                        F.round(F.col("n_zero_cross") / F.col("__nm1"), 6))
+            .drop("__nm1"))
 
 
 # Closed-form twin of fixtures/gen.py over range(n): every clip's seed,
