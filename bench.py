@@ -95,6 +95,7 @@ HEADLINE = [
     "pcm_content_exact",
     "audio_clipping_silence",
     "audio_amplitude_hist",
+    "audio_dynamic_range",
     "audio_chunks",
     "audio_resample",
     "audio_content_dedup",

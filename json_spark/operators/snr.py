@@ -73,7 +73,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
              extra_cols: list[str] | None = None,
              emit_header: bool = False,
              emit_digest: bool = False,
-             emit_profile: bool = False) -> DataFrame:
+             emit_profile: bool = False,
+             emit_energy: bool = False) -> DataFrame:
     """The ONE decode pass over the audio payload — every content-level
     check family is a column group off this single Arrow kernel, so a
     caller wanting SNR + header + sample-exact digests + amplitude
@@ -95,13 +96,17 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
     - ``emit_profile`` : n_samples, n_silence, n_ceiling, hist —
       near-silence / ceiling sample counts and the 16-bin amplitude
       histogram. Null unless GREEN.
+    - ``emit_energy``  : pcm_sq_sum = sum v_j^2 (exact int64: |v| <=
+      32767 so v^2 <= 2^30, overflow needs > 2^33 samples/clip) and
+      pcm_peak = max |v_j| — the energy/peak pair behind dynamic-range
+      (crest-factor) and DC-offset checks. Null unless GREEN.
 
     Scale shape is unchanged from snr_check: map-only mapInArrow over
     the source partitioning, zero-copy buffer views, only scalar results
     (~40-170 bytes/clip) travel onward — the payload never shuffles.
     """
     extra = list(extra_cols or [])
-    emit_nsamp = emit_digest or emit_profile
+    emit_nsamp = emit_digest or emit_profile or emit_energy
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
     schema_parts = (
         ["clip_id string"]
@@ -118,6 +123,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
     if emit_profile:
         schema_parts.append(
             "n_silence long, n_ceiling long, hist array<long>")
+    if emit_energy:
+        schema_parts.append("pcm_sq_sum long, pcm_peak long")
     out_schema = ", ".join(schema_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -134,6 +141,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             djv = np.zeros(n, dtype=np.int64)
             nsil = np.zeros(n, dtype=np.int64)
             ncap = np.zeros(n, dtype=np.int64)
+            sqs = np.zeros(n, dtype=np.int64)
+            peaks = np.zeros(n, dtype=np.int64)
             hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
@@ -184,6 +193,9 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                         hists[j] = np.bincount(
                             (v + 32768) // HIST_WIDTH,
                             minlength=HIST_BINS).tolist()
+                    if emit_energy:
+                        sqs[j] = int((v * v).sum())
+                        peaks[j] = int(np.abs(v).max()) if len(v) else 0
             ok = snrs >= threshold_db  # NaN compares False -> RED
             arrays = [batch.column("clip_id")]
             names = ["clip_id"]
@@ -218,6 +230,10 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                            pa.array(ncap, pa.int64(), mask=~mask),
                            pa.array(hists, pa.list_(pa.int64()))]
                 names += ["n_silence", "n_ceiling", "hist"]
+            if emit_energy:
+                arrays += [pa.array(sqs, pa.int64(), mask=~mask),
+                           pa.array(peaks, pa.int64(), mask=~mask)]
+                names += ["pcm_sq_sum", "pcm_peak"]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return clips.select(*in_cols).mapInArrow(scan, out_schema)
@@ -318,3 +334,30 @@ def pcm_amplitude_profile(clips: DataFrame,
                     emit_profile=True).select(
         "clip_id", *extra, "verdict", "n_samples", "n_silence",
         "n_ceiling", "hist")
+
+
+def pcm_energy_profile(clips: DataFrame,
+                       extra_cols: list[str] | None = None,
+                       threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Energy-domain profile of every clip's decoded PCM stream: the
+    exact-integer inputs for dynamic-range (crest-factor) and DC-offset
+    validation — two classic recording-defect checks a training pipeline
+    runs before audio enters a corpus (hard-limited audio has crest ≈ 1,
+    a miscalibrated ADC shows |mean| ≫ 0).
+
+    Emits per clip: n_samples, pcm_sum (Σv, the DC numerator),
+    pcm_sq_sum (Σv², the RMS numerator), pcm_peak (max |v|) — all exact
+    int64 over the recovered int16 lattice (same inversion as
+    ``pcm_digest``), so downstream crest/DC classification can stay in
+    integer arithmetic and a DuckDB oracle reproduces every band count
+    bit-for-bit from pure SQL trigonometry. RED clips carry nulls.
+
+    Facade over :func:`pcm_scan` (one decode pass, map-only Arrow; ~36
+    bytes/clip travel onward, the payload never shuffles). At 10^12
+    clips the profile aggregates map-side into |codec| rows.
+    """
+    extra = list(extra_cols or [])
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_digest=True, emit_energy=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "pcm_sum",
+        "pcm_sq_sum", "pcm_peak")

@@ -57,10 +57,12 @@ ORACLE_SQL: dict[str, str] = {}
 #:
 #: ROUND-4 ROTATION: unless their code changes again, swap this round's
 #: list out for the queries that sat beyond slot 50 in r3 — FIRST the
-#: four rows-only queries cycled out late in r3 to make room for
-#: oracle-backed ones (uniqueness_incremental, uniqueness_approx,
-#: ledger_resume, stats_quantiles_sketch — pytest-pinned, code
-#: unchanged since their last rows-only driver row), then the families
+#: oracle-backed queries added after the r3 window filled
+#: (audio_dynamic_range …), then the four rows-only queries cycled out
+#: late in r3 to make room for oracle-backed ones
+#: (uniqueness_incremental, uniqueness_approx, ledger_resume,
+#: stats_quantiles_sketch — pytest-pinned, code unchanged since their
+#: last rows-only driver row), then the families
 #: never rotated in: text_token_stats/quality/langid/fingerprint, the
 #: dedup_* family, contamination_check, ann_cosine_topk,
 #: audio_header_integrity, audio_rms_check, event_sessions,
@@ -983,6 +985,73 @@ def q_audio_amplitude_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("codec", F.col("bin").cast("long").alias("bin"))
             .agg(F.sum("n").alias("n_samples"))
             .filter(F.col("n_samples") > 0))
+
+
+@register("audio_dynamic_range", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+per AS (
+  SELECT clip_id, codec,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v*v) AS BIGINT) AS sq,
+         CAST(MAX(abs(v)) AS BIGINT) AS peak
+  FROM samples GROUP BY clip_id, codec)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(sq) AS BIGINT) AS pcm_sq_sum,
+       CAST(MAX(peak) AS BIGINT) AS peak_max,
+       CAST(SUM((peak*peak*n*10000) // sq) AS BIGINT) AS crest2_fp_sum,
+       CAST(count(*) FILTER (WHERE (peak*peak*n*10000) // sq >= 31000)
+            AS BIGINT) AS n_crest_hi,
+       CAST(count(*) FILTER (WHERE (abs(s)*10000) // n >= 400000)
+            AS BIGINT) AS n_dc_hi
+FROM per GROUP BY codec
+""")
+def q_audio_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-range (crest-factor) + DC-offset validation on decoded
+    CONTENT — two classic recording-defect gates a training pipeline
+    runs before audio enters a corpus: hard-limited/compressed audio
+    collapses toward crest ≈ 1, and a miscalibrated ADC or bad trim
+    leaves |mean| ≫ 0. Per codec: clip count, total samples, exact Σv²,
+    max peak, the summed per-clip crest² in 1e-4 fixed point
+    (peak²·n·10000 DIV Σv² — pure int64, no float division anywhere),
+    and counts of clips above a crest²/DC band boundary placed at the
+    fixture's median so the boundary comparison itself is exercised.
+    All arithmetic stays on the recovered int16 lattice, so the DuckDB
+    oracle reproduces every value bit-for-bit from the analytic
+    per-sample twin without reading a byte (same pinning as
+    pcm_content_exact). Duplicate-id pairs merge per clip_id on both
+    sides before banding. RED clips (planted noise) are excluded by the
+    SNR verdict on the Spark side and by the generator contract in the
+    oracle. Mirrors the reference's per-case expected-output style
+    (internal/dirtytesting/dirtytesting.go) in the energy domain.
+
+    Scale shape: one map-only Arrow decode pass (fused pcm_scan kernel,
+    ~36 bytes/clip onward), a clip_id hash agg, then a |codec|-row agg —
+    at 10^12 clips the only corpus-sized exchange is the clip_id
+    partial+final aggregate.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_energy_profile
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    per = (pcm_energy_profile(clips, extra_cols=["codec"])
+           .filter(F.col("verdict") == "GREEN")
+           .groupBy("clip_id", "codec")
+           .agg(F.sum("n_samples").alias("n"),
+                F.sum("pcm_sum").alias("s"),
+                F.sum("pcm_sq_sum").alias("sq"),
+                F.max("pcm_peak").alias("peak")))
+    crest2 = F.expr("peak * peak * n * 10000 DIV sq")
+    dc_fp = F.expr("abs(s) * 10000 DIV n")
+    return per.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n").alias("n_samples"),
+        F.sum("sq").alias("pcm_sq_sum"),
+        F.max("peak").alias("peak_max"),
+        F.sum(crest2).alias("crest2_fp_sum"),
+        F.sum((crest2 >= 31000).cast("long")).alias("n_crest_hi"),
+        F.sum((dc_fp >= 400000).cast("long")).alias("n_dc_hi"))
 
 
 @register("suite_content_verdicts", oracle=f"""

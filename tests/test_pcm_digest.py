@@ -117,3 +117,41 @@ def test_null_bytes_red(spark):
         "codec string, transcript string")
     row = pcm_digest(df).collect()[0]
     assert row.verdict == "RED" and row.n_samples is None
+
+
+def test_energy_profile_exact(spark):
+    """pcm_energy_profile: Σv², peak, and Σv equal the numpy twin on
+    every clean clip — the exactness the audio_dynamic_range oracle's
+    crest/DC fixed-point banding relies on."""
+    from json_spark.operators.snr import pcm_energy_profile
+    n_small = 257
+    clips = generate_clips(spark, n_small, partitions=4)
+    rows = pcm_energy_profile(clips).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.clip_id, []).append(r)
+    for i in range(n_small):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            continue
+        meta = _row(i)
+        dur = meta["dur_ms"] if meta["dur_ms"] is not None else 100
+        sig = reference_signal(meta["clip_id"], meta["sr_hz"], dur)
+        v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+        match = [r for r in by_id[meta["clip_id"]]
+                 if r.verdict == "GREEN"
+                 and r.n_samples == len(v)
+                 and r.pcm_sum == int(v.sum())
+                 and r.pcm_sq_sum == int((v * v).sum())
+                 and r.pcm_peak == int(np.abs(v).max())]
+        assert match, f"row {i}: energy profile mismatch"
+
+
+def test_energy_profile_red_nulls(spark):
+    """Corrupt clips are RED with null energy columns."""
+    from json_spark.operators.snr import pcm_energy_profile
+    n_small = CORRUPT_EVERY + 1
+    clips = generate_clips(spark, n_small, partitions=2)
+    reds = [r for r in pcm_energy_profile(clips).collect()
+            if r.verdict == "RED"]
+    assert reds
+    assert all(r.pcm_sq_sum is None and r.pcm_peak is None for r in reds)
