@@ -96,6 +96,7 @@ HEADLINE = [
     "audio_clipping_silence",
     "audio_amplitude_hist",
     "audio_dynamic_range",
+    "audio_silence_trim",
     "audio_chunks",
     "audio_resample",
     "audio_content_dedup",

@@ -74,7 +74,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
              emit_header: bool = False,
              emit_digest: bool = False,
              emit_profile: bool = False,
-             emit_energy: bool = False) -> DataFrame:
+             emit_energy: bool = False,
+             emit_runs: bool = False) -> DataFrame:
     """The ONE decode pass over the audio payload — every content-level
     check family is a column group off this single Arrow kernel, so a
     caller wanting SNR + header + sample-exact digests + amplitude
@@ -100,13 +101,18 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
       32767 so v^2 <= 2^30, overflow needs > 2^33 samples/clip) and
       pcm_peak = max |v_j| — the energy/peak pair behind dynamic-range
       (crest-factor) and DC-offset checks. Null unless GREEN.
+    - ``emit_runs``    : silent-run structure over the active mask
+      |v| > SILENCE_THR — lead_sil / trail_sil (leading/trailing silent
+      sample counts; = n_samples when the whole clip is silent),
+      n_act_runs (maximal active runs), max_sil_run (longest silent
+      run anywhere). The trim/VAD curation inputs. Null unless GREEN.
 
     Scale shape is unchanged from snr_check: map-only mapInArrow over
     the source partitioning, zero-copy buffer views, only scalar results
     (~40-170 bytes/clip) travel onward — the payload never shuffles.
     """
     extra = list(extra_cols or [])
-    emit_nsamp = emit_digest or emit_profile or emit_energy
+    emit_nsamp = emit_digest or emit_profile or emit_energy or emit_runs
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
     schema_parts = (
         ["clip_id string"]
@@ -125,6 +131,10 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             "n_silence long, n_ceiling long, hist array<long>")
     if emit_energy:
         schema_parts.append("pcm_sq_sum long, pcm_peak long")
+    if emit_runs:
+        schema_parts.append(
+            "lead_sil long, trail_sil long, n_act_runs long, "
+            "max_sil_run long")
     out_schema = ", ".join(schema_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -143,6 +153,10 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             ncap = np.zeros(n, dtype=np.int64)
             sqs = np.zeros(n, dtype=np.int64)
             peaks = np.zeros(n, dtype=np.int64)
+            leads = np.zeros(n, dtype=np.int64)
+            trails = np.zeros(n, dtype=np.int64)
+            actruns = np.zeros(n, dtype=np.int64)
+            silruns = np.zeros(n, dtype=np.int64)
             hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
@@ -196,6 +210,22 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                     if emit_energy:
                         sqs[j] = int((v * v).sum())
                         peaks[j] = int(np.abs(v).max()) if len(v) else 0
+                    if emit_runs:
+                        act = np.abs(v) > SILENCE_THR
+                        idx = np.flatnonzero(act)
+                        if len(idx) == 0:
+                            leads[j] = trails[j] = silruns[j] = len(v)
+                            actruns[j] = 0
+                        else:
+                            leads[j] = int(idx[0])
+                            trails[j] = int(len(v) - 1 - idx[-1])
+                            # a new active run starts wherever the gap
+                            # to the previous active index exceeds 1
+                            gaps = np.diff(idx) - 1
+                            actruns[j] = 1 + int((gaps > 0).sum())
+                            inner = int(gaps.max()) if len(gaps) else 0
+                            silruns[j] = max(int(leads[j]),
+                                             int(trails[j]), inner)
             ok = snrs >= threshold_db  # NaN compares False -> RED
             arrays = [batch.column("clip_id")]
             names = ["clip_id"]
@@ -234,6 +264,13 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                 arrays += [pa.array(sqs, pa.int64(), mask=~mask),
                            pa.array(peaks, pa.int64(), mask=~mask)]
                 names += ["pcm_sq_sum", "pcm_peak"]
+            if emit_runs:
+                arrays += [pa.array(leads, pa.int64(), mask=~mask),
+                           pa.array(trails, pa.int64(), mask=~mask),
+                           pa.array(actruns, pa.int64(), mask=~mask),
+                           pa.array(silruns, pa.int64(), mask=~mask)]
+                names += ["lead_sil", "trail_sil", "n_act_runs",
+                          "max_sil_run"]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return clips.select(*in_cols).mapInArrow(scan, out_schema)
@@ -361,3 +398,27 @@ def pcm_energy_profile(clips: DataFrame,
                     emit_digest=True, emit_energy=True).select(
         "clip_id", *extra, "verdict", "n_samples", "pcm_sum",
         "pcm_sq_sum", "pcm_peak")
+
+
+def pcm_silence_runs(clips: DataFrame,
+                     extra_cols: list[str] | None = None,
+                     threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Silent-run structure of every clip's decoded PCM stream — the
+    trim/VAD curation inputs: leading/trailing silence lengths (audio
+    that should have been trimmed before ingest), the count of maximal
+    active runs (a coarse speech-activity segment count), and the
+    longest silent run anywhere (dead air inside a clip).
+
+    The active mask is |v| > SILENCE_THR on the recovered int16 lattice
+    (same inversion as ``pcm_digest``), so every output is an exact
+    integer a DuckDB oracle reproduces with islands-and-gaps SQL over
+    the analytic per-sample twin. RED clips carry nulls.
+
+    Facade over :func:`pcm_scan` (one decode pass, map-only Arrow; ~44
+    bytes/clip travel onward, the payload never shuffles).
+    """
+    extra = list(extra_cols or [])
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_runs=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "lead_sil",
+        "trail_sil", "n_act_runs", "max_sil_run")

@@ -1054,6 +1054,72 @@ def q_audio_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((dc_fp >= 400000).cast("long")).alias("n_dc_hi"))
 
 
+@register("audio_silence_trim", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+lagged AS (
+  SELECT i, codec, j,
+         lag(j) OVER (PARTITION BY i ORDER BY j) AS prev_j
+  FROM samples WHERE abs(v) > 164),
+per_act AS (
+  SELECT i, codec,
+         MIN(j) AS first_act, MAX(j) AS last_act,
+         CAST(count(*) FILTER (WHERE prev_j IS NULL OR j - prev_j > 1)
+              AS BIGINT) AS n_runs,
+         CAST(MAX(COALESCE(j - prev_j - 1, 0)) AS BIGINT) AS max_gap
+  FROM lagged GROUP BY i, codec),
+tot AS (SELECT i, codec, CAST(count(*) AS BIGINT) AS n
+        FROM samples GROUP BY i, codec),
+per AS (
+  SELECT t.i, t.codec, t.n,
+         COALESCE(a.first_act, t.n) AS lead_sil,
+         COALESCE(t.n - 1 - a.last_act, t.n) AS trail_sil,
+         COALESCE(a.n_runs, 0) AS n_act_runs,
+         GREATEST(COALESCE(a.first_act, t.n),
+                  COALESCE(t.n - 1 - a.last_act, t.n),
+                  COALESCE(a.max_gap, 0)) AS max_sil_run
+  FROM tot t LEFT JOIN per_act a USING (i))
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(lead_sil) AS BIGINT) AS lead_sil_sum,
+       CAST(SUM(trail_sil) AS BIGINT) AS trail_sil_sum,
+       CAST(count(*) FILTER (WHERE lead_sil >= 1) AS BIGINT)
+         AS n_lead_clips,
+       CAST(SUM(n_act_runs) AS BIGINT) AS act_runs_sum,
+       CAST(MAX(max_sil_run) AS BIGINT) AS max_sil_run_max
+FROM per GROUP BY codec
+""")
+def q_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim/VAD silence-structure validation on decoded CONTENT: per
+    codec, total leading/trailing silent samples (audio that should have
+    been trimmed before ingest), clips with any leading silence, total
+    maximal active runs (a coarse speech-activity segment count), and
+    the longest silent run anywhere (dead air). Active = |v| > 164 on
+    the recovered int16 lattice, so every output is an exact integer;
+    the oracle reproduces them with islands-and-gaps SQL (lag over j
+    per clip) on the analytic per-sample twin — an independent
+    formulation of the kernel's vectorized flatnonzero/diff run scan.
+    RED clips (planted noise) are excluded on both sides.
+
+    Scale shape: one map-only Arrow decode pass (fused pcm_scan kernel,
+    ~44 bytes/clip onward) then a |codec|-row aggregate — run detection
+    never leaves the kernel, no per-sample rows exist on the Spark side
+    (the oracle's 10M-row unnest is DuckDB-only).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_silence_runs
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    runs = pcm_silence_runs(clips, extra_cols=["codec"])
+    return (runs.filter(F.col("verdict") == "GREEN")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("lead_sil").alias("lead_sil_sum"),
+                 F.sum("trail_sil").alias("trail_sil_sum"),
+                 F.sum((F.col("lead_sil") >= 1).cast("long"))
+                 .alias("n_lead_clips"),
+                 F.sum("n_act_runs").alias("act_runs_sum"),
+                 F.max("max_sil_run").alias("max_sil_run_max")))
+
+
 @register("suite_content_verdicts", oracle=f"""
 WITH {_PCM_SAMPLES_CTE},
 part AS (

@@ -155,3 +155,60 @@ def test_energy_profile_red_nulls(spark):
             if r.verdict == "RED"]
     assert reds
     assert all(r.pcm_sq_sum is None and r.pcm_peak is None for r in reds)
+
+
+def test_silence_runs_exact(spark):
+    """pcm_silence_runs: lead/trail/run-count/longest-gap equal a numpy
+    twin computed by explicit run-length encoding (independent of the
+    kernel's flatnonzero/diff formulation)."""
+    from json_spark.operators.snr import SILENCE_THR, pcm_silence_runs
+    n_small = 257
+    clips = generate_clips(spark, n_small, partitions=4)
+    rows = pcm_silence_runs(clips).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.clip_id, []).append(r)
+    for i in range(n_small):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            continue
+        meta = _row(i)
+        dur = meta["dur_ms"] if meta["dur_ms"] is not None else 100
+        sig = reference_signal(meta["clip_id"], meta["sr_hz"], dur)
+        v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+        act = np.abs(v) > SILENCE_THR
+        # explicit RLE twin
+        runs = []
+        cur, cnt = bool(act[0]), 0
+        for a in act:
+            if bool(a) == cur:
+                cnt += 1
+            else:
+                runs.append((cur, cnt))
+                cur, cnt = bool(a), 1
+        runs.append((cur, cnt))
+        lead = runs[0][1] if not runs[0][0] else 0
+        trail = runs[-1][1] if not runs[-1][0] else 0
+        n_act = sum(1 for on, _ in runs if on)
+        max_sil = max((c for on, c in runs if not on), default=0)
+        match = [r for r in by_id[meta["clip_id"]]
+                 if r.verdict == "GREEN"
+                 and r.lead_sil == lead and r.trail_sil == trail
+                 and r.n_act_runs == n_act and r.max_sil_run == max_sil]
+        assert match, f"row {i}: silence-run mismatch"
+
+
+def test_silence_runs_all_silent_clip(spark):
+    """A decodable clip that is entirely silent (below SILENCE_THR) is
+    RED by SNR but the run fields behave at the boundary: verify via a
+    hand-built WAV whose reference signal it ignores — so instead pin
+    the kernel's all-silent branch through a zero-signal payload routed
+    as its own reference (SNR -inf => RED, nulls)."""
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.snr import pcm_silence_runs
+    wav = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)
+    df = spark.createDataFrame(
+        [("z", bytearray(wav), 8000, 100, "pcm_s16le", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    row = pcm_silence_runs(df).collect()[0]
+    assert row.verdict == "RED" and row.lead_sil is None
