@@ -151,6 +151,56 @@ def streaming_window_drift(
         (psi > alert_threshold).alias("drifted"))
 
 
+def streaming_session_verdicts(
+    stream: DataFrame,
+    rules: dict[str, Column],
+    event_time_col: str,
+    key_col: str,
+    gap: str = "12 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Gap-based sessionization of an append-only stream with a
+    per-session verdict rollup — the streaming twin of the batch
+    ``event_sessions`` query, expressed with Spark's native
+    ``session_window`` (merging-interval state) instead of the batch
+    lag → flag → running-sum chain.
+
+    Semantics: events of one ``key_col`` belong to the same session iff
+    consecutive gaps are at most ``gap`` — session_window merges an
+    event landing exactly on the previous session's end (inclusive
+    boundary, pinned by the e2e test). A session closes — and its single
+    finalized row is emitted in append mode — once the watermark passes
+    its end, so state is O(open sessions), bounded by the watermark
+    horizon, independent of stream volume.
+
+    Emits per (key, session): session_start, session_end, n_rows,
+    n_green / n_yellow / n_red, worst-verdict ``verdict``.
+    """
+    with_verdicts = streaming_row_verdicts(
+        stream.withWatermark(event_time_col, watermark), rules)
+    rank = verdict_rank(F.col("row_verdict"))
+    return (
+        with_verdicts
+        .groupBy(F.session_window(F.col(event_time_col), gap), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((rank == 0).cast("long")).alias("n_green"),
+            F.sum((rank == 1).cast("long")).alias("n_yellow"),
+            F.sum((rank == 2).cast("long")).alias("n_red"),
+            F.max(rank).alias("__worst"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_rows", "n_green", "n_yellow", "n_red",
+            F.when(F.col("__worst") == 2, "RED")
+            .when(F.col("__worst") == 1, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+        )
+    )
+
+
 def default_stream_rules(cfg: RuleConfig, number_col: str,
                          bool_col: str) -> dict[str, Column]:
     """Convenience rule set for the test/demo stream shape."""

@@ -215,3 +215,125 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     assert {k for k, _ in got2} == {"a", "b", "c"}
     assert len(got2) == 3
     assert ("c", "c1") in got2 or ("c", "c1-dup") in got2
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (session_window) vs the batch lag/cumsum twin
+# ---------------------------------------------------------------------------
+
+SESS_BATCH1 = [
+    # user A: one session 00:00 .. 00:14 (gaps 5, 9 min < 10), then an
+    # event at EXACTLY +10 min — session_window's boundary is INCLUSIVE
+    # (pinned by this test), so it EXTENDS the session to 00:34
+    ("2026-01-01 00:00:00", "A", "1.5", "true"),
+    ("2026-01-01 00:05:00", "A", " 2.5 ", "yes"),    # YELLOW
+    ("2026-01-01 00:14:00", "A", "bad", "true"),     # RED
+    ("2026-01-01 00:24:00", "A", "3.0", "false"),
+    # user B: one 2-event session
+    ("2026-01-01 00:01:00", "B", "4.0", "off"),      # YELLOW
+    ("2026-01-01 00:02:00", "B", "5.0", "true"),
+]
+
+SESS_BATCH2 = [
+    # advances the watermark to 01:00 (30-min horizon), finalizing every
+    # minute-0 session above; opens its own session
+    ("2026-01-01 01:30:00", "A", "6.0", "true"),
+]
+
+SESS_BATCH3 = [
+    # advances the watermark to 02:00, flushing the 01:30 session; this
+    # row's own session stays open and must NOT be emitted
+    ("2026-01-01 02:30:00", "B", "7.0", "true"),
+]
+
+
+def _session_twin(spark, rows, gap_min=10):
+    """Independent batch sessionization: lag → flag(diff > gap) →
+    running-sum — the registry event_sessions algorithm, not
+    session_window (whose inclusive gap boundary this mirrors)."""
+    from pyspark.sql import Window
+
+    from json_spark.streaming.validate import streaming_row_verdicts
+    raw = spark.createDataFrame(
+        rows, "ts string, user_id string, raw_num string, raw_bool string"
+    ).select(F.to_timestamp("ts").alias("ts"), "user_id", "raw_num",
+             "raw_bool")
+    v = streaming_row_verdicts(
+        raw, default_stream_rules(CFG, "raw_num", "raw_bool"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_min * 60 * 1000000
+    us = F.unix_micros("ts")
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us),
+        1).otherwise(0)
+    s = v.withColumn("sess", F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    rank = F.when(F.col("row_verdict") == "RED", 2).when(
+        F.col("row_verdict") == "YELLOW", 1).otherwise(0)
+    return (s.groupBy("user_id", "sess")
+            .agg(F.min("ts").alias("session_start"),
+                 (F.max("ts") + F.expr(f"INTERVAL {gap_min} MINUTES")
+                  ).alias("session_end"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((rank == 0).cast("long")).alias("n_green"),
+                 F.sum((rank == 1).cast("long")).alias("n_yellow"),
+                 F.sum((rank == 2).cast("long")).alias("n_red"),
+                 F.max(rank).alias("w"))
+            .select("user_id", "session_start", "session_end", "n_rows",
+                    "n_green", "n_yellow", "n_red",
+                    F.when(F.col("w") == 2, "RED")
+                    .when(F.col("w") == 1, "YELLOW")
+                    .otherwise("GREEN").alias("verdict")))
+
+
+def test_streaming_session_verdicts(spark, tmp_path):
+    """session_window sessionization matches the lag/cumsum batch twin
+    on every finalized session, including the exact-gap boundary."""
+    from json_spark.streaming.validate import streaming_session_verdicts
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    schema = ("ts timestamp, user_id string, raw_num string, "
+              "raw_bool string")
+
+    def write(rows):
+        raw = spark.createDataFrame(
+            rows,
+            "ts string, user_id string, raw_num string, raw_bool string")
+        (raw.select(F.to_timestamp("ts").alias("ts"), "user_id",
+                    "raw_num", "raw_bool")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_session_verdicts(
+            stream, default_stream_rules(CFG, "raw_num", "raw_bool"),
+            event_time_col="ts", key_col="user_id",
+            gap="10 minutes", watermark="30 minutes")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    for rows in (SESS_BATCH1, SESS_BATCH2, SESS_BATCH3):
+        write(rows)
+        run()
+
+    got = {tuple(map(str, r)) for r in spark.read.parquet(sink)
+           .select("user_id", "session_start", "session_end", "n_rows",
+                   "n_green", "n_yellow", "n_red", "verdict").collect()}
+
+    all_rows = SESS_BATCH1 + SESS_BATCH2 + SESS_BATCH3
+    twin = _session_twin(spark, all_rows)
+    # only sessions the final watermark (02:30 − 30 min = 02:00) closed
+    want = {tuple(map(str, r)) for r in twin
+            .filter(F.col("session_end") <= F.lit("2026-01-01 02:00:00")
+                    .cast("timestamp"))
+            .select("user_id", "session_start", "session_end", "n_rows",
+                    "n_green", "n_yellow", "n_red", "verdict").collect()}
+
+    assert want, "twin produced no finalized sessions — test bug"
+    assert got == want
+    # the exact-gap event EXTENDED the session (inclusive boundary)
+    assert any(r[0] == "A" and r[3] == "4" and "00:34:00" in r[2]
+               for r in got)
