@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_clusters",
     "contamination_check",
     "contamination_ngram_exact",
+    "dedup_substring",
     "embedded_decode",
     "key_style_stats",
     "event_sessions",

@@ -680,3 +680,92 @@ def ngram_overlap_join(
     hits = tr.join(F.broadcast(ev), "__g")
     return hits.groupBy("train_id", "eval_id").agg(
         F.count_distinct(F.col("__g")).alias("n_shared"))
+
+
+def positional_shingles(c: Column, n: int = 8) -> Column:
+    """Word n-grams of a single-space-separated text IN ORDER, with
+    duplicates kept — the positional complement of :func:`shingles`
+    (which deduplicates for set-similarity). ``posexplode`` over this
+    array yields (0-based gram position, gram). Documents shorter than
+    ``n`` tokens yield an empty array (they cannot contain an n-token
+    span)."""
+    toks = tokens(c)
+    k = F.size(toks) - (n - 1)
+    return F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_gram_occurrences: int = 64,
+) -> DataFrame:
+    """Within-corpus exact substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data" rule): every document pair sharing a
+    verbatim token run of >= ``n`` tokens, with the DISTINCT shared-gram
+    count and the LONGEST shared aligned span in tokens. A pasted
+    paragraph inside two otherwise-different documents has tiny Jaccard
+    (invisible to MinHash) but a long exact span — this finds it.
+
+    Algorithm: posexplode positional n-grams; group by gram with
+    collect_list of (doc, pos) occurrences; drop "spam grams" whose
+    occurrence list exceeds ``max_gram_occurrences`` (the standard
+    super-frequent-gram filter, which is ALSO the memory/skew bound:
+    every surviving group holds <= cap structs); generate all
+    cross-document occurrence pairs INSIDE the group with array
+    functions (<= cap^2 per gram, no self-join); group hits per
+    (pair, diagonal pa-pb) and run islands-and-gaps over consecutive
+    positions — a maximal island of k aligned grams is a shared span
+    of k + n - 1 tokens.
+
+    Scale shape: the corpus is scanned ONCE and shuffled ONCE (on the
+    gram key — the aggregate's partial phase shrinks nothing, but the
+    spam cap bounds every reduce-side group); there is no frequency
+    pre-pass and no self-join, so no duplicated subtree. Everything
+    after is hit-sized and single-pass: one exchange on (id_a, id_b)
+    serves the distinct-gram dense_rank, the per-diagonal run window
+    (its partition keys are a superset, so only a re-sort is added),
+    and both final aggregates — the distinct-shared-gram count rides
+    along as max(dense_rank). Never a cross join.
+    """
+    g = (ensure_parallelism(df)
+         .select(F.col(id_col).alias("id"),
+                 F.posexplode(positional_shingles(F.col(text_col), n))
+                 .alias("p", "__g")))
+    occ = (g.groupBy("__g")
+           .agg(F.collect_list(F.struct("id", "p")).alias("occ"))
+           .filter(F.size("occ") <= max_gram_occurrences))
+    # all i<j occurrence pairs within the (cap-bounded) gram group
+    pair_list = F.expr(
+        "flatten(transform(occ, (x, i) -> transform("
+        "  slice(occ, i + 2, greatest(0, size(occ) - i - 1)),"
+        "  y -> struct(x, y))))")
+    pr = occ.select("__g", F.explode(pair_list).alias("pr"))
+    x_id, y_id = F.col("pr.x.id"), F.col("pr.y.id")
+    x_p, y_p = F.col("pr.x.p"), F.col("pr.y.p")
+    hits = (pr.filter(x_id != y_id)
+            .select("__g",
+                    F.when(x_id < y_id, x_id).otherwise(y_id).alias("id_a"),
+                    F.when(x_id < y_id, y_id).otherwise(x_id).alias("id_b"),
+                    F.when(x_id < y_id, x_p).otherwise(y_p).alias("pa"),
+                    F.when(x_id < y_id, y_p).otherwise(x_p).alias("pb"))
+            .withColumn("__diag", F.col("pa") - F.col("pb")))
+    wg = Window.partitionBy("id_a", "id_b").orderBy("__g")
+    wd = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
+    new_run = F.when(F.col("pa") - F.lag("pa").over(wd) == 1, 0).otherwise(1)
+    ranked = (hits
+              .withColumn("__dr", F.dense_rank().over(wg))
+              .withColumn("__run", F.sum(new_run).over(
+                  wd.rowsBetween(Window.unboundedPreceding, 0))))
+    return (ranked
+            .groupBy("id_a", "id_b", "__diag", "__run")
+            .agg(F.count(F.lit(1)).alias("__len"),
+                 F.max("__dr").alias("__mdr"))
+            .groupBy("id_a", "id_b")
+            .agg(F.max("__mdr").cast("long").alias("n_shared"),
+                 (F.max("__len") + F.lit(n - 1)).alias("max_span_tokens"))
+            .select("id_a", "id_b", "n_shared", "max_span_tokens"))

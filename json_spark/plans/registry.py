@@ -1689,6 +1689,85 @@ def q_contamination_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_join(d, test, "doc_id", "text", n=8)
 
 
+@register("dedup_substring", oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(
+           list_concat(toks[1:26], list_reverse(toks[27:])), ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % 7 = 0),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+g AS (
+  SELECT d.doc_id, s.i - 1 AS p,
+         array_to_string(d.toks[s.i:s.i+7], ' ') AS gm
+  FROM docs d,
+       LATERAL (SELECT unnest(range(1, len(d.toks) - 6)) AS i) s
+  WHERE len(d.toks) >= 8),
+kept AS (
+  SELECT * FROM g
+  WHERE gm IN (SELECT gm FROM g GROUP BY gm HAVING count(*) <= 64)),
+hits AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gm,
+         a.p AS pa, a.p - b.p AS diag
+  FROM kept a JOIN kept b ON a.gm = b.gm AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT id_a, id_b, diag, pa,
+         CASE WHEN pa - lag(pa) OVER
+                     (PARTITION BY id_a, id_b, diag ORDER BY pa) = 1
+              THEN 0 ELSE 1 END AS new_run
+  FROM hits),
+islands AS (
+  SELECT id_a, id_b, diag, pa,
+         SUM(new_run) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs),
+spans AS (
+  SELECT id_a, id_b, CAST(MAX(cnt) + 7 AS BIGINT) AS max_span_tokens
+  FROM (SELECT id_a, id_b, diag, run_id, count(*) AS cnt
+        FROM islands GROUP BY id_a, id_b, diag, run_id)
+  GROUP BY id_a, id_b),
+shared AS (
+  SELECT id_a, id_b, CAST(count(DISTINCT gm) AS BIGINT) AS n_shared
+  FROM hits GROUP BY id_a, id_b)
+SELECT s.id_a, s.id_b, sh.n_shared, s.max_span_tokens
+FROM spans s JOIN shared sh USING (id_a, id_b)
+""")
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus exact substring dedup (Lee et al. 2022's
+    repeated-span rule, operators/dedup.py:substring_span_pairs): every
+    document pair sharing a verbatim >=8-token run, with the distinct
+    shared-gram count and the longest shared aligned span. Complements
+    dedup_minhash_lsh (set similarity misses a pasted paragraph inside
+    two long, otherwise-different documents) and contamination_ngram_
+    exact (cross-corpus; this is the within-corpus variant with SPAN
+    LENGTHS, not just overlap counts). The corpus is documents plus a
+    deterministic plagiarism set: every 7th doc re-enters with its
+    first 26 tokens verbatim and the tail token-reversed, so each
+    derived doc shares exactly its prefix run with its source. The
+    oracle replays the full pipeline in SQL — positional grams via
+    LATERAL range, the same 64-occurrence spam-gram cap (which is also
+    the skew bound: per-gram join buckets are <= cap^2), and
+    islands-and-gaps over the (pair, diagonal) alignment — an
+    independent window-function formulation of the Spark plan.
+    """
+    from ..operators.dedup import substring_span_pairs
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    derived = d.filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.concat(
+            F.slice(toks, 1, 26),
+            F.reverse(F.slice(toks, 27,
+                              F.greatest(F.lit(0), F.size(toks) - 26)))
+        )).alias("text"))
+    corpus = d.unionByName(derived)
+    return substring_span_pairs(corpus, "doc_id", "text", n=8,
+                                max_gram_occurrences=64)
+
+
 @register("dedup_simhash", oracle="""
 WITH d AS (
   SELECT doc_id,

@@ -434,3 +434,54 @@ def test_perceptual_fingerprint_invariance(spark):
         # same id + same content re-containered as FLAC: decodes through
         # the FLAC path to the same samples -> fingerprint matches
         assert abs(got[cid + "-flac"]["f0_hz"] - base["f0_hz"]) < 0.2
+
+
+def test_substring_spans_hand_built(spark):
+    """substring_span_pairs on a hand-built corpus with known spans:
+    a 10-token verbatim run (3 aligned 8-grams -> span 10), a doc pair
+    with two separate shared runs on different diagonals (max wins),
+    and an unrelated doc contributing nothing."""
+    w = [f"w{i}" for i in range(40)]
+    run10 = " ".join(w[:10])                      # 10-token shared run
+    da = run10 + " " + " ".join(w[20:30])
+    db = " ".join(w[30:35]) + " " + run10          # same run, shifted
+    # two disjoint 8-token runs between dc and dd, on different diagonals
+    r1 = " ".join(w[:8])
+    r2 = " ".join(w[10:18])
+    dc = r1 + " x1 x2 " + r2
+    dd = r2 + " y1 y2 y3 " + r1
+    de = " ".join(f"z{i}" for i in range(12))      # shares nothing
+    df = spark.createDataFrame(
+        [(1, da), (2, db), (3, dc), (4, dd), (5, de)], "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): (r.n_shared, r.max_span_tokens)
+            for r in dedup.substring_span_pairs(
+                df, "doc_id", "text", n=8).collect()}
+    # pair (1,2): 10-token run = 3 aligned grams, span 3+7=10
+    assert rows[(1, 2)] == (3, 10)
+    # pair (3,4): each 8-token run is one gram on its own diagonal
+    assert rows[(3, 4)] == (2, 8)
+    assert not any(5 in k for k in rows)
+
+
+def test_substring_spans_spam_cap(spark):
+    """A gram occurring in more docs than the cap is dropped entirely
+    (spam filter doubles as the skew bound)."""
+    spam = " ".join(f"s{i}" for i in range(8))
+    docs = [(i, spam + f" uniq{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = dedup.substring_span_pairs(
+        df, "doc_id", "text", n=8, max_gram_occurrences=64).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs share the spam gram
+    capped = dedup.substring_span_pairs(
+        df, "doc_id", "text", n=8, max_gram_occurrences=4).collect()
+    assert capped == []
+
+
+def test_substring_spans_short_doc_excluded(spark):
+    """Documents under n tokens yield no positional grams (no fallback
+    whole-doc shingle here — a 3-token doc cannot contain an 8-token
+    span)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    assert dedup.substring_span_pairs(df, "doc_id", "text", n=8
+                                      ).collect() == []
