@@ -88,6 +88,56 @@ class SuiteResult:
         self.cached.clear()
 
 
+#: ceiling for literal partition-predicate resume pruning; beyond it the
+#: semi-join path keeps ids executor-side (a predicate with 10^5 IN-list
+#: literals would bloat the plan; and with that many partitions pending,
+#: most of the table needs re-reading anyway, so file pruning buys little)
+PRUNE_LITERAL_MAX = 10_000
+
+
+def prune_to_pending(clips: DataFrame, pending: DataFrame,
+                     partition_col: str,
+                     max_literal: int = PRUNE_LITERAL_MAX
+                     ) -> tuple[DataFrame, int]:
+    """Restrict ``clips`` to the partitions named in ``pending``
+    (one string column ``partition_id``), returning ``(work, n)`` where
+    n is the pending count if it is <= ``max_literal`` (else
+    ``max_literal + 1`` as an "at least" marker).
+
+    Resume-at-scale design: when few partitions are pending — the common
+    resume case, a 99%-done run — the ids become a LITERAL IN-predicate
+    on the partition column, which reaches the file index as a static
+    ``PartitionFilters`` entry, so a hive/Iceberg-partitioned table
+    SKIPS THE FINISHED PARTITIONS' FILES ENTIRELY instead of reading
+    100% of the data to drop most of it row-wise. (A broadcast semi-join
+    is row-correct but never prunes the file listing: dynamic partition
+    pruning does not fire on this shape — verified empirically — since
+    the pending frame is a tiny local relation with no selective scan.)
+    The collect is bounded by ``max_literal + 1`` rows by construction.
+    Beyond the ceiling it falls back to the broadcast semi-join, where
+    ids stay executor-side. For a non-string partition column the
+    literal path compares on the string form (matching the ledger's
+    partition_id encoding and the semi-join's cast semantics), which
+    still prunes when the cast folds (string partition columns — the
+    suite default ``codec`` — always do).
+    """
+    ids = [r.partition_id
+           for r in pending.limit(max_literal + 1).collect()]
+    if len(ids) <= max_literal:
+        if not ids:
+            return clips.limit(0), 0
+        dtype = dict(clips.dtypes).get(partition_col)
+        col = (F.col(partition_col) if dtype == "string"
+               else F.col(partition_col).cast("string"))
+        return clips.filter(col.isin(ids)), len(ids)
+    work = clips.join(
+        F.broadcast(pending),
+        on=clips[partition_col].cast("string") == pending["partition_id"],
+        how="leftsemi",
+    )
+    return work, max_literal + 1
+
+
 def _empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [], "clip_id string, partition_id string, check_name string, "
@@ -661,18 +711,9 @@ class ValidationSuite:
             for check in active_checks:
                 p = pending_partitions(parts, ledger, check)
                 pend = p if pend is None else pend.unionByName(p)
-            # semi-join, not collect+isin: partition ids stay executor-side
-            # (an Iceberg table can have 10^5 partitions; the pending frame
-            # is small enough to broadcast but not to ship through the
-            # driver as a literal filter)
-            pending = pend.distinct()
-            work = clips.join(
-                F.broadcast(pending),
-                on=clips[c.partition_col].cast("string")
-                == pending["partition_id"],
-                how="leftsemi",
-            )
-            if pending.limit(1).count() == 0:
+            work, n_pending = prune_to_pending(
+                clips, pend.distinct(), c.partition_col)
+            if n_pending == 0:
                 return SuiteResult(
                     partition_verdicts=spark.createDataFrame(
                         [], "partition_id string, check_name string, "
