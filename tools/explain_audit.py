@@ -480,6 +480,46 @@ CHECKS = {
          lambda p: all("bytes" not in seg.split("\n")[0]
                        for seg in p.split("Exchange hashpartitioning(")[1:])),
     ],
+    "audio_dynamic_range": [
+        # crest/DC banding is int64 Column arithmetic over the fused
+        # decode's per-clip scalars; bytes never shuffle
+        ("exactly two unique Python stages (fixture source + fused "
+         "energy decode)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("bytes column absent from every exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "audio_silence_trim": [
+        # run detection happens inside the Arrow kernel — no per-sample
+        # rows, no window, straight to the |codec|-row aggregate
+        ("exactly two unique Python stages (fixture source + fused "
+         "runs decode)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("no window exec (runs computed in-kernel)", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+        ("bytes column absent from every exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "dedup_substring": [
+        # one gram shuffle (collect_list group, cap-bounded), pairs
+        # generated in-group — no self-join, no duplicated subtree;
+        # hits take ONE exchange serving both windows + both aggregates
+        ("no join anywhere (pairs generated inside the gram group)", True,
+         lambda p: "Join" not in p.split("== CODEGEN ==")[0]),
+        ("no Python stage", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 0),
+        ("single corpus double-scan at most (base + derived union)", True,
+         lambda p: len(set(re.findall(r"\(\d+\) Scan parquet",
+                                      p.split("== CODEGEN ==")[0]))) <= 2),
+        ("one pair exchange serves dense_rank + run windows + aggregates",
+         True,
+         lambda p: len(re.findall(r"hashpartitioning\(id_a",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
     "transcript_rate_check": [
         # the speech-rate band is pure Column arithmetic over metadata —
         # the only Python stage is the fixture source itself
