@@ -296,3 +296,66 @@ def test_random_config_roundtrips(spark):
                 failures.append((seed, kind, raw, exp, val, verdict))
     assert total >= 1000, total
     assert not failures, f"{len(failures)}/{total} failed: {failures[:8]}"
+
+
+# ---------------------------------------------------------------------------
+# substring-span dedup vs a brute-force longest-common-substring twin
+# ---------------------------------------------------------------------------
+
+def _lcs_tokens(a: list[str], b: list[str]) -> int:
+    """O(|a||b|) token-level longest common substring (DP)."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            if x == y:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def _shared_ngrams(a: list[str], b: list[str], n: int) -> int:
+    ga = {" ".join(a[i:i + n]) for i in range(len(a) - n + 1)}
+    gb = {" ".join(b[i:i + n]) for i in range(len(b) - n + 1)}
+    return len(ga & gb)
+
+
+def test_substring_spans_match_bruteforce_lcs(spark):
+    """Property (seeded): on random small-vocab docs,
+    substring_span_pairs reports EXACTLY the pairs whose token-level LCS
+    >= n, with max_span_tokens == LCS and n_shared == |shared n-gram
+    set| — against an O(len^2) dynamic-programming twin that shares no
+    code with the operator."""
+    from json_spark.operators.dedup import substring_span_pairs
+    rng = np.random.default_rng(0xD3D)
+    n = 5
+    vocab = [f"t{i}" for i in range(6)]
+    docs = []
+    for i in range(14):
+        toks = list(rng.choice(vocab, size=int(rng.integers(12, 30))))
+        # plant long verbatim runs in some pairs so LCS >= n is common
+        if i % 3 == 2:
+            src = docs[i - 1][1]
+            run_len = int(rng.integers(n, min(10, len(src)) + 1))
+            start = int(rng.integers(0, len(src) - run_len + 1))
+            pos = int(rng.integers(0, len(toks) + 1))
+            toks = toks[:pos] + src[start:start + run_len] + toks[pos:]
+        docs.append((i, toks))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_shared, r.max_span_tokens)
+           for r in substring_span_pairs(
+               df, "doc_id", "text", n=n,
+               max_gram_occurrences=10_000).collect()}
+    want = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1:]:
+            if len(ta) < n or len(tb) < n:
+                continue
+            lcs = _lcs_tokens(ta, tb)
+            if lcs >= n:
+                want[(ia, ib)] = (_shared_ngrams(ta, tb, n), lcs)
+    assert got == want
+    assert want, "no qualifying pairs generated — weak test seed"
