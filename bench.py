@@ -101,6 +101,7 @@ HEADLINE = [
     "audio_chunks",
     "audio_resample",
     "audio_content_dedup",
+    "dedup_audio_span",
     # fused suite: header+snr+content+silence off ONE scan of bytes
     "suite_content_verdicts",
     "audio_perceptual_dedup",

@@ -736,10 +736,32 @@ def substring_span_pairs(
          .select(F.col(id_col).alias("id"),
                  F.posexplode(positional_shingles(F.col(text_col), n))
                  .alias("p", "__g")))
+    return (aligned_span_pairs(g, max_gram_occurrences, span_extra=n - 1)
+            .withColumnRenamed("max_span", "max_span_tokens"))
+
+
+def aligned_span_pairs(g: DataFrame, max_occurrences: int = 64,
+                       span_extra: int = 0) -> DataFrame:
+    """Shared-span detection over any positional-token table
+    ``(id, p, __g)`` — the engine behind both text substring dedup
+    (tokens = word n-grams) and audio span dedup (tokens = exact PCM
+    chunk digests). Emits per (id_a, id_b): ``n_shared`` distinct shared
+    tokens and ``max_span`` = longest run of consecutively aligned
+    positions + ``span_extra`` (n-1 for n-gram tokens, 0 for unit
+    tokens like chunks).
+
+    Occurrence lists are collect_SET per token, so exact duplicate
+    (id, p) occurrences (e.g. a duplicated fixture row) collapse; the
+    ``max_occurrences`` cap drops spam tokens and bounds every group.
+    Scale shape: one token-key shuffle (cap-bounded reduce groups,
+    pairs generated in-group — no self-join), then one exchange on
+    (id_a, id_b) serving the dense_rank, the per-diagonal run window
+    (superset partition keys — re-sort only), and both aggregates.
+    """
     occ = (g.groupBy("__g")
-           .agg(F.collect_list(F.struct("id", "p")).alias("occ"))
-           .filter(F.size("occ") <= max_gram_occurrences))
-    # all i<j occurrence pairs within the (cap-bounded) gram group
+           .agg(F.collect_set(F.struct("id", "p")).alias("occ"))
+           .filter(F.size("occ") <= max_occurrences))
+    # all i<j occurrence pairs within the (cap-bounded) token group
     pair_list = F.expr(
         "flatten(transform(occ, (x, i) -> transform("
         "  slice(occ, i + 2, greatest(0, size(occ) - i - 1)),"
@@ -767,5 +789,5 @@ def substring_span_pairs(
                  F.max("__dr").alias("__mdr"))
             .groupBy("id_a", "id_b")
             .agg(F.max("__mdr").cast("long").alias("n_shared"),
-                 (F.max("__len") + F.lit(n - 1)).alias("max_span_tokens"))
-            .select("id_a", "id_b", "n_shared", "max_span_tokens"))
+                 (F.max("__len") + F.lit(span_extra)).alias("max_span"))
+            .select("id_a", "id_b", "n_shared", "max_span"))

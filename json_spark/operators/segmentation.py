@@ -331,3 +331,123 @@ def normalize_gain(clips: DataFrame, target_peak: int = 30000) -> DataFrame:
 
     return clips.select("clip_id", "codec", "dur_ms", "bytes").mapInArrow(
         norm, GAIN_NORMALIZE_SCHEMA)
+
+
+def _decode_any(buf) -> tuple[np.ndarray, int] | None:
+    """Decode a WAV (then FLAC) payload; None on failure/null."""
+    from ..functions.flac import decode_flac
+    if buf is None:
+        return None
+    try:
+        try:
+            return decode_wav_pcm16(buf)
+        except (ValueError, struct.error):
+            return decode_flac(bytes(buf))
+    except (ValueError, struct.error):
+        return None
+
+
+def slice_clips(clips: DataFrame, drop_chunks: int = 2,
+                chunk_ms: int = 20, suffix: str = "-cut") -> DataFrame:
+    """Derive head-cut copies of clips in the DECODED domain: decode,
+    drop the first ``drop_chunks`` grid-aligned chunks of samples, and
+    re-encode as canonical PCM16 WAV under ``clip_id || suffix``.
+
+    Because decode → re-encode is an exact int16 round-trip (the
+    pcm_digest inversion argument), a derived clip's samples equal the
+    original's samples shifted by exactly drop_chunks·win — its chunk
+    digests are the original's shifted by drop_chunks, which is what
+    the audio span dedup relies on. Rows that fail to decode or are
+    shorter than the cut emit nothing.
+
+    Map-only Arrow stage over the source partitioning.
+    """
+
+    def cut(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            payloads = batch.column("bytes")
+            out_ids, out_bytes, out_srs = [], [], []
+            for j in range(batch.num_rows):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                except (AttributeError, TypeError):
+                    continue
+                dec = _decode_any(buf)
+                if dec is None:
+                    continue
+                sig, sr = dec
+                win = max(1, sr * chunk_ms // 1000)
+                drop = drop_chunks * win
+                if len(sig) <= drop:
+                    continue
+                out_ids.append(ids[j] + suffix)
+                out_bytes.append(pcm16_wav_bytes(sig[drop:], sr))
+                out_srs.append(sr)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.string()),
+                 pa.array(out_bytes, pa.binary()),
+                 pa.array(out_srs, pa.int32())],
+                ["clip_id", "bytes", "sr_hz"])
+
+    return clips.select("clip_id", "bytes").mapInArrow(
+        cut, "clip_id string, bytes binary, sr_hz int")
+
+
+def pcm_chunk_digests(clips: DataFrame, chunk_ms: int = 20) -> DataFrame:
+    """Exact per-chunk int64 digests of each clip's decoded PCM stream,
+    UNGATED — unlike :func:`chunk_content_digest` there is no reference
+    comparison, so the stage works on any decodable payload (including
+    derived ids that have no generator reference). Decode failures emit
+    no rows.
+
+    Output per chunk: clip_id, chunk_idx (0-based over the
+    ``win = max(1, sr*chunk_ms // 1000)`` sample grid), n_samples,
+    pcm_sum, pcm_abs_sum, pcm_jv_sum (j local to the chunk) — the
+    identity key for aligned audio-span detection: two clips share a
+    chunk iff all four integers match.
+
+    Map-only Arrow stage; ~48 digest bytes per chunk travel onward,
+    payloads never shuffle.
+    """
+
+    def digest(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            payloads = batch.column("bytes")
+            o_id, o_p, o_n, o_s, o_a, o_jv = [], [], [], [], [], []
+            for j in range(batch.num_rows):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                except (AttributeError, TypeError):
+                    continue
+                dec = _decode_any(buf)
+                if dec is None:
+                    continue
+                sig, sr = dec
+                v = np.round(
+                    sig.astype(np.float64) * 32767.0).astype(np.int64)
+                win = max(1, sr * chunk_ms // 1000)
+                for p in range(0, (len(v) + win - 1) // win):
+                    c = v[p * win:(p + 1) * win]
+                    o_id.append(ids[j])
+                    o_p.append(p)
+                    o_n.append(len(c))
+                    o_s.append(int(c.sum()))
+                    o_a.append(int(np.abs(c).sum()))
+                    o_jv.append(int(
+                        (np.arange(len(c), dtype=np.int64) * c).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, pa.string()),
+                 pa.array(o_p, pa.int64()),
+                 pa.array(o_n, pa.int64()),
+                 pa.array(o_s, pa.int64()),
+                 pa.array(o_a, pa.int64()),
+                 pa.array(o_jv, pa.int64())],
+                ["clip_id", "chunk_idx", "n_samples", "pcm_sum",
+                 "pcm_abs_sum", "pcm_jv_sum"])
+
+    return clips.select("clip_id", "bytes").mapInArrow(
+        digest,
+        "clip_id string, chunk_idx long, n_samples long, pcm_sum long, "
+        "pcm_abs_sum long, pcm_jv_sum long")

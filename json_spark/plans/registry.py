@@ -1768,6 +1768,111 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_gram_occurrences=64)
 
 
+@register("dedup_audio_span", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+w AS (
+  SELECT i, GREATEST(1, (CAST(sr_hz AS BIGINT) * 20) // 1000) AS w
+  FROM clean),
+od AS (
+  SELECT s.clip_id AS id, s.j // c.w AS p,
+         CAST(count(*) AS BIGINT) AS n, CAST(SUM(s.v) AS BIGINT) AS sv,
+         CAST(SUM(abs(s.v)) AS BIGINT) AS sa,
+         CAST(SUM((s.j % c.w) * s.v) AS BIGINT) AS jv
+  FROM samples s JOIN w c USING (i)
+  GROUP BY s.i, s.clip_id, s.j // c.w),
+dd AS (
+  SELECT s.clip_id || '-cut' AS id, (s.j - 2*c.w) // c.w AS p,
+         CAST(count(*) AS BIGINT) AS n, CAST(SUM(s.v) AS BIGINT) AS sv,
+         CAST(SUM(abs(s.v)) AS BIGINT) AS sa,
+         CAST(SUM(((s.j - 2*c.w) % c.w) * s.v) AS BIGINT) AS jv
+  FROM samples s JOIN w c USING (i) JOIN seeded sd USING (i)
+  WHERE sd.seed % 5 = 0 AND s.j >= 2*c.w
+  GROUP BY s.i, s.clip_id, (s.j - 2*c.w) // c.w),
+tok AS (
+  SELECT DISTINCT id, p,
+         n || ':' || sv || ':' || sa || ':' || jv AS gm
+  FROM (SELECT * FROM od UNION ALL SELECT * FROM dd)),
+kept AS (
+  SELECT * FROM tok
+  WHERE gm IN (SELECT gm FROM tok GROUP BY gm HAVING count(*) <= 64)),
+hits AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.gm,
+         a.p AS pa, a.p - b.p AS diag
+  FROM kept a JOIN kept b ON a.gm = b.gm AND a.id < b.id),
+runs AS (
+  SELECT id_a, id_b, diag, pa,
+         CASE WHEN pa - lag(pa) OVER
+                     (PARTITION BY id_a, id_b, diag ORDER BY pa) = 1
+              THEN 0 ELSE 1 END AS new_run
+  FROM hits),
+islands AS (
+  SELECT id_a, id_b, diag, pa,
+         SUM(new_run) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs),
+spans AS (
+  SELECT id_a, id_b, CAST(MAX(cnt) AS BIGINT) AS max_span_chunks
+  FROM (SELECT id_a, id_b, diag, run_id, count(*) AS cnt
+        FROM islands GROUP BY id_a, id_b, diag, run_id)
+  GROUP BY id_a, id_b),
+shared AS (
+  SELECT id_a, id_b, CAST(count(DISTINCT gm) AS BIGINT) AS n_shared
+  FROM hits GROUP BY id_a, id_b)
+SELECT s.id_a, s.id_b, sh.n_shared, s.max_span_chunks
+FROM spans s JOIN shared sh USING (id_a, id_b)
+""")
+def q_dedup_audio_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial audio-copy detection — the repeated-span dedup rule in
+    the PCM DOMAIN: clip pairs sharing a verbatim run of 20 ms
+    grid-aligned audio chunks, with the longest shared run length.
+    Byte-exact dedup (audio_content_dedup) only catches whole-payload
+    copies; perceptual dedup catches transformed whole clips; this
+    catches a clip CONTAINING another clip's audio (a re-used segment,
+    a truncated re-upload). Tokens are exact per-chunk int64 digest
+    quadruples (operators/segmentation.py:pcm_chunk_digests, ungated —
+    no reference needed, works on derived ids) fed to the same
+    aligned-span engine as text (dedup.py:aligned_span_pairs;
+    span_extra=0 since chunks are unit tokens).
+
+    The corpus adds deterministic partial copies: every clip with
+    crc32(clip_id) % 5 == 0 (excluding the planted-noise set, so the
+    oracle stays analytic) re-enters as a head-cut derived clip —
+    decode, drop the first 2 chunks of samples, re-encode
+    (segmentation.py:slice_clips; exact int16 round-trip) — which
+    therefore shares exactly its chunk grid shifted by 2 with its
+    source. The oracle recomputes every original AND derived chunk
+    digest from pure SQL trigonometry (the pcm_content_exact pinning),
+    selects the derived set via the CRC-32 fold, and replays the
+    islands alignment — no byte is read; a hash match proves decode,
+    slicing, re-encode, digesting, and span alignment end-to-end.
+    Noise clips sit in the corpus on the Spark side but pair with
+    nothing (their digests are unique), matching their absence from
+    the analytic oracle.
+
+    Scale shape: two map-only Arrow stages (derive + digest; payloads
+    never shuffle), one digest-key shuffle with cap-bounded groups,
+    one (id_a, id_b) exchange — same plan family as dedup_substring.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.dedup import aligned_span_pairs
+    from ..operators.segmentation import pcm_chunk_digests, slice_clips
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    i_col = F.substring("clip_id", 6, 12).cast("long")
+    sel = clips.filter(
+        (F.crc32(F.encode(F.col("clip_id"), "utf-8")) % 5 == 0)
+        & (F.pmod(i_col, F.lit(997)) != 996))
+    corpus = clips.select("clip_id", "bytes").unionByName(
+        slice_clips(sel, drop_chunks=2, chunk_ms=20)
+        .select("clip_id", "bytes"))
+    d = pcm_chunk_digests(corpus, chunk_ms=20)
+    g = d.select(
+        F.col("clip_id").alias("id"), F.col("chunk_idx").alias("p"),
+        F.concat_ws(":", "n_samples", "pcm_sum", "pcm_abs_sum",
+                    "pcm_jv_sum").alias("__g"))
+    return (aligned_span_pairs(g, max_occurrences=64, span_extra=0)
+            .withColumnRenamed("max_span", "max_span_chunks"))
+
+
 @register("dedup_simhash", oracle="""
 WITH d AS (
   SELECT doc_id,

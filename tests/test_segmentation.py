@@ -168,3 +168,88 @@ def test_normalize_gain_edges(spark):
     bad = got["garbage"]
     assert not bad["decoded"] and bad["n_samples"] is None
     assert bad["verdict"] == "RED"
+
+
+def test_slice_clips_exact_shift(spark):
+    """A head-cut derived clip's samples equal the original's shifted by
+    drop_chunks*win bit-for-bit (decode -> cut -> re-encode -> decode)."""
+    from json_spark.fixtures.signal import decode_wav_pcm16, pcm16_wav_bytes
+    from json_spark.operators.segmentation import slice_clips
+    sr = 8000
+    rng = np.random.default_rng(7)
+    sig = (rng.uniform(-0.9, 0.9, 2000)).astype(np.float32)
+    wav = pcm16_wav_bytes(sig, sr)
+    df = spark.createDataFrame([("a", bytearray(wav))],
+                               "clip_id string, bytes binary")
+    rows = slice_clips(df, drop_chunks=2, chunk_ms=20).collect()
+    assert len(rows) == 1 and rows[0].clip_id == "a-cut"
+    cut, sr2 = decode_wav_pcm16(bytes(rows[0].bytes))
+    orig, _ = decode_wav_pcm16(wav)
+    win = sr * 20 // 1000
+    assert sr2 == sr
+    assert np.array_equal(
+        np.round(cut.astype(np.float64) * 32767),
+        np.round(orig.astype(np.float64) * 32767)[2 * win:])
+
+
+def test_slice_clips_skips_short_and_undecodable(spark):
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.segmentation import slice_clips
+    short = pcm16_wav_bytes(np.zeros(100, dtype=np.float32), 8000)
+    df = spark.createDataFrame(
+        [("short", bytearray(short)), ("junk", bytearray(b"nope")),
+         ("nil", None)],
+        "clip_id string, bytes binary")
+    assert slice_clips(df, drop_chunks=2, chunk_ms=20).collect() == []
+
+
+def test_pcm_chunk_digests_match_numpy(spark):
+    """Ungated per-chunk digests equal a direct numpy computation,
+    including the partial final chunk."""
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.segmentation import pcm_chunk_digests
+    sr = 8000
+    rng = np.random.default_rng(11)
+    sig = (rng.uniform(-1, 1, 500)).astype(np.float32)  # 500 = 3*160+20
+    wav = pcm16_wav_bytes(sig, sr)
+    df = spark.createDataFrame([("a", bytearray(wav))],
+                               "clip_id string, bytes binary")
+    rows = {r.chunk_idx: r for r in pcm_chunk_digests(df).collect()}
+    v = np.round(np.clip(sig, -1, 1).astype(np.float64) * 32767
+                 ).astype(np.int64)
+    win = sr * 20 // 1000
+    assert set(rows) == {0, 1, 2, 3}
+    for p in rows:
+        c = v[p * win:(p + 1) * win]
+        r = rows[p]
+        assert (r.n_samples, r.pcm_sum, r.pcm_abs_sum, r.pcm_jv_sum) == (
+            len(c), int(c.sum()), int(np.abs(c).sum()),
+            int((np.arange(len(c), dtype=np.int64) * c).sum()))
+
+
+def test_audio_span_end_to_end(spark):
+    """Original + head-cut copy share exactly n_chunks-2 aligned chunks;
+    an unrelated clip shares nothing."""
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.dedup import aligned_span_pairs
+    from json_spark.operators.segmentation import (pcm_chunk_digests,
+                                                   slice_clips)
+    sr = 8000
+    rng = np.random.default_rng(3)
+    a = (rng.uniform(-0.9, 0.9, 1600)).astype(np.float32)  # 10 chunks
+    b = (rng.uniform(-0.9, 0.9, 1600)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("a", bytearray(pcm16_wav_bytes(a, sr))),
+         ("b", bytearray(pcm16_wav_bytes(b, sr)))],
+        "clip_id string, bytes binary")
+    corpus = df.unionByName(
+        slice_clips(df.filter("clip_id = 'a'"), drop_chunks=2)
+        .select("clip_id", "bytes"))
+    d = pcm_chunk_digests(corpus)
+    g = d.select(F.col("clip_id").alias("id"),
+                 F.col("chunk_idx").alias("p"),
+                 F.concat_ws(":", "n_samples", "pcm_sum", "pcm_abs_sum",
+                             "pcm_jv_sum").alias("__g"))
+    got = {(r.id_a, r.id_b): (r.n_shared, r.max_span)
+           for r in aligned_span_pairs(g, span_extra=0).collect()}
+    assert got == {("a", "a-cut"): (8, 8)}

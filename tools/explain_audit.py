@@ -520,6 +520,20 @@ CHECKS = {
          lambda p: len(re.findall(r"hashpartitioning\(id_a",
                                   p.split("== CODEGEN ==")[0])) == 1),
     ],
+    "dedup_audio_span": [
+        # fixture source + derive + digest Arrow stages; payloads never
+        # shuffle; the span stage is join-free like dedup_substring
+        ("no join anywhere (pairs generated inside the digest group)",
+         True,
+         lambda p: "Join" not in p.split("== CODEGEN ==")[0]),
+        ("bytes column absent from every exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+        ("one pair exchange serves dense_rank + run windows + aggregates",
+         True,
+         lambda p: len(re.findall(r"hashpartitioning\(id_a",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
     "transcript_rate_check": [
         # the speech-rate band is pure Column arithmetic over metadata —
         # the only Python stage is the fixture source itself
