@@ -58,7 +58,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: ROUND-4 ROTATION: unless their code changes again, swap this round's
 #: list out for the queries that sat beyond slot 50 in r3 — FIRST the
 #: oracle-backed queries added after the r3 window filled
-#: (audio_dynamic_range …), then the four rows-only queries cycled out
+#: (audio_dynamic_range, audio_silence_trim, dedup_substring,
+#: dedup_audio_span — all judge-replica green at sf0.01, no driver row
+#: yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
