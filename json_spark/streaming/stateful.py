@@ -77,3 +77,25 @@ def streaming_first_seen(stream: DataFrame, key_col: str,
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_dedup_within_watermark(stream: DataFrame, key_cols: list[str],
+                                     event_time_col: str,
+                                     watermark: str = "1 day") -> DataFrame:
+    """Built-in event-time streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key among
+    rows whose event times fall within the watermark horizon of each
+    other, and EVICTS key state once the watermark passes — the
+    production default when "duplicate" means a replay/retry arriving
+    within a bounded delay, not an all-time re-occurrence.
+
+    Contrast with :func:`streaming_first_seen` (custom GroupState):
+    that one suppresses duplicates across the WHOLE stream lifetime
+    (until the processing-time TTL), which is the semantics for
+    content-hash dedup of an append-only corpus; this one bounds state
+    by EVENT time, which is the semantics for ingest-retry collapsing.
+    Both emit first-arrival rows; they differ in what happens after the
+    horizon. State size: O(keys inside the watermark window).
+    """
+    return (stream.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

@@ -337,3 +337,51 @@ def test_streaming_session_verdicts(spark, tmp_path):
     # the exact-gap event EXTENDED the session (inclusive boundary)
     assert any(r[0] == "A" and r[3] == "4" and "00:34:00" in r[2]
                for r in got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses retries inside the
+    horizon (across triggers) while a recurrence after the watermark
+    passed re-emits — the semantic boundary vs streaming_first_seen."""
+    from json_spark.streaming.stateful import (
+        streaming_dedup_within_watermark)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    schema = "ts timestamp, k string, payload string"
+
+    def write(rows):
+        raw = spark.createDataFrame(rows, "ts string, k string, payload string")
+        (raw.select(F.to_timestamp("ts").alias("ts"), "k", "payload")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_dedup_within_watermark(
+            stream, ["k"], "ts", watermark="10 minutes")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: first arrival + same-trigger retry
+    write([("2026-01-01 00:00:00", "a", "v1"),
+           ("2026-01-01 00:00:05", "a", "v1-retry"),
+           ("2026-01-01 00:00:10", "b", "w1")])
+    run()
+    # batch 2: cross-trigger retry still inside the horizon, suppressed;
+    # advances the watermark far past key a's state
+    write([("2026-01-01 00:01:00", "a", "v1-late-retry"),
+           ("2026-01-01 02:00:00", "c", "x1")])
+    run()
+    # batch 3: key a recurs AFTER its state was evicted -> re-emitted
+    write([("2026-01-01 02:30:00", "a", "v2")])
+    run()
+
+    rows = spark.read.parquet(sink).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r.payload)
+    assert by_key["b"] == ["w1"]
+    assert by_key["c"] == ["x1"]
+    assert sorted(by_key["a"]) == ["v1", "v2"]  # retries collapsed, recurrence re-emitted
