@@ -107,6 +107,7 @@ HEADLINE = [
     "audio_perceptual_dedup",
     "audio_gain_normalize",
     "transcript_rate_check",
+    "domain_constraints",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

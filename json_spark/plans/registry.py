@@ -59,8 +59,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: list out for the queries that sat beyond slot 50 in r3 — FIRST the
 #: oracle-backed queries added after the r3 window filled
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
-#: dedup_audio_span — all judge-replica green at sf0.01, no driver row
-#: yet), then the four rows-only queries cycled out
+#: dedup_audio_span, domain_constraints — all judge-replica green at
+#: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -4361,3 +4361,99 @@ def q_config_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk(sec, rows)
     return spark.createDataFrame(
         rows, "name string, label string, ftype string, value string")
+
+
+# =========================================================================
+# Domain / CHECK constraints — declarative value-domain validation
+# =========================================================================
+
+@register("domain_constraints", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+j AS (SELECT f.i, f.codec, f.sr_hz, f.dur_ms, b.clip_id
+      FROM full_ f JOIN base b USING (i)),
+v AS (
+  SELECT codec, 'required:dur_ms' AS check_name,
+         CASE WHEN dur_ms IS NULL THEN 'RED' ELSE 'GREEN' END AS verdict
+  FROM j
+  UNION ALL
+  SELECT codec, 'range:dur_ms',
+         CASE WHEN dur_ms IS NOT NULL AND (dur_ms < 50 OR dur_ms > 180)
+              THEN 'RED' ELSE 'GREEN' END
+  FROM j
+  UNION ALL
+  SELECT codec, 'set:codec',
+         CASE WHEN codec NOT IN ('pcm_s16le', 'flac', 'opus')
+              THEN 'RED' ELSE 'GREEN' END
+  FROM j
+  UNION ALL
+  SELECT codec, 'format:clip_id',
+         CASE WHEN NOT regexp_full_match(clip_id, 'clip-[0-9]{{12}}')
+              THEN 'RED' ELSE 'GREEN' END
+  FROM j
+  UNION ALL
+  SELECT codec, 'preferred:sr_hz',
+         CASE WHEN sr_hz NOT IN (16000, 22050, 44100, 48000)
+              THEN 'YELLOW' ELSE 'GREEN' END
+  FROM j
+  UNION ALL
+  SELECT codec, 'cond:opus_sr',
+         CASE WHEN codec = 'opus' AND sr_hz NOT IN (44100, 48000)
+              THEN 'RED' ELSE 'GREEN' END
+  FROM j
+  UNION ALL
+  SELECT codec, 'cond:pcm_dur',
+         CASE WHEN codec = 'pcm_s16le' AND dur_ms IS NOT NULL
+                   AND dur_ms > 190
+              THEN 'RED' ELSE 'GREEN' END
+  FROM j)
+SELECT codec, check_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE verdict = 'GREEN') AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE verdict = 'YELLOW') AS BIGINT) AS n_yellow,
+       CAST(count(*) FILTER (WHERE verdict = 'RED') AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE verdict = 'RED') > 0 THEN 'RED'
+            WHEN count(*) FILTER (WHERE verdict = 'YELLOW') > 0 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM v GROUP BY codec, check_name
+""")
+def q_domain_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative domain/CHECK constraints (operators/domain.py) over
+    the clips fixture: per-(codec, rule) verdict counts from ONE
+    map-combinable aggregation pass (all seven rules' counters in the
+    same groupBy, stack-unpivoted). The rules exercise every predicate
+    kind — required/not-null (planted: dur_ms NULL at i%101==100),
+    inclusive range (dur_ms 50..180 vs generated 50..200), set
+    membership (codec; mp3 rows violate), anchored regex format
+    (clip_id; all pass — proves no false positives), a YELLOW-severity
+    preference set (sr_hz; 8000-Hz rows warn), and two implication
+    rules (when codec='opus' → sr_hz∈{44100,48000}, all pass by
+    generator construction; when codec='pcm_s16le' → dur_ms≤190,
+    seed%151>140 rows violate). The
+    oracle re-derives every verdict from the generator's closed-form
+    metadata contract (seed = CRC-32 SQL fold) without reading a byte.
+    Value-domain analogue of the reference's config-declared value
+    lists (internal/config/config.go:44-62).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.domain import DomainRule, domain_rollup
+
+    rules = (
+        DomainRule("dur_ms", required=True, name="required:dur_ms"),
+        DomainRule("dur_ms", min_value=50, max_value=180,
+                   name="range:dur_ms"),
+        DomainRule("codec", in_set=("pcm_s16le", "flac", "opus"),
+                   name="set:codec"),
+        DomainRule("clip_id", pattern="clip-[0-9]{12}",
+                   name="format:clip_id"),
+        DomainRule("sr_hz", in_set=(16000, 22050, 44100, 48000),
+                   severity="YELLOW", name="preferred:sr_hz"),
+        # implication rules: constraint applies only where the gate holds
+        # (codec='opus' rows ALL satisfy this by generator construction —
+        # proves exemption yields no false positives on other codecs)
+        DomainRule("sr_hz", in_set=(44100, 48000),
+                   when_sql="codec = 'opus'", name="cond:opus_sr"),
+        DomainRule("dur_ms", max_value=190,
+                   when_sql="codec = 'pcm_s16le'", name="cond:pcm_dur"),
+    )
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return domain_rollup(clips, rules, ["codec"])

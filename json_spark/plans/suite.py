@@ -37,6 +37,7 @@ from ..config.rules import RuleConfig
 from ..config import default_config
 from ..operators.drift import histogram, ks_statistic, psi
 from ..operators.referential import orphans, transcript_mismatches
+from ..operators.domain import domain_rollup, domain_violations
 from ..operators.snr import pcm_scan, snr_check, snr_partition_rollup
 from ..operators.stats import column_stats
 from ..operators.uniqueness import exact_duplicates
@@ -73,6 +74,9 @@ class SuiteConfig:
     drift_cols: tuple[str, ...] = ("sr_hz", "dur_ms")
     drift_ranges: dict = field(default_factory=lambda: {
         "sr_hz": (0.0, 50000.0), "dur_ms": (0.0, 1000.0)})
+    #: declarative CHECK constraints (operators/domain.py) — opt-in;
+    #: each rule contributes one check row per partition + violations
+    domain_rules: tuple = ()
 
 
 @dataclass
@@ -188,6 +192,27 @@ class ValidationSuite:
             F.when(null_rate_red, F.col("n_rows")).otherwise(0).alias("n_red"),
             metrics_json.alias("metrics_json"),
         )
+
+    def check_domain(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Declarative domain/CHECK constraints (cfg.domain_rules):
+        one verdict row per (partition, rule) + violation rows. All
+        rules evaluate in one map-combinable aggregation pass
+        (operators/domain.py:domain_rollup)."""
+        c = self.cfg
+        roll = domain_rollup(clips, c.domain_rules, [c.partition_col])
+        verdicts = roll.select(
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            "check_name", "verdict", "n_rows",
+            "n_green", "n_yellow", "n_red",
+            F.concat(
+                F.lit('{"n_violations":'),
+                (F.col("n_yellow") + F.col("n_red")).cast("string"),
+                F.lit("}"),
+            ).alias("metrics_json"),
+        )
+        viols = domain_violations(clips, c.domain_rules, c.key_col,
+                                  c.partition_col)
+        return verdicts, viols
 
     def check_uniqueness(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
@@ -695,6 +720,8 @@ class ValidationSuite:
         active_checks = ["stats", "uniqueness", "header", "snr"]
         if c.content_checks:
             active_checks += ["pcm_content", "silence"]
+        if c.domain_rules:
+            active_checks += [r.check_name for r in c.domain_rules]
         if manifest is not None:
             active_checks += ["referential", "transcript"]
         if baseline_shares is not None:
@@ -723,6 +750,10 @@ class ValidationSuite:
                 )
 
         verdict_frames.append(self.check_stats(work))
+        if c.domain_rules:
+            dv, dviol = self.check_domain(work)
+            verdict_frames.append(dv)
+            violation_frames.append(dviol)
         uv, uviol = self.check_uniqueness(work)
         verdict_frames.append(uv)
         violation_frames.append(uviol)

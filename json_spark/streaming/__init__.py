@@ -1,3 +1,5 @@
 from .validate import streaming_row_verdicts, streaming_windowed_verdicts
+from .referential import streaming_referential_orphans
 
-__all__ = ["streaming_row_verdicts", "streaming_windowed_verdicts"]
+__all__ = ["streaming_row_verdicts", "streaming_windowed_verdicts",
+           "streaming_referential_orphans"]

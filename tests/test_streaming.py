@@ -385,3 +385,57 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert by_key["b"] == ["w1"]
     assert by_key["c"] == ["x1"]
     assert sorted(by_key["a"]) == ["v1", "v2"]  # retries collapsed, recurrence re-emitted
+
+
+def test_streaming_referential_orphans(spark, tmp_path):
+    """Stream-stream left-outer join with watermark: a clip whose
+    manifest entry arrives within the horizon never emits as orphan; a
+    clip whose entry never arrives emits once the watermark proves no
+    match can still come."""
+    from json_spark.streaming.referential import (
+        streaming_referential_orphans)
+    csrc = str(tmp_path / "clips")
+    msrc = str(tmp_path / "manifest")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    cschema = "ts timestamp, clip_id string, codec string"
+    mschema = "ts timestamp, clip_id string, transcript string"
+
+    def write(path, schema_str, rows):
+        raw = spark.createDataFrame(
+            rows, schema_str.replace("timestamp", "string"))
+        (raw.select(F.to_timestamp("ts").alias("ts"),
+                    *[c.split(" ")[0] for c in schema_str.split(", ")][1:])
+         .coalesce(1).write.mode("append").parquet(path))
+
+    def run():
+        clips = spark.readStream.schema(cschema).parquet(csrc)
+        manifest = spark.readStream.schema(mschema).parquet(msrc)
+        out = streaming_referential_orphans(
+            clips, manifest, key="clip_id", clip_time_col="ts",
+            manifest_time_col="ts", max_delay="5 minutes")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: clip A with manifest entry, clip B without
+    write(csrc, cschema, [("2026-01-01 00:00:00", "A", "wav"),
+                          ("2026-01-01 00:00:30", "B", "wav")])
+    write(msrc, mschema, [("2026-01-01 00:01:00", "A", "hello")])
+    run()
+    # batch 2: B's manifest entry arrives LATE but inside the horizon;
+    # clip C arrives with no entry
+    write(csrc, cschema, [("2026-01-01 00:02:00", "C", "mp3")])
+    write(msrc, mschema, [("2026-01-01 00:04:00", "B", "world")])
+    run()
+    # batch 3: far-future rows on BOTH sides push the watermark past
+    # C's horizon -> C emits as orphan; A and B never do
+    write(csrc, cschema, [("2026-01-01 01:00:00", "Z", "wav")])
+    write(msrc, mschema, [("2026-01-01 01:00:00", "Z", "zz")])
+    run()
+    run()  # extra trigger: eviction lands the batch after watermark moves
+
+    got = {r["clip_id"] for r in spark.read.parquet(sink).collect()}
+    assert "C" in got
+    assert "A" not in got and "B" not in got

@@ -95,6 +95,21 @@ CHECKS = {
         ("partial+final hash aggregate", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "domain_constraints": [
+        ("single exchange (all rules' counters in one map-combinable agg)",
+         True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("stack unpivot present (one row per rule AFTER aggregation)", True,
+         lambda p: "Generate" in p and "stack(" in p),
+        ("only Python stage is the fixture render (operator is pure Column)",
+         True,
+         lambda p: len(re.findall(r"\n\s*\+- MapInPandas",
+                                  p.split("== CODEGEN ==")[0])) <= 1
+         and "BatchEvalPython" not in p),
+    ],
     "duplicate_keys": [
         ("single exchange (map-side combine, no manual salt)", True,
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
