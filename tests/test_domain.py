@@ -155,3 +155,32 @@ def test_when_sql_implication(toy):
     assert got["k2"] == "RED"     # 50 > 9, gated in
     assert got["k5"] == "GREEN"   # null value passes (not required)
     assert "when(" in rule.reason()
+
+
+def test_suite_domain_ledger_resume(spark, tmp_path):
+    """Domain rule names flow into the checkpoint ledger as per-rule
+    check rows, and a fully-ledgered re-run resumes to empty."""
+    from json_spark.fixtures.gen import generate_clips
+    from json_spark.plans.ledger import ledger_read
+    from json_spark.plans.suite import SuiteConfig, ValidationSuite
+
+    rules = (DomainRule("dur_ms", required=True, name="required:dur_ms"),)
+    cfg = SuiteConfig(domain_rules=rules)
+    clips = generate_clips(spark, 200, partitions=2)
+    led = str(tmp_path / "ledger")
+
+    res = ValidationSuite(cfg).run(spark, clips, ledger_path=led,
+                                   input_path="mem://clips")
+    assert res.partition_verdicts.filter(
+        F.col("check_name") == "required:dur_ms").count() > 0
+    res.unpersist()
+    lrows = ledger_read(spark, led).filter(
+        F.col("check_name") == "required:dur_ms")
+    assert lrows.count() > 0
+    # every ledgered domain row carries the verdict metric
+    assert all("verdict" in r["metrics_json"] for r in lrows.collect())
+
+    res2 = ValidationSuite(cfg).run(spark, clips, ledger_path=led,
+                                    input_path="mem://clips")
+    assert res2.partition_verdicts.count() == 0
+    res2.unpersist()

@@ -439,3 +439,57 @@ def test_streaming_referential_orphans(spark, tmp_path):
     got = {r["clip_id"] for r in spark.read.parquet(sink).collect()}
     assert "C" in got
     assert "A" not in got and "B" not in got
+
+
+def test_streaming_domain_rules(spark, tmp_path):
+    """Domain/CHECK constraints are stateless Column verdicts, so the
+    SAME compiled rules run unchanged on a stream (batch/streaming
+    unification) — windowed rollup counts pinned by hand."""
+    from json_spark.operators.domain import DomainRule, rule_verdict
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    schema = "ts timestamp, clip_id string, sr_hz int, dur_ms int"
+
+    rows = [
+        ("2026-01-01 00:00:05", "a", 16000, 100),   # GREEN
+        ("2026-01-01 00:00:15", "b", 12345, 100),   # RED (sr not in set)
+        ("2026-01-01 00:00:25", "c", 16000, None),  # RED (required dur)
+        ("2026-01-01 00:01:10", "d", 8000, 100),    # YELLOW (preferred)
+    ]
+    raw = spark.createDataFrame(
+        rows, "ts string, clip_id string, sr_hz int, dur_ms int")
+    (raw.select(F.to_timestamp("ts").alias("ts"), "clip_id", "sr_hz",
+                "dur_ms").coalesce(1).write.mode("append").parquet(src))
+    # far-future row to close both windows
+    (raw.limit(1).select(
+        F.to_timestamp(F.lit("2026-01-01 01:00:00")).alias("ts"),
+        F.lit("z").alias("clip_id"), F.lit(16000).alias("sr_hz"),
+        F.lit(100).alias("dur_ms"))
+     .write.mode("append").parquet(src))
+
+    rules = {
+        "sr_set": rule_verdict(DomainRule(
+            "sr_hz", in_set=(8000, 16000, 44100, 48000))),
+        "sr_pref": rule_verdict(DomainRule(
+            "sr_hz", in_set=(16000, 44100, 48000), severity="YELLOW")),
+        "dur_req": rule_verdict(DomainRule("dur_ms", required=True)),
+    }
+    from json_spark.streaming import streaming_windowed_verdicts
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_windowed_verdicts(stream, rules, "ts",
+                                      window_duration="1 minute",
+                                      watermark="2 minutes")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .outputMode("append").option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {str(r["window_start"]): r
+           for r in spark.read.parquet(sink).collect()}
+    w0 = got["2026-01-01 00:00:00"]
+    assert (w0["n_rows"], w0["n_green"], w0["n_yellow"], w0["n_red"],
+            w0["verdict"]) == (3, 1, 0, 2, "RED")
+    w1 = got["2026-01-01 00:01:00"]
+    assert (w1["n_rows"], w1["n_yellow"], w1["verdict"]) == (1, 1, "YELLOW")
