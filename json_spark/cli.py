@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
                          "header + snr)")
     ap.add_argument("--max-silence-ratio", type=float, default=0.5,
                     help="per-clip YELLOW threshold for the silence check")
+    ap.add_argument("--domain-rules", default=None, metavar="RULES_TOML",
+                    help="TOML file of declarative domain/CHECK "
+                         "constraints ([[rule]] tables — "
+                         "operators/domain.py:domain_rules_from_toml)")
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under spark-submit on a "
                          "cluster)")
@@ -80,10 +84,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("json_spark-suite", cores=args.cores)
     clips = spark.read.parquet(args.clips)
     manifest = spark.read.parquet(args.manifest) if args.manifest else None
+    domain_rules = ()
+    if args.domain_rules:
+        from .operators.domain import domain_rules_from_toml
+        with open(args.domain_rules, encoding="utf-8") as fh:
+            domain_rules = domain_rules_from_toml(fh.read())
     cfg = SuiteConfig(partition_col=args.partition_col,
                       snr_threshold_db=args.snr_threshold_db,
                       content_checks=args.content_checks,
-                      max_silence_ratio=args.max_silence_ratio)
+                      max_silence_ratio=args.max_silence_ratio,
+                      domain_rules=domain_rules)
     if args.baseline == "self":
         base_pop = clips
         if args.baseline_exclude is not None:

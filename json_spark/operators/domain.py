@@ -26,6 +26,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+try:
+    import tomllib  # py311+
+except ImportError:  # pragma: no cover
+    tomllib = None
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +76,52 @@ class DomainRule:
         if self.pattern is not None:
             parts.append(f"format({self.pattern})")
         return "violates " + "+".join(parts)
+
+
+#: TOML key -> DomainRule field (unknown keys rejected early, matching
+#: the rule-config loader's philosophy, config/loader.py:1-6)
+_TOML_KEYS = {
+    "column": "column", "in_set": "in_set", "min": "min_value",
+    "max": "max_value", "pattern": "pattern", "required": "required",
+    "severity": "severity", "when": "when_sql", "name": "name",
+}
+
+
+def domain_rules_from_toml(text: str) -> tuple[DomainRule, ...]:
+    """Parse declarative rules from TOML ``[[rule]]`` tables:
+
+        [[rule]]
+        column = "sr_hz"
+        in_set = [8000, 16000, 44100, 48000]
+        severity = "YELLOW"
+
+        [[rule]]
+        column = "dur_ms"
+        max = 190
+        when = "codec = 'pcm_s16le'"
+
+    This puts the engine's value-domain constraints on the same footing
+    as the reference's TOML-declared tolerance rules (default.toml):
+    the whole validation contract is data, not code.
+    """
+    data = tomllib.loads(text)
+    unknown_top = set(data) - {"rule"}
+    if unknown_top:
+        raise ValueError(f"unknown top-level keys: {sorted(unknown_top)}")
+    rules = []
+    for i, tbl in enumerate(data.get("rule", [])):
+        unknown = set(tbl) - set(_TOML_KEYS)
+        if unknown:
+            raise ValueError(f"rule #{i}: unknown keys {sorted(unknown)}")
+        if "column" not in tbl:
+            raise ValueError(f"rule #{i}: 'column' is required")
+        kwargs = {_TOML_KEYS[k]: v for k, v in tbl.items()}
+        if "in_set" in kwargs:
+            kwargs["in_set"] = tuple(kwargs["in_set"])
+        if kwargs.get("severity", "RED") not in ("RED", "YELLOW"):
+            raise ValueError(f"rule #{i}: severity must be RED or YELLOW")
+        rules.append(DomainRule(**kwargs))
+    return tuple(rules)
 
 
 def rule_verdict(rule: DomainRule) -> Column:

@@ -57,3 +57,38 @@ def test_cli_content_checks(spark, tmp_path):
            spark.read.parquet(f"{out}/partition_verdicts")
            .select("check_name").distinct().collect()}
     assert {"pcm_content", "silence"} <= got
+
+
+def test_cli_domain_rules_toml(spark, tmp_path):
+    """--domain-rules: TOML-declared CHECK constraints flow through the
+    CLI into per-rule verdict rows and violations."""
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    write_fixtures(spark, fixture, 1200, partitions=4)
+    rules_toml = tmp_path / "rules.toml"
+    rules_toml.write_text(
+        '[[rule]]\n'
+        'column = "dur_ms"\n'
+        'required = true\n'
+        'name = "required:dur_ms"\n'
+        '\n'
+        '[[rule]]\n'
+        'column = "dur_ms"\n'
+        'max = 190\n'
+        'when = "codec = \'pcm_s16le\'"\n'
+        'name = "cond:pcm_dur"\n'
+    )
+    out = str(tmp_path / "out")
+    res = _cli(["--clips", f"{fixture}/clips", "--out", out,
+                "--domain-rules", str(rules_toml), "--cores", "4"])
+    # stats/uniqueness/header/snr + 2 domain rules, 4 codecs
+    assert res["n_partition_checks"] == 24
+    verdicts = spark.read.parquet(f"{out}/partition_verdicts")
+    got = {r["check_name"] for r in
+           verdicts.select("check_name").distinct().collect()}
+    assert {"required:dur_ms", "cond:pcm_dur"} <= got
+    # the generator plants NULL dur_ms at i%101==100
+    from pyspark.sql import functions as F
+    reds = (verdicts.filter(F.col("check_name") == "required:dur_ms")
+            .agg(F.sum("n_red")).collect()[0][0])
+    assert reds == len([i for i in range(1200) if i % 101 == 100])

@@ -184,3 +184,28 @@ def test_suite_domain_ledger_resume(spark, tmp_path):
                                     input_path="mem://clips")
     assert res2.partition_verdicts.count() == 0
     res2.unpersist()
+
+
+def test_domain_rules_from_toml():
+    from json_spark.operators.domain import domain_rules_from_toml
+    rules = domain_rules_from_toml(
+        '[[rule]]\ncolumn = "sr_hz"\nin_set = [8000, 16000]\n'
+        'severity = "YELLOW"\n\n'
+        '[[rule]]\ncolumn = "dur_ms"\nmax = 190\n'
+        'when = "codec = \'opus\'"\nname = "cond:x"\n')
+    assert len(rules) == 2
+    assert rules[0].in_set == (8000, 16000)
+    assert rules[0].severity == "YELLOW"
+    assert rules[1].max_value == 190
+    assert rules[1].when_sql == "codec = 'opus'"
+    assert rules[1].check_name == "cond:x"
+    # unknown keys and bad severity rejected early
+    with pytest.raises(ValueError, match="unknown keys"):
+        domain_rules_from_toml('[[rule]]\ncolumn = "x"\nminn = 1\n')
+    with pytest.raises(ValueError, match="column"):
+        domain_rules_from_toml('[[rule]]\nmin = 1\n')
+    with pytest.raises(ValueError, match="severity"):
+        domain_rules_from_toml(
+            '[[rule]]\ncolumn = "x"\nseverity = "ORANGE"\n')
+    with pytest.raises(ValueError, match="top-level"):
+        domain_rules_from_toml('[other]\nx = 1\n')
