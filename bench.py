@@ -108,6 +108,7 @@ HEADLINE = [
     "audio_gain_normalize",
     "transcript_rate_check",
     "domain_constraints",
+    "partition_anomaly",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

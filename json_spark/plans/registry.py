@@ -59,8 +59,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: list out for the queries that sat beyond slot 50 in r3 — FIRST the
 #: oracle-backed queries added after the r3 window filled
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
-#: dedup_audio_span, domain_constraints — all judge-replica green at
-#: sf0.01, no driver row yet), then the four rows-only queries cycled out
+#: dedup_audio_span, domain_constraints, partition_anomaly — all
+#: judge-replica green at sf0.01, no driver row yet), then the four
+#: rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -4457,3 +4458,58 @@ def q_domain_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clips = generate_clips(spark, _SNR_N, partitions=8)
     return domain_rollup(clips, rules, ["codec"])
+
+
+@register("partition_anomaly", oracle="""
+WITH p AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS partition_id,
+         round(CAST(count(*) AS DOUBLE), 6) AS n_rows,
+         round(avg(value), 6) AS mean_value
+  FROM events GROUP BY 1),
+long AS (
+  SELECT partition_id, 'n_rows' AS metric, n_rows AS value FROM p
+  UNION ALL
+  SELECT partition_id, 'mean_value', mean_value FROM p),
+med AS (SELECT metric, median(value) AS med FROM long GROUP BY metric),
+dev AS (SELECT l.partition_id, l.metric, l.value, m.med,
+               abs(l.value - m.med) AS absdev
+        FROM long l JOIN med m USING (metric)),
+mad AS (SELECT metric, median(absdev) AS mad FROM dev GROUP BY metric)
+SELECT d.partition_id, d.metric, d.value,
+       round(d.med, 6) AS med, round(a.mad, 6) AS mad,
+       CASE WHEN a.mad > 0
+            THEN round((d.value - d.med) / (1.4826 * a.mad), 6)
+            END AS robust_z,
+       CASE WHEN a.mad = 0 AND d.value <> d.med THEN 'RED'
+            WHEN a.mad = 0 THEN 'GREEN'
+            WHEN abs((d.value - d.med) / (1.4826 * a.mad)) > 3.0 THEN 'RED'
+            WHEN abs((d.value - d.med) / (1.4826 * a.mad)) > 2.0
+                 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM dev d JOIN mad a USING (metric)
+""")
+def q_partition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition anomaly scan (operators/anomaly.py): per-day
+    row count + mean(value) over events, each day judged against the
+    fleet median in MAD units — the "one bad ingest shard" detector
+    that fixed thresholds can't express. The corpus is touched by
+    exactly ONE map-combinable aggregation; median/MAD and verdicts run
+    on the |days| x 2 long frame with broadcast joins. Day buckets are
+    epoch-microsecond integer division (session-TZ-proof, same idiom as
+    events_rollup). k=2/3 sigmas here (fixture-sized fleet; operator
+    defaults are 3/5): both engines re-derive the full median -> MAD ->
+    robust-z -> verdict chain from 6dp-pinned inputs.
+    """
+    from ..operators.anomaly import partition_anomaly
+    from ..operators.temporal import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = (
+        ev.select(epoch_us("ts").alias("us"), "value")
+        .selectExpr("CAST(us DIV 86400000000 AS STRING) AS day", "value")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+    return partition_anomaly(parts, "day", ["n_rows", "mean_value"],
+                             k_yellow=2.0, k_red=3.0)

@@ -1,0 +1,73 @@
+"""Cross-partition median/MAD anomaly scan (operators/anomaly.py)."""
+
+import math
+
+import pytest
+
+from json_spark.operators.anomaly import MAD_SIGMA, partition_anomaly
+
+
+def _rows(df):
+    return {(r["partition_id"], r["metric"]): r for r in df.collect()}
+
+
+def test_outlier_detection_and_robustness(spark):
+    # 9 well-behaved shards + 1 corrupted one; median/MAD must flag the
+    # bad shard without the bad shard inflating the baseline
+    vals = [100, 101, 99, 102, 98, 100, 101, 99, 100, 500]
+    parts = spark.createDataFrame(
+        [(f"p{i}", float(v)) for i, v in enumerate(vals)],
+        "shard string, n_rows double")
+    out = _rows(partition_anomaly(parts, "shard", ["n_rows"]))
+    assert out[("p9", "n_rows")]["verdict"] == "RED"
+    assert all(out[(f"p{i}", "n_rows")]["verdict"] == "GREEN"
+               for i in range(9))
+    # median of the 10 values is 100, MAD is 1 -> z for p9 = 400/1.4826
+    r = out[("p9", "n_rows")]
+    assert r["med"] == 100.0 and r["mad"] == 1.0
+    assert abs(r["robust_z"] - round(400 / MAD_SIGMA, 6)) < 1e-9
+
+
+def test_yellow_band_and_python_twin(spark):
+    vals = [10.0, 12.0, 11.0, 13.0, 9.0, 11.5, 10.5, 18.0]
+    parts = spark.createDataFrame(
+        [(f"p{i}", v) for i, v in enumerate(vals)],
+        "shard string, m double")
+    out = _rows(partition_anomaly(parts, "shard", ["m"],
+                                  k_yellow=2.0, k_red=4.0))
+
+    # python twin: interpolated median, then MAD, then the banding
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        return (s[n // 2 - 1] + s[n // 2]) / 2 if n % 2 == 0 else s[n // 2]
+
+    m0 = med(vals)
+    mad0 = med([abs(v - m0) for v in vals])
+    for i, v in enumerate(vals):
+        z = (v - m0) / (MAD_SIGMA * mad0)
+        want = "RED" if abs(z) > 4 else ("YELLOW" if abs(z) > 2 else "GREEN")
+        r = out[(f"p{i}", "m")]
+        assert r["verdict"] == want, (i, v, z)
+        assert math.isclose(r["robust_z"], round(z, 6), abs_tol=1e-9)
+
+
+def test_zero_mad_flags_any_deviation(spark):
+    parts = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0), ("d", 5.0), ("e", 7.0)],
+        "shard string, m double")
+    out = _rows(partition_anomaly(parts, "shard", ["m"]))
+    assert out[("e", "m")]["verdict"] == "RED"
+    assert out[("e", "m")]["robust_z"] is None  # not finite, by contract
+    assert all(out[(k, "m")]["verdict"] == "GREEN" for k in "abcd")
+
+
+def test_multi_metric_independent(spark):
+    # one shard is an outlier in ONE metric only
+    parts = spark.createDataFrame(
+        [("a", 100.0, 1.0), ("b", 101.0, 1.1), ("c", 99.0, 0.9),
+         ("d", 100.0, 1.0), ("e", 100.0, 99.0)],
+        "shard string, n double, m double")
+    out = _rows(partition_anomaly(parts, "shard", ["n", "m"]))
+    assert out[("e", "n")]["verdict"] == "GREEN"
+    assert out[("e", "m")]["verdict"] == "RED"
