@@ -109,6 +109,8 @@ HEADLINE = [
     "transcript_rate_check",
     "domain_constraints",
     "partition_anomaly",
+    "coverage_gaps",
+    "sequence_inversions",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

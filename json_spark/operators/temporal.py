@@ -143,3 +143,73 @@ def epoch_us(ts_col: str) -> Column:
     return F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
         f"{ts_col})")
+
+
+def coverage_gaps(df: DataFrame, group_cols: list[str], bucket_col: str,
+                  yellow_ratio: float = 0.99) -> DataFrame:
+    """Temporal-completeness check: per group, how many expected time
+    buckets (the table's global min..max bucket span) have NO rows.
+
+    The classic "did a feed go dark for a day?" validation — a missing
+    (group, bucket) cell is invisible to every per-row check because no
+    row exists to fail. ``bucket_col`` is an integer bucket id (e.g.
+    epoch-days from :func:`epoch_us` DIV 86400000000).
+
+    Scale shape: the corpus collapses to observed (group, bucket) pairs
+    in one map-combinable distinct-agg; the expected grid is
+    |groups| x |buckets| built by exploding ``sequence`` over the
+    global span (metadata-sized), anti-joined against observed with the
+    observed side's per-group counts broadcast back. No corpus re-scan,
+    no window.
+    """
+    observed = (df.groupBy(*group_cols,
+                           F.col(bucket_col).cast("long").alias("__b"))
+                .agg(F.count(F.lit(1)).alias("__n")))
+    span = observed.agg(F.min("__b").alias("__lo"),
+                        F.max("__b").alias("__hi"))
+    per_group = observed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets_observed"))
+    grid = (per_group.crossJoin(F.broadcast(span))
+            .withColumn("n_buckets_expected",
+                        (F.col("__hi") - F.col("__lo") + 1)))
+    cover = grid.select(
+        *group_cols, "n_buckets_expected", "n_buckets_observed",
+        (F.col("n_buckets_expected") - F.col("n_buckets_observed"))
+        .alias("n_gaps"),
+        F.round(F.col("n_buckets_observed")
+                / F.col("n_buckets_expected"), 6).alias("coverage"),
+    )
+    return cover.withColumn(
+        "verdict",
+        F.when(F.col("coverage") >= 1.0, "GREEN")
+        .when(F.col("coverage") >= F.lit(yellow_ratio), "YELLOW")
+        .otherwise("RED"))
+
+
+def sequence_inversions(df: DataFrame, key_col: str, order_col: str,
+                        ts_col: str) -> DataFrame:
+    """Ordering-integrity check: per key, count adjacent pairs (in
+    ``order_col`` order) whose ``ts_col`` goes BACKWARD — sequence
+    numbers and event times disagree, the classic clock-skew /
+    out-of-order-ingest detector.
+
+    One corpus shuffle (hash on the key for the per-key window); each
+    key's rows sort locally, so skew is bounded by the hottest key.
+    Output: one corpus-level summary row (n_keys, n_pairs,
+    n_inversions, inversion_rate) — per-key detail stays distributed.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    flagged = df.select(
+        key_col,
+        F.when(prev_ts.isNotNull(), 1).otherwise(0).alias("__pair"),
+        F.when(prev_ts.isNotNull()
+               & (F.col(ts_col) < prev_ts), 1).otherwise(0).alias("__inv"),
+    )
+    return flagged.agg(
+        F.countDistinct(key_col).alias("n_keys"),
+        F.sum("__pair").alias("n_pairs"),
+        F.sum("__inv").alias("n_inversions"),
+        F.round(F.sum("__inv") / F.sum("__pair"), 6)
+        .alias("inversion_rate"),
+    )

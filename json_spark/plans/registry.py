@@ -59,9 +59,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: list out for the queries that sat beyond slot 50 in r3 — FIRST the
 #: oracle-backed queries added after the r3 window filled
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
-#: dedup_audio_span, domain_constraints, partition_anomaly — all
-#: judge-replica green at sf0.01, no driver row yet), then the four
-#: rows-only queries cycled out
+#: dedup_audio_span, domain_constraints, partition_anomaly,
+#: coverage_gaps, sequence_inversions — all judge-replica green at
+#: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -4513,3 +4513,65 @@ def q_partition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partition_anomaly(parts, "day", ["n_rows", "mean_value"],
                              k_yellow=2.0, k_red=3.0)
+
+
+@register("coverage_gaps", oracle="""
+WITH o AS (SELECT event_type, epoch_us(ts) // 86400000000 AS b
+           FROM events GROUP BY 1, 2),
+span AS (SELECT min(b) AS lo, max(b) AS hi FROM o),
+pg AS (SELECT event_type, count(*) AS n_obs FROM o GROUP BY 1)
+SELECT event_type,
+       CAST(hi - lo + 1 AS BIGINT) AS n_buckets_expected,
+       CAST(n_obs AS BIGINT) AS n_buckets_observed,
+       CAST(hi - lo + 1 - n_obs AS BIGINT) AS n_gaps,
+       round(n_obs / (hi - lo + 1), 6) AS coverage,
+       CASE WHEN n_obs >= hi - lo + 1 THEN 'GREEN'
+            WHEN n_obs / (hi - lo + 1) >= 0.99 THEN 'YELLOW'
+            ELSE 'RED' END AS verdict
+FROM pg, span
+""")
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-completeness check (operators/temporal.py:coverage_gaps):
+    per event_type, how many day buckets in the table's global span have
+    NO rows — the "feed went dark" validation a per-row check cannot see
+    (no row exists to fail). Corpus collapses to observed (type, day)
+    pairs in one map-combinable distinct-agg; everything after is
+    metadata-sized. Day buckets via epoch-us integer division
+    (session-TZ-proof).
+    """
+    from ..operators.temporal import coverage_gaps, epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.select("event_type", epoch_us("ts").alias("us"))
+            .selectExpr("event_type", "us DIV 86400000000 AS day"))
+    return coverage_gaps(days, ["event_type"], "day")
+
+
+@register("sequence_inversions", oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY event_id) AS pus
+      FROM e)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (WHERE pus IS NOT NULL) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE pus IS NOT NULL AND us < pus)
+            AS BIGINT) AS n_inversions,
+       round(count(*) FILTER (WHERE pus IS NOT NULL AND us < pus)
+             / count(*) FILTER (WHERE pus IS NOT NULL), 6)
+         AS inversion_rate
+FROM l
+""")
+def q_sequence_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering-integrity check (operators/temporal.py:
+    sequence_inversions): per user_id, adjacent event pairs (in
+    event_id order) whose event time goes backward — sequence numbers
+    vs clocks disagreement, the out-of-order-ingest detector. ONE
+    corpus shuffle (hash on user_id for the per-key lag window), then a
+    map-combinable summary; timestamps compared as integer
+    microseconds (session-TZ-proof).
+    """
+    from ..operators.temporal import epoch_us, sequence_inversions
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", epoch_us("ts").alias("us"))
+    return sequence_inversions(e, "user_id", "event_id", "us")

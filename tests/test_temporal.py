@@ -150,3 +150,39 @@ def test_hash32_matches_duckdb(spark):
         "SELECT v, ('0x' || substr(md5('salt:' || v), 1, 8))::BIGINT "
         "FROM (SELECT unnest(?) AS v)", [ids]).fetchall())
     assert got == duck
+
+
+def test_coverage_gaps_planted(spark):
+    from json_spark.operators.temporal import coverage_gaps
+    # type A covers days 10..19 fully; type B misses days 13 and 17;
+    # type C appears only on day 12 (edge types still judged on the
+    # GLOBAL span 10..19)
+    rows = ([("A", d) for d in range(10, 20)]
+            + [("B", d) for d in range(10, 20) if d not in (13, 17)]
+            + [("C", 12)])
+    df = spark.createDataFrame(rows, "t string, day long")
+    got = {r["t"]: r for r in
+           coverage_gaps(df, ["t"], "day", yellow_ratio=0.75).collect()}
+    assert (got["A"]["n_gaps"], got["A"]["verdict"]) == (0, "GREEN")
+    assert (got["B"]["n_buckets_expected"], got["B"]["n_buckets_observed"],
+            got["B"]["n_gaps"]) == (10, 8, 2)
+    assert got["B"]["coverage"] == 0.8 and got["B"]["verdict"] == "YELLOW"
+    assert (got["C"]["n_gaps"], got["C"]["verdict"]) == (9, "RED")
+
+
+def test_sequence_inversions_planted(spark):
+    from json_spark.operators.temporal import sequence_inversions
+    rows = [
+        # u1: ordered by seq, ts strictly forward -> 0 inversions, 2 pairs
+        (1, 1, 100), (1, 2, 200), (1, 3, 300),
+        # u2: one backward step (seq 2 has earlier ts than seq 1)
+        (2, 1, 500), (2, 2, 400), (2, 3, 600),
+        # u3: single row -> no pairs
+        (3, 1, 50),
+        # u4: equal timestamps are NOT inversions (strict <)
+        (4, 1, 70), (4, 2, 70),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, us long")
+    r = sequence_inversions(df, "user_id", "seq", "us").collect()[0]
+    assert (r["n_keys"], r["n_pairs"], r["n_inversions"]) == (4, 5, 1)
+    assert r["inversion_rate"] == 0.2

@@ -110,6 +110,18 @@ CHECKS = {
                                   p.split("== CODEGEN ==")[0])) <= 1
          and "BatchEvalPython" not in p),
     ],
+    "partition_anomaly": [
+        ("corpus touched by ONE shuffle (the per-day agg); median/MAD "
+         "run metadata-sized", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange hashpartitioning",
+                                  p.split("== CODEGEN ==")[0])) <= 3),
+        ("median/MAD join sides broadcast, never shuffled", True,
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to ts+value", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
     "duplicate_keys": [
         ("single exchange (map-side combine, no manual salt)", True,
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
