@@ -75,7 +75,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
              emit_digest: bool = False,
              emit_profile: bool = False,
              emit_energy: bool = False,
-             emit_runs: bool = False) -> DataFrame:
+             emit_runs: bool = False,
+             emit_zcr: bool = False) -> DataFrame:
     """The ONE decode pass over the audio payload — every content-level
     check family is a column group off this single Arrow kernel, so a
     caller wanting SNR + header + sample-exact digests + amplitude
@@ -101,6 +102,11 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
       32767 so v^2 <= 2^30, overflow needs > 2^33 samples/clip) and
       pcm_peak = max |v_j| — the energy/peak pair behind dynamic-range
       (crest-factor) and DC-offset checks. Null unless GREEN.
+    - ``emit_zcr``     : zcr = count of strict sign changes between
+      adjacent samples (v_j * v_{j+1} < 0) and n_zero = count of exact
+      zero samples — the zero-crossing-rate feature (speech/music/noise
+      discrimination) as exact integers over the recovered lattice.
+      Null unless GREEN.
     - ``emit_runs``    : silent-run structure over the active mask
       |v| > SILENCE_THR — lead_sil / trail_sil (leading/trailing silent
       sample counts; = n_samples when the whole clip is silent),
@@ -112,7 +118,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
     (~40-170 bytes/clip) travel onward — the payload never shuffles.
     """
     extra = list(extra_cols or [])
-    emit_nsamp = emit_digest or emit_profile or emit_energy or emit_runs
+    emit_nsamp = (emit_digest or emit_profile or emit_energy or emit_runs
+                  or emit_zcr)
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
     schema_parts = (
         ["clip_id string"]
@@ -135,6 +142,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
         schema_parts.append(
             "lead_sil long, trail_sil long, n_act_runs long, "
             "max_sil_run long")
+    if emit_zcr:
+        schema_parts.append("zcr long, n_zero long")
     out_schema = ", ".join(schema_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -157,6 +166,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             trails = np.zeros(n, dtype=np.int64)
             actruns = np.zeros(n, dtype=np.int64)
             silruns = np.zeros(n, dtype=np.int64)
+            zcrs = np.zeros(n, dtype=np.int64)
+            nzeros = np.zeros(n, dtype=np.int64)
             hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
@@ -210,6 +221,10 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                     if emit_energy:
                         sqs[j] = int((v * v).sum())
                         peaks[j] = int(np.abs(v).max()) if len(v) else 0
+                    if emit_zcr:
+                        zcrs[j] = int((v[1:].astype(np.int64)
+                                       * v[:-1] < 0).sum()) if len(v) > 1 else 0
+                        nzeros[j] = int((v == 0).sum())
                     if emit_runs:
                         act = np.abs(v) > SILENCE_THR
                         idx = np.flatnonzero(act)
@@ -271,6 +286,10 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                            pa.array(silruns, pa.int64(), mask=~mask)]
                 names += ["lead_sil", "trail_sil", "n_act_runs",
                           "max_sil_run"]
+            if emit_zcr:
+                arrays += [pa.array(zcrs, pa.int64(), mask=~mask),
+                           pa.array(nzeros, pa.int64(), mask=~mask)]
+                names += ["zcr", "n_zero"]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return clips.select(*in_cols).mapInArrow(scan, out_schema)
@@ -422,3 +441,29 @@ def pcm_silence_runs(clips: DataFrame,
                     emit_runs=True).select(
         "clip_id", *extra, "verdict", "n_samples", "lead_sil",
         "trail_sil", "n_act_runs", "max_sil_run")
+
+
+def pcm_zcr_profile(clips: DataFrame,
+                    extra_cols: list[str] | None = None,
+                    threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Zero-crossing profile of every clip's decoded PCM stream — the
+    classic spectral-coarseness feature (speech vs music vs wideband
+    noise discrimination, and a cheap detector for sign-flipped or
+    byte-swapped ingest, which roughly doubles the crossing rate).
+
+    Emits per clip: n_samples, zcr = count of STRICT sign changes
+    between adjacent samples (v_j · v_{j+1} < 0 — a run through exact
+    zero is not a crossing, distinguishing this from the sign-flag
+    definition in :func:`multimodal.audio_features`), and n_zero =
+    count of exact zero samples. All exact int64 over the recovered
+    int16 lattice, so a DuckDB oracle reproduces every value from pure
+    SQL trigonometry. RED clips carry nulls.
+
+    Facade over :func:`pcm_scan` (one decode pass, map-only Arrow; ~36
+    bytes/clip travel onward, the payload never shuffles). At 10^12
+    clips the downstream profile aggregates map-side into |codec| rows.
+    """
+    extra = list(extra_cols or [])
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_zcr=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "zcr", "n_zero")

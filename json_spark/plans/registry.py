@@ -60,8 +60,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: oracle-backed queries added after the r3 window filled
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
 #: dedup_audio_span, domain_constraints, partition_anomaly,
-#: coverage_gaps, sequence_inversions — all judge-replica green at
-#: sf0.01, no driver row yet), then the four rows-only queries cycled out
+#: coverage_gaps, sequence_inversions, audio_zcr_check — all
+#: judge-replica green at sf0.01, no driver row yet), then the four
+#: rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -1121,6 +1122,63 @@ def q_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_lead_clips"),
                  F.sum("n_act_runs").alias("act_runs_sum"),
                  F.max("max_sil_run").alias("max_sil_run_max")))
+
+
+@register("audio_zcr_check", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+sgn AS (
+  SELECT i, codec, v,
+         lag(v) OVER (PARTITION BY i ORDER BY j) AS pv
+  FROM samples),
+per AS (
+  SELECT i, codec,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v * pv < 0)
+              AS BIGINT) AS zcr,
+         CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero
+  FROM sgn GROUP BY i, codec)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(zcr) AS BIGINT) AS zcr_sum,
+       CAST(MAX(zcr) AS BIGINT) AS zcr_max,
+       CAST(SUM(n_zero) AS BIGINT) AS n_zero_sum,
+       CAST(count(*) FILTER (WHERE n_zero > 0) AS BIGINT) AS n_zero_clips
+FROM per GROUP BY codec
+""")
+def q_audio_zcr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing-rate validation on decoded CONTENT: per codec, the
+    exact count of strict sign changes (v_j · v_{{j+1}} < 0) and exact
+    zero samples over every clean clip's recovered int16 lattice — the
+    classic speech/music/noise spectral-coarseness feature, and a sharp
+    detector for sign-flipped or byte-swapped ingest (which ~doubles
+    the crossing rate). Strict crossings deliberately differ from
+    multimodal_audio_features' sign-flag definition (a run through
+    exact zero counts there, not here) — two independent formulations
+    of the same content surface. The oracle reproduces every integer
+    from pure SQL trigonometry (lag window over the analytic per-sample
+    twin) without reading a byte; RED clips (planted noise) are
+    excluded on both sides — by the engine's own reference-SNR verdict
+    on one, the generator contract (i %% 997) on the other.
+
+    Scale shape: one map-only Arrow decode pass (fused pcm_scan kernel,
+    emit_zcr group, ~36 bytes/clip onward) then a |codec|-row
+    map-combinable aggregate — the crossing count never leaves the
+    kernel, no per-sample rows exist on the Spark side.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_zcr_profile
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    z = pcm_zcr_profile(clips, extra_cols=["codec"])
+    return (z.filter(F.col("verdict") == "GREEN")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("n_samples").alias("n_samples"),
+                 F.sum("zcr").alias("zcr_sum"),
+                 F.max("zcr").alias("zcr_max"),
+                 F.sum("n_zero").alias("n_zero_sum"),
+                 F.sum((F.col("n_zero") > 0).cast("long"))
+                 .alias("n_zero_clips")))
 
 
 @register("suite_content_verdicts", oracle=f"""

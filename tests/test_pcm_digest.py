@@ -212,3 +212,52 @@ def test_silence_runs_all_silent_clip(spark):
         "codec string, transcript string")
     row = pcm_silence_runs(df).collect()[0]
     assert row.verdict == "RED" and row.lead_sil is None
+
+
+def test_zcr_profile_exact(spark):
+    """pcm_zcr_profile: strict sign-change count and exact-zero count
+    equal a scalar-loop numpy twin (independent of the kernel's
+    vectorized product formulation) on every clean clip."""
+    from json_spark.operators.snr import pcm_zcr_profile
+    n_small = 257
+    clips = generate_clips(spark, n_small, partitions=4)
+    rows = pcm_zcr_profile(clips).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.clip_id, []).append(r)
+    any_zero = False
+    for i in range(n_small):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            continue
+        meta = _row(i)
+        dur = meta["dur_ms"] if meta["dur_ms"] is not None else 100
+        sig = reference_signal(meta["clip_id"], meta["sr_hz"], dur)
+        v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+        zcr = sum(1 for a, b in zip(v[:-1], v[1:]) if (a < 0 < b) or (b < 0 < a))
+        n_zero = sum(1 for a in v if a == 0)
+        any_zero = any_zero or n_zero > 0
+        match = [r for r in by_id[meta["clip_id"]]
+                 if r.verdict == "GREEN"
+                 and r.n_samples == len(v)
+                 and r.zcr == zcr and r.n_zero == n_zero]
+        assert match, f"row {i}: zcr mismatch"
+    assert any_zero, "fixture never exercises the exact-zero branch"
+
+
+def test_zcr_through_zero_not_strict_crossing(spark):
+    """A +,0,- transition is NOT a strict crossing (v_j*v_{j+1}<0) but
+    IS one zero sample — the boundary distinguishing this definition
+    from audio_features' sign-flag one."""
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.snr import pcm_zcr_profile
+    v = np.array([100, 0, -100, 100, -100], dtype=np.float32) / 32767.0
+    wav = pcm16_wav_bytes(v, 8000)
+    df = spark.createDataFrame(
+        [("z", bytearray(wav), 8000, 100, "pcm_s16le", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    row = pcm_zcr_profile(df).collect()[0]
+    # RED by SNR (payload is not the clip's reference signal) => nulls;
+    # the boundary itself is pinned by the numpy twin in the exact test,
+    # so here just assert the RED-null contract holds for zcr columns.
+    assert row.verdict == "RED" and row.zcr is None and row.n_zero is None
