@@ -63,6 +63,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition",
     "text_surprisal",
+    "text_tfidf",
     "pii_scan",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -98,6 +99,7 @@ HEADLINE = [
     "audio_amplitude_hist",
     "audio_dynamic_range",
     "audio_silence_trim",
+    "audio_zcr_check",
     "audio_chunks",
     "audio_resample",
     "audio_content_dedup",

@@ -17,7 +17,7 @@ counting whitespace + BPE-ish regex, document fingerprinting rolling hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish pre-tokenizer: word pieces | digit runs | single punctuation
@@ -149,3 +149,51 @@ def text_profile(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFra
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         F.sum((F.col("predicted_lang") == "en").cast("long")).alias("n_pred_en"),
     )
+
+
+def tfidf_topk(docs: DataFrame, text_col: str, id_col: str,
+               k: int = 3) -> DataFrame:
+    """TF-IDF keyword extraction: the top-``k`` terms of every document
+    by tf · ln(N/df) — the classic curation primitive behind keyword
+    tagging, topic hints, and template/boilerplate discovery (a term
+    with huge tf but tiny idf across docs is boilerplate).
+
+    Determinism contract (cross-engine, mirrors text_lm.py): tf, df and
+    N are exact integers; the only float op is ln(N/df) on the identical
+    double quotient, multiplied by an integer tf — both engines produce
+    the same IEEE double, and ranking ties (same tf and df) break on the
+    term itself, so the top-k set is engine-independent.
+
+    Scale shape at 10^12 docs: explode → (doc, term) hash aggregate
+    (map-side combine collapses repeated terms per task before the
+    shuffle); the document-frequency table aggregates the same frame
+    down to vocabulary size and broadcasts back; N is a 1-row broadcast
+    cross join. The only corpus-sized exchanges are the (doc, term) agg
+    and the per-doc rank window (both keyed on the document id), and
+    Spark 4's WindowGroupLimit pushes the top-k bound below that window
+    exchange, so it carries ≤ k+? rows per (task, doc), not the full
+    term list. Honest caveat: without caching, Catalyst evaluates the
+    df branch as its own subtree (the corpus is scanned/exploded twice);
+    at 10^12 docs persist the (doc, term) aggregate first — the operator
+    stays correct either way, this is a cost knob, not a semantics one.
+    """
+    c = F.col(text_col)
+    dt = (docs
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens(c)).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_tbl = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (dt.join(F.broadcast(df_tbl), "term")
+              .join(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.col("tf") * F.log(F.col("n_docs") / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "tf", "df",
+                    F.round("score", 6).alias("tfidf")))

@@ -60,8 +60,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: oracle-backed queries added after the r3 window filled
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
 #: dedup_audio_span, domain_constraints, partition_anomaly,
-#: coverage_gaps, sequence_inversions, audio_zcr_check — all
-#: judge-replica green at sf0.01, no driver row yet), then the four
+#: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf —
+#: all judge-replica green at sf0.01, no driver row yet), then the four
 #: rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -1596,6 +1596,42 @@ FROM documents
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register("text_tfidf", oracle="""
+WITH dt AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+ranked AS (
+  SELECT dt.doc_id, dt.term, dt.tf, dfq.df,
+         dt.tf * ln(nd.n_docs / dfq.df) AS score,
+         row_number() OVER (
+           PARTITION BY dt.doc_id
+           ORDER BY dt.tf * ln(nd.n_docs / dfq.df) DESC, dt.term ASC)
+           AS rank
+  FROM dt JOIN dfq USING (term) CROSS JOIN nd)
+SELECT doc_id, rank, term, tf, df, round(score, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+""")
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/text.py:tfidf_topk): every
+    document's top-3 terms by tf · ln(N/df) — keyword tagging and
+    boilerplate discovery in one windowed-top-k pass. tf/df/N are exact
+    integers; the single float op ln(N/df) runs on the identical double
+    quotient in both engines and ties (equal tf and df) break on the
+    term itself, so the selected top-k set — not just the scores — is
+    engine-independent. Scale shape: explode → map-combinable
+    (doc, term) hash agg; document frequency re-aggregates THAT frame
+    (vocabulary-sized, broadcast back); the rank window shuffles the
+    (doc, term) aggregate on doc_id, never raw tokens.
+    """
+    from ..operators.text import tfidf_topk
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(d, "text", "doc_id", k=3)
 
 
 # ---- deduplication ------------------------------------------------------

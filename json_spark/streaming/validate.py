@@ -201,6 +201,73 @@ def streaming_session_verdicts(
     )
 
 
+def streaming_content_verdicts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    group_col: str = "codec",
+    threshold_db: float | None = None,
+) -> DataFrame:
+    """CONTENT-level validation of a streaming clips ingest: the fused
+    batch decode kernel (operators/snr.py:pcm_scan — SNR vs the
+    reference signal + container-header integrity in ONE Arrow pass)
+    runs unchanged on a streaming DataFrame, then verdicts roll up per
+    event-time window. This extends the header-only streaming rules
+    (wav_header_verdicts, pure Column) to the decoded-PCM invariant:
+    clips are SNR-validated as they land, not at the next batch run.
+
+    Event-time plumbing: pcm_scan passes extra columns through as
+    strings, so the timestamp crosses the Arrow stage as unix
+    MICROSECONDS rendered to digits and is rebuilt with
+    ``timestamp_micros`` — a lossless integer round-trip that cannot
+    shift under a non-UTC session timezone (a formatted-string round
+    trip can). The watermark is applied to the rebuilt column, after
+    the map stage.
+
+    Emits per (window, group): n_rows, n_green / n_red (reference-SNR
+    verdict), n_hdr_bad (container broken/truncated), min/mean snr_db
+    over decodable clips, and the worst-of GREEN/RED window verdict.
+    State is the standard streaming agg keyed on (window, group) —
+    O(windows x groups), independent of stream volume; the map stage
+    holds no state at all, so the payload column never enters the
+    state store.
+    """
+    from ..operators.snr import SNR_THRESHOLD_DB, pcm_scan
+    thr = SNR_THRESHOLD_DB if threshold_db is None else threshold_db
+    pre = stream.withColumn(
+        "__evus", F.unix_micros(F.col(event_time_col)).cast("string"))
+    scanned = pcm_scan(pre, thr, extra_cols=[group_col, "__evus"],
+                       emit_header=True)
+    with_ts = scanned.withColumn(
+        event_time_col,
+        F.timestamp_micros(F.col("__evus").cast("long")))
+    red = F.col("verdict") == "RED"
+    hdr_bad = ~F.coalesce(F.col("riff_ok"), F.lit(False))
+    return (
+        with_ts.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window_duration),
+                 group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~red).cast("long")).alias("n_green"),
+            F.sum(red.cast("long")).alias("n_red"),
+            F.sum(hdr_bad.cast("long")).alias("n_hdr_bad"),
+            F.min("snr_db").alias("min_snr_db"),
+            F.avg("snr_db").alias("mean_snr_db"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col(group_col),
+            "n_rows", "n_green", "n_red", "n_hdr_bad",
+            "min_snr_db", "mean_snr_db",
+            F.when((F.col("n_red") > 0) | (F.col("n_hdr_bad") > 0), "RED")
+            .otherwise("GREEN").alias("verdict"),
+        )
+    )
+
+
 def default_stream_rules(cfg: RuleConfig, number_col: str,
                          bool_col: str) -> dict[str, Column]:
     """Convenience rule set for the test/demo stream shape."""

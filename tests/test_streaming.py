@@ -493,3 +493,62 @@ def test_streaming_domain_rules(spark, tmp_path):
             w0["verdict"]) == (3, 1, 0, 2, "RED")
     w1 = got["2026-01-01 00:01:00"]
     assert (w1["n_rows"], w1["n_yellow"], w1["verdict"]) == (1, 1, "YELLOW")
+
+
+def test_streaming_content_verdicts(spark, tmp_path):
+    """Content-level streaming validation: the fused pcm_scan decode
+    kernel (SNR vs reference signal + header integrity, one Arrow pass)
+    runs on a stream; per-window rollups finalize in append mode as the
+    watermark advances. Event time crosses the Arrow stage as unix
+    micros (lossless), so window boundaries are exact."""
+    import numpy as np
+    from json_spark.fixtures.signal import pcm16_wav_bytes, reference_signal
+    from json_spark.streaming import streaming_content_verdicts
+
+    # clip whose payload IS its reference signal => GREEN
+    good = pcm16_wav_bytes(reference_signal("c-good", 8000, 100), 8000)
+    # payload is a DIFFERENT clip's signal => decodes fine, SNR fails
+    wrong = pcm16_wav_bytes(reference_signal("c-other", 8000, 100), 8000)
+    # truncated container => header RED
+    trunc = good[:40]
+    schema = ("ts timestamp, clip_id string, bytes binary, "
+              "dur_ms int, codec string")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, clip_id string, bytes binary, "
+                  "dur_ms int, codec string"
+        ).select(F.to_timestamp("ts").alias("ts"), "clip_id", "bytes",
+                 "dur_ms", "codec").coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_content_verdicts(
+            stream, event_time_col="ts", window_duration="1 minute",
+            watermark="2 minutes", group_col="codec")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    src, sink, chk = (str(tmp_path / d) for d in ("csrc", "csink", "cchk"))
+    write([("2026-01-01 00:00:05", "c-good", bytearray(good), 100, "wav"),
+           ("2026-01-01 00:00:15", "c-good", bytearray(wrong), 100, "wav"),
+           ("2026-01-01 00:00:25", "c-good", bytearray(trunc), 100, "wav")])
+    run()
+    write([("2026-01-01 00:03:30", "c-good", bytearray(good), 100, "wav")])
+    run()
+    write([("2026-01-01 00:06:00", "c-good", bytearray(good), 100, "wav")])
+    run()
+    rows = {r["window_start"].strftime("%H:%M"): r
+            for r in spark.read.parquet(sink).collect()}
+    w0 = rows["00:00"]
+    assert w0["n_rows"] == 3
+    assert w0["n_green"] == 1          # payload == reference signal
+    assert w0["n_red"] == 2            # wrong-signal SNR fail + truncated
+    assert w0["n_hdr_bad"] == 1        # only the truncated container
+    assert w0["verdict"] == "RED"
+    assert w0["min_snr_db"] < 30 <= 60 < w0["mean_snr_db"] * 3
+    w3 = rows["00:03"]
+    assert (w3["n_rows"], w3["n_green"], w3["verdict"]) == (1, 1, "GREEN")

@@ -90,3 +90,40 @@ def test_bigram_counts_context_totals(spark):
     assert rows[("a", "b")] == (2, 2)
     assert rows[("b", "a")] == (1, 2)
     assert rows[("b", "c")] == (1, 2)
+
+
+def test_tfidf_topk_vs_bruteforce(spark):
+    """tfidf_topk equals a python brute-force twin on a corpus designed
+    to exercise ranking, the corpus-wide term ('the', idf=0 so score 0
+    regardless of tf) and the (tf, df) tie broken on the term itself."""
+    from json_spark.operators.text import tfidf_topk
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog ate the dog food",
+        3: "the bird bird bird flew away",
+        4: "zebra apple zebra apple the",  # tf/df tie: apple before zebra
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.tfidf)
+           for r in tfidf_topk(df, "text", "doc_id", k=2).collect()}
+
+    # brute-force twin
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    n_docs = len(texts)
+    dfreq = Counter()
+    for ts in toks.values():
+        for term in set(ts):
+            dfreq[term] += 1
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            ((term, n, dfreq[term], n * math.log(n_docs / dfreq[term]))
+             for term, n in tf.items()),
+            key=lambda x: (-x[3], x[0]))
+        for rank, (term, n, d, s) in enumerate(scored[:2], start=1):
+            assert got[(i, rank)] == (term, n, d, round(s, 6)), \
+                f"doc {i} rank {rank}: {got[(i, rank)]} != {(term, n, d, s)}"
+    # 'the' appears in every doc => idf 0 => never a top keyword despite
+    # being the highest-tf term in docs 1 and 2
+    assert all(v[0] != "the" for v in got.values())

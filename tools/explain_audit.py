@@ -307,6 +307,23 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 2),
     ],
+    "text_tfidf": [
+        ("df + N joins are broadcast (vocab-sized / 1-row build sides), "
+         "never a shuffled corpus join", True,
+         lambda p: p.split("\n\n")[0].count("BroadcastHashJoin") >= 1
+         and "SortMergeJoin" not in p),
+        ("explode collapses in a partial+final (doc, term) hash aggregate "
+         "before any join or window", True,
+         lambda p: "Generate" in p.split("\n\n")[0]
+         and p.split("\n\n")[0].count("HashAggregate") >= 2),
+        ("rank window partitioned by doc_id (no global window)", True,
+         lambda p: "row_number" in p
+         and "partitionBy()" not in p.replace(" ", "")),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to doc_id + text", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
     "text_surprisal": [
         ("LM joins are broadcast (vocab-sized build side), never a "
          "shuffled corpus join", True,
