@@ -111,6 +111,7 @@ HEADLINE = [
     "transcript_rate_check",
     "domain_constraints",
     "partition_anomaly",
+    "key_emergence",
     "coverage_gaps",
     "sequence_inversions",
 ]

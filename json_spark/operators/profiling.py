@@ -89,3 +89,50 @@ def fd_profile(df: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def key_emergence(df: DataFrame, keys_col: str, bucket_col: str) -> DataFrame:
+    """Schema-evolution detection over embedded JSON: when did each key
+    first and last appear, relative to the corpus's time span?
+
+    The d3rty theme's temporal complement: the reference tolerates key
+    DRIFT within one document (case conventions, unknown-field skip);
+    this detects key drift ACROSS TIME — a producer that starts emitting
+    a new field (``EMERGENT``), stops emitting an old one (``RETIRED``),
+    or ran an experiment field for a while (``WINDOWED``). Per-row rules
+    cannot see any of these: every individual document is valid.
+
+    Inputs: ``keys_col`` — an ``array<string>`` of the document's JSON
+    keys (e.g. ``F.json_object_keys(props)``; null for unparseable docs,
+    which simply contribute no keys); ``bucket_col`` — an integer time
+    bucket (epoch-days via ``epoch_us(ts) DIV 86400000000``, the
+    session-TZ-proof idiom shared with coverage_gaps).
+
+    Emits one row per key: first_seen / last_seen buckets, days_present,
+    n_docs, and the status verdict against the corpus span. All values
+    are exact integers, so a DuckDB oracle reproduces them bit-for-bit.
+
+    Scale shape at 10^12 docs: explode collapses in ONE map-combinable
+    (key, bucket) hash aggregate (the only corpus-sized exchange beside
+    the 1-row span aggregate); everything downstream is
+    |keys| x |buckets| and the span joins back as a 1-row broadcast.
+    """
+    kd = (df.select(F.explode(F.col(keys_col)).alias("key"),
+                    F.col(bucket_col).alias("__b"))
+          .groupBy("key", "__b").agg(F.count(F.lit(1)).alias("__n")))
+    span = df.select(F.min(bucket_col).alias("__lo"),
+                     F.max(bucket_col).alias("__hi"))
+    per = kd.groupBy("key").agg(
+        F.min("__b").alias("first_seen"),
+        F.max("__b").alias("last_seen"),
+        F.count(F.lit(1)).alias("days_present"),
+        F.sum("__n").alias("n_docs"))
+    emergent = F.col("first_seen") > F.col("__lo")
+    retired = F.col("last_seen") < F.col("__hi")
+    return (per.join(F.broadcast(span))
+            .select("key", "first_seen", "last_seen", "days_present",
+                    "n_docs",
+                    F.when(emergent & retired, "WINDOWED")
+                    .when(emergent, "EMERGENT")
+                    .when(retired, "RETIRED")
+                    .otherwise("STABLE").alias("status")))

@@ -60,9 +60,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: oracle-backed queries added after the r3 window filled
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
 #: dedup_audio_span, domain_constraints, partition_anomaly,
-#: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf —
-#: all judge-replica green at sf0.01, no driver row yet), then the four
-#: rows-only queries cycled out
+#: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
+#: key_emergence — all judge-replica green at sf0.01, no driver row
+#: yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -3042,6 +3042,80 @@ def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_profile(ev, [("event_id", "ts"), ("event_id", "user_id"),
                            ("user_id", "event_type"),
                            ("event_type", "user_id")])
+
+
+@register("key_emergence", oracle="""
+WITH m AS (SELECT max(event_id) AS mx FROM events),
+e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         substr(props, 1, length(props) - 1)
+         || (CASE WHEN event_id % 3 = 0
+                  THEN ', "session": 1' ELSE '' END)
+         || (CASE WHEN event_id * 3 >= 2 * (mx + 1) AND event_id % 2 = 0
+                  THEN ', "v2_flag": 1' ELSE '' END)
+         || (CASE WHEN event_id * 3 < (mx + 1) AND event_id % 2 = 1
+                  THEN ', "legacy_id": 1' ELSE '' END)
+         || (CASE WHEN event_id * 3 >= (mx + 1)
+                   AND event_id * 3 < 2 * (mx + 1)
+                  THEN ', "exp_bucket": 1' ELSE '' END)
+         || '}' AS props2
+  FROM events, m),
+kd AS (
+  SELECT k AS key, day, count(*) AS n
+  FROM (SELECT day, unnest(json_keys(props2)) AS k FROM e)
+  GROUP BY 1, 2),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+per AS (
+  SELECT key, min(day) AS first_seen, max(day) AS last_seen,
+         CAST(count(*) AS BIGINT) AS days_present,
+         CAST(sum(n) AS BIGINT) AS n_docs
+  FROM kd GROUP BY key)
+SELECT key, first_seen, last_seen, days_present, n_docs,
+       CASE WHEN first_seen > lo AND last_seen < hi THEN 'WINDOWED'
+            WHEN first_seen > lo THEN 'EMERGENT'
+            WHEN last_seen < hi THEN 'RETIRED'
+            ELSE 'STABLE' END AS status
+FROM per, span
+""")
+def q_key_emergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution detection over embedded JSON (operators/
+    profiling.py:key_emergence): when did each props key first/last
+    appear vs the corpus time span — EMERGENT (producer started emitting
+    a new field), RETIRED (stopped), WINDOWED (experiment field), STABLE.
+    The temporal complement of the reference's per-document key
+    tolerance (decoder.go:221-226 skips unknown fields; this asks WHEN
+    unknown fields started appearing). The fixture's props all carry one
+    key, so both engines derive the identical enriched frame — four keys
+    planted by event-id arithmetic against max(event_id), one per status
+    (ts is monotone in event_id at every SF, verified) — then each
+    engine runs its own detection. Day buckets via epoch-us integer
+    division (session-TZ-proof). Scale shape: explode collapses in ONE
+    map-combinable (key, day) aggregate; the span is a 1-row broadcast;
+    everything downstream is |keys| x |days|.
+    """
+    from ..operators.profiling import key_emergence
+    from ..operators.temporal import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(F.max("event_id").alias("__mx"))
+    eid = F.col("event_id")
+    mx = F.col("__mx")
+    add = F.concat(
+        F.when(eid % 3 == 0, F.lit(', "session": 1')).otherwise(F.lit("")),
+        F.when((eid * 3 >= 2 * (mx + 1)) & (eid % 2 == 0),
+               F.lit(', "v2_flag": 1')).otherwise(F.lit("")),
+        F.when((eid * 3 < (mx + 1)) & (eid % 2 == 1),
+               F.lit(', "legacy_id": 1')).otherwise(F.lit("")),
+        F.when((eid * 3 >= (mx + 1)) & (eid * 3 < 2 * (mx + 1)),
+               F.lit(', "exp_bucket": 1')).otherwise(F.lit("")))
+    e = (ev.join(F.broadcast(m))
+         .select(
+             epoch_us("ts").alias("__us"),
+             F.concat(F.expr("substring(props, 1, length(props) - 1)"),
+                      add, F.lit("}")).alias("props2"))
+         .selectExpr("__us DIV 86400000000 AS day", "props2"))
+    keyed = e.select(F.json_object_keys("props2").alias("keys"), "day")
+    return key_emergence(keyed, "keys", "day")
 
 
 @register("fuzzy_referential", oracle="""

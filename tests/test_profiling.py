@@ -78,3 +78,31 @@ def test_fd_profile_vs_bruteforce(spark):
     assert got[("k", "v")]["n_violating"] == 1
     assert got[("k", "w")]["holds"]
     assert not got[("v", "w")]["holds"]
+
+
+def test_key_emergence_statuses(spark):
+    """key_emergence on a hand-built 4-day corpus: one key per status,
+    a doc with unparseable JSON contributes no keys, and a key present
+    on a single mid-span day is WINDOWED with days_present=1."""
+    from pyspark.sql import functions as F
+
+    from json_spark.operators.profiling import key_emergence
+
+    rows = [
+        # day 0..3; 'base' on every day => STABLE
+        (0, '{"base": 1, "old": 1}'),
+        (1, '{"base": 1, "old": 1}'),
+        (2, '{"base": 1, "new": 1}'),
+        (3, '{"base": 1, "new": 1}'),
+        (2, '{"base": 1, "exp": 1}'),   # only day 2 => WINDOWED
+        (1, 'not json at all'),         # no keys contributed
+    ]
+    df = spark.createDataFrame(rows, "day long, props string").select(
+        F.json_object_keys("props").alias("keys"), "day")
+    got = {r.key: r for r in key_emergence(df, "keys", "day").collect()}
+    assert set(got) == {"base", "old", "new", "exp"}
+    assert got["base"].status == "STABLE" and got["base"].days_present == 4
+    assert got["old"].status == "RETIRED" and got["old"].last_seen == 1
+    assert got["new"].status == "EMERGENT" and got["new"].first_seen == 2
+    assert got["exp"].status == "WINDOWED" and got["exp"].days_present == 1
+    assert got["base"].n_docs == 5
