@@ -58,6 +58,7 @@ HEADLINE = [
     "drift_psi",
     "drift_ks",
     "drift_rolling",
+    "drift_wasserstein",
     "verdict_rollup",
     "text_quality",
     "text_fingerprint",

@@ -167,3 +167,45 @@ def ks_statistic(current: DataFrame, baseline: DataFrame,
     if keys:
         return diffs.groupBy(*keys).agg(F.max("d").alias("ks"))
     return diffs.agg(F.max("d").alias("ks"))
+
+
+def wasserstein_distance(current: DataFrame, baseline: DataFrame,
+                         bucket_col: str = "bucket",
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Binned 1-D Wasserstein-1 (earth-mover) distance between two
+    histogram share tables: W1 = Σ_b |CDF_p(b) − CDF_q(b)| × gap(b),
+    where gap(b) is the distance to the next observed bucket (so sparse
+    bucket ids are handled exactly — the CDF difference persists across
+    the gap). Result is in bucket-width units; multiply by the physical
+    bucket width for the metric in data units.
+
+    Completes the drift triad: PSI is share-ratio-sensitive, KS sees
+    only the worst single crossing, W1 measures how FAR the mass moved
+    — a distribution that shifted two buckets scores twice one that
+    shifted one, which both KS and PSI can miss.
+
+    Same scale shape as :func:`ks_statistic`: the inputs are already
+    bucket-sized aggregates, so the ordered window + final sum run on
+    |groups| × |buckets| rows regardless of corpus size. The last
+    observed bucket has no successor and contributes 0 (both CDFs are 1
+    there, so its difference is 0 anyway).
+    """
+    keys = list(group_cols or [])
+    cur = current.select(*keys, bucket_col, F.col("share").alias("p"))
+    base = baseline.select(bucket_col, F.col("share").alias("q"))
+    # full outer join cannot broadcast (see psi()); both sides bucket-sized
+    j = cur.join(base, [bucket_col], "full_outer").fillna(
+        {"p": 0.0, "q": 0.0}
+    )
+    order = (
+        Window.partitionBy(*keys).orderBy(bucket_col)
+        if keys else Window.partitionBy().orderBy(bucket_col)
+    )
+    w = order.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.lead(bucket_col).over(order) - F.col(bucket_col)
+    contrib = (F.abs(F.sum("p").over(w) - F.sum("q").over(w))
+               * gap.cast("double"))
+    diffs = j.select(*keys, contrib.alias("d")).filter(F.col("d").isNotNull())
+    if keys:
+        return diffs.groupBy(*keys).agg(F.sum("d").alias("w1"))
+    return diffs.agg(F.sum("d").alias("w1"))

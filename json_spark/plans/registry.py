@@ -61,8 +61,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
 #: dedup_audio_span, domain_constraints, partition_anomaly,
 #: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
-#: key_emergence — all judge-replica green at sf0.01, no driver row
-#: yet), then the four rows-only queries cycled out
+#: key_emergence, drift_wasserstein — all judge-replica green at
+#: sf0.01, no driver row yet), then the four rows-only queries cycled
+#: out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -724,6 +725,39 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = histogram(ev.filter(F.pmod("event_id", F.lit(2)) == 1),
                      "value", 0.0, 500.0, 10)
     return ks_statistic(cur, base).select(F.round("ks", 6).alias("ks"))
+
+
+@register("drift_wasserstein", oracle=f"""
+WITH {_DRIFT_BASE_SQL},
+ecdf AS (
+  SELECT bucket,
+         sum(ps) OVER (ORDER BY bucket) AS cp,
+         sum(qs) OVER (ORDER BY bucket) AS cq,
+         lead(bucket) OVER (ORDER BY bucket) AS nb
+  FROM j)
+SELECT round(sum(abs(cp - cq) * (nb - bucket)), 6) AS w1
+FROM ecdf WHERE nb IS NOT NULL
+""")
+def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 (earth-mover) drift (operators/drift.py:
+    wasserstein_distance) — completes the drift triad next to PSI
+    (share-ratio-sensitive) and KS (worst single ECDF crossing) by
+    measuring how FAR the mass moved: Σ |ΔCDF| × bucket gap over the
+    same histogram tables, so a two-bucket shift scores twice a
+    one-bucket shift. Pure Column arithmetic on bucket-sized frames (an
+    ordered cumsum + lead window over ≤ nbins rows); the corpus is
+    touched only by the two histogram aggregates. Sparse bucket ids are
+    exact: the CDF difference is weighted by the distance to the next
+    observed bucket.
+    """
+    from ..operators.drift import wasserstein_distance
+    ev = load_table(spark, sf_dir, "events")
+    cur = histogram(ev.filter(F.pmod("event_id", F.lit(2)) == 0),
+                    "value", 0.0, 500.0, 10)
+    base = histogram(ev.filter(F.pmod("event_id", F.lit(2)) == 1),
+                     "value", 0.0, 500.0, 10)
+    return (wasserstein_distance(cur, base)
+            .select(F.round("w1", 6).alias("w1")))
 
 
 # =========================================================================

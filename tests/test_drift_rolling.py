@@ -59,3 +59,35 @@ def test_rolling_psi_identical_windows_are_stable(spark):
     assert len(out) == 4
     for r in out:
         assert abs(r["psi"]) < 1e-12
+
+
+def test_wasserstein_vs_bruteforce_sparse_buckets(spark):
+    """wasserstein_distance equals a numpy CDF twin, on share tables
+    with buckets MISSING on one or both sides and a gap in the bucket
+    ids (bucket 5 absent everywhere) — the gap must carry the CDF
+    difference across its full width."""
+    from json_spark.operators.drift import wasserstein_distance
+
+    cur_counts = {0: 10, 1: 0, 2: 5, 4: 5, 6: 10}   # no bucket 3, 5
+    base_counts = {0: 5, 2: 10, 3: 5, 4: 5, 6: 5}   # no bucket 1, 5
+    cur = spark.createDataFrame(
+        [(b, n, n / sum(cur_counts.values())) for b, n in cur_counts.items()
+         if n > 0], "bucket long, n long, share double")
+    base = spark.createDataFrame(
+        [(b, n, n / sum(base_counts.values())) for b, n in base_counts.items()
+         if n > 0], "bucket long, n long, share double")
+    got = wasserstein_distance(cur, base).collect()[0]["w1"]
+
+    # numpy twin over the dense grid 0..6
+    p = np.zeros(7); q = np.zeros(7)
+    for b, n in cur_counts.items():
+        p[b] = n / sum(cur_counts.values())
+    for b, n in base_counts.items():
+        q[b] = n / sum(base_counts.values())
+    want = float(np.abs(np.cumsum(p) - np.cumsum(q))[:-1].sum())
+    assert math.isclose(got, want, rel_tol=1e-12), (got, want)
+
+    # identical distributions => exactly zero
+    same = wasserstein_distance(cur, cur.select("bucket", "n", "share")
+                                ).collect()[0]["w1"]
+    assert same == 0.0
