@@ -51,6 +51,7 @@ HEADLINE = [
     "column_profile",
     "duplicate_keys",
     "referential_orphans",
+    "join_fanout_profile",
     "fuzzy_referential",
     "coercion_number",
     "coercion_date",

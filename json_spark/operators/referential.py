@@ -120,3 +120,57 @@ def speech_rate_check(clips: DataFrame,
                  .alias("n_too_slow"),
                  F.sum((F.col("status") == "TOO_FAST").cast("long"))
                  .alias("n_too_fast")))
+
+
+def join_fanout_profile(left: DataFrame, right: DataFrame, key: str,
+                        max_fanout: int = 1_000_000,
+                        amp_yellow: float = 10.0) -> DataFrame:
+    """Pre-join explosion guard: compute EXACTLY what an inner equality
+    join on ``key`` would produce — output rows Σ n_l(k)·n_r(k), the
+    worst single key's fan-out, and the amplification factor — WITHOUT
+    running the join. The validation a 100 TB pipeline runs before an
+    expensive join: a duplicate-ridden key on both sides turns a join
+    into a cross-join-shaped blowup that no post-hoc check survives.
+
+    Scale shape: each side collapses to (key, count) in one
+    map-combinable aggregate; the profile join runs on the two
+    key-cardinality-sized frames, never on raw rows, and everything
+    after is a single-row reduction (plus a 1-row broadcast back for
+    the deterministic top-key lookup: the MINIMUM key attaining the max
+    fan-out, so ties cannot flap the output).
+
+    Verdict: RED when the worst key's fan-out exceeds ``max_fanout``
+    (one hot key melts one task — skew no AQE split fully saves),
+    YELLOW when total amplification inner_rows / max(rows_l, rows_r)
+    exceeds ``amp_yellow``, else GREEN.
+    """
+    la = left.select(F.col(key).alias("__k")).groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__nl"))
+    ra = right.select(F.col(key).alias("__k")).groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__nr"))
+    j = la.join(ra, "__k", "full_outer")
+    fan = (F.coalesce(F.col("__nl"), F.lit(0))
+           * F.coalesce(F.col("__nr"), F.lit(0)))
+    prof = j.select("__k", "__nl", "__nr", fan.alias("__fan"))
+    summary = prof.agg(
+        F.sum(F.col("__nl").isNotNull().cast("long")).alias("n_keys_left"),
+        F.sum(F.col("__nr").isNotNull().cast("long")).alias("n_keys_right"),
+        F.sum((F.col("__fan") > 0).cast("long")).alias("n_keys_both"),
+        F.sum(F.coalesce("__nl", F.lit(0))).alias("rows_left"),
+        F.sum(F.coalesce("__nr", F.lit(0))).alias("rows_right"),
+        F.sum("__fan").alias("inner_rows"),
+        F.max("__fan").alias("max_key_fanout"))
+    top = (prof.join(F.broadcast(summary.select("max_key_fanout")))
+           .filter((F.col("__fan") == F.col("max_key_fanout"))
+                   & (F.col("__fan") > 0))
+           .agg(F.min("__k").alias("top_key")))
+    amp = (F.col("inner_rows")
+           / F.greatest(F.col("rows_left"), F.col("rows_right")))
+    return (summary.join(F.broadcast(top))
+            .select("n_keys_left", "n_keys_right", "n_keys_both",
+                    "rows_left", "rows_right", "inner_rows",
+                    "max_key_fanout", "top_key",
+                    F.round(amp, 6).alias("amplification"),
+                    F.when(F.col("max_key_fanout") > max_fanout, "RED")
+                    .when(amp > amp_yellow, "YELLOW")
+                    .otherwise("GREEN").alias("verdict")))

@@ -61,9 +61,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
 #: dedup_audio_span, domain_constraints, partition_anomaly,
 #: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
-#: key_emergence, drift_wasserstein — all judge-replica green at
-#: sf0.01, no driver row yet), then the four rows-only queries cycled
-#: out
+#: key_emergence, drift_wasserstein, join_fanout_profile — all
+#: judge-replica green at sf0.01, no driver row yet), then the four
+#: rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -3150,6 +3150,52 @@ def q_key_emergence(spark: SparkSession, sf_dir: str) -> DataFrame:
          .selectExpr("__us DIV 86400000000 AS day", "props2"))
     keyed = e.select(F.json_object_keys("props2").alias("keys"), "day")
     return key_emergence(keyed, "keys", "day")
+
+
+@register("join_fanout_profile", oracle="""
+WITH la AS (SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1),
+ra AS (SELECT user_id AS k, count(*) AS nr FROM events
+       WHERE event_type = 'click' GROUP BY 1),
+j AS (SELECT coalesce(la.k, ra.k) AS k, nl, nr,
+             coalesce(nl, 0) * coalesce(nr, 0) AS fan
+      FROM la FULL OUTER JOIN ra ON la.k = ra.k),
+s AS (SELECT
+        CAST(count(nl) AS BIGINT) AS n_keys_left,
+        CAST(count(nr) AS BIGINT) AS n_keys_right,
+        CAST(count(*) FILTER (WHERE fan > 0) AS BIGINT) AS n_keys_both,
+        CAST(sum(coalesce(nl, 0)) AS BIGINT) AS rows_left,
+        CAST(sum(coalesce(nr, 0)) AS BIGINT) AS rows_right,
+        CAST(sum(fan) AS BIGINT) AS inner_rows,
+        CAST(max(fan) AS BIGINT) AS max_key_fanout
+      FROM j),
+t AS (SELECT min(k) AS top_key FROM j, s
+      WHERE fan = max_key_fanout AND fan > 0)
+SELECT n_keys_left, n_keys_right, n_keys_both, rows_left, rows_right,
+       inner_rows, max_key_fanout, top_key,
+       round(inner_rows / greatest(rows_left, rows_right), 6)
+         AS amplification,
+       CASE WHEN max_key_fanout > 1000000 THEN 'RED'
+            WHEN inner_rows / greatest(rows_left, rows_right) > 10.0
+                 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM s, t
+""")
+def q_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion guard (operators/referential.py:
+    join_fanout_profile): EXACT inner-join output size, worst-key
+    fan-out, and amplification for joining all events against click
+    events on user_id — computed from the two (key, count) aggregates
+    without running the join. The planner-guard validation a 100 TB
+    pipeline runs before an expensive join: both sides collapse to
+    key-cardinality-sized frames in map-combinable aggregates; the
+    top-offender key is the MINIMUM key attaining the max fan-out, so
+    ties cannot flap the hash. Fixture amplification lands in the
+    YELLOW band, so the verdict logic is exercised, not vacuous.
+    """
+    from ..operators.referential import join_fanout_profile
+    ev = load_table(spark, sf_dir, "events")
+    return join_fanout_profile(
+        ev, ev.filter(F.col("event_type") == "click"), "user_id")
 
 
 @register("fuzzy_referential", oracle="""

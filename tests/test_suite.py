@@ -261,3 +261,27 @@ def test_speech_rate_band_edges(spark):
     assert got["n_too_slow"] == 1
     assert got["n_too_fast"] == 1
     assert got["n_unratable"] == 2
+
+
+def test_join_fanout_profile_exact_and_ties(spark):
+    """join_fanout_profile equals the actually-executed join's row count;
+    a max-fanout tie resolves to the MINIMUM key; one-sided keys count
+    in n_keys_* but not n_keys_both; a hot key flips the verdict RED."""
+    from json_spark.operators.referential import join_fanout_profile
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 5, 5, 5]], "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 2, 2, 4, 5, 5]], "k long")
+    row = join_fanout_profile(left, right, "k").collect()[0]
+    true_inner = left.join(right, "k").count()
+    assert row["inner_rows"] == true_inner == 3 * 2 + 2 * 3 + 3 * 2
+    # keys 1 and 5 tie at fanout 6 -> top_key must be the minimum, 1
+    assert row["max_key_fanout"] == 6 and row["top_key"] == 1
+    assert row["n_keys_left"] == 4 and row["n_keys_right"] == 4
+    assert row["n_keys_both"] == 3
+    assert row["rows_left"] == 9 and row["rows_right"] == 8
+    assert row["verdict"] == "GREEN"
+
+    hot = join_fanout_profile(left, right, "k", max_fanout=5).collect()[0]
+    assert hot["verdict"] == "RED"
