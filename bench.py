@@ -114,6 +114,7 @@ HEADLINE = [
     "domain_constraints",
     "partition_anomaly",
     "key_emergence",
+    "benford_check",
     "coverage_gaps",
     "sequence_inversions",
 ]

@@ -136,3 +136,82 @@ def key_emergence(df: DataFrame, keys_col: str, bucket_col: str) -> DataFrame:
                     .when(emergent, "EMERGENT")
                     .when(retired, "RETIRED")
                     .otherwise("STABLE").alias("status")))
+
+
+#: Benford's-law expected first-digit shares log10(1 + 1/d), precomputed
+#: once in Python and injected as LITERALS into both the Spark plan and
+#: the DuckDB oracle — no runtime log10, so engine libm differences
+#: cannot exist by construction.
+BENFORD_SHARES = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+#: Nigrini's mean-absolute-deviation conformity bands for first digits.
+BENFORD_MAD_YELLOW = 0.012   # above: marginal conformity
+BENFORD_MAD_RED = 0.015      # above: nonconformity
+
+
+def first_digit(c: "F.Column", min_decade: int = -6,
+                max_decade: int = 12) -> "F.Column":
+    """First significant decimal digit of |c| as a pure when-chain over
+    decades — floor(|c| / 10^k) for the k with 10^k <= |c| < 10^(k+1).
+    Deliberately NO log10 and NO double→string rendering: libm boundary
+    rounding and decimal formatting both differ across engines, while
+    powers of ten up to 1e22 and floor/compare are exact IEEE ops every
+    engine performs identically. Values of 0/null (no first digit) or
+    outside the decade range yield null.
+    """
+    a = F.abs(c)
+    out = F.lit(None).cast("long")
+    for k in range(min_decade, max_decade + 1):
+        lo, hi = float(10.0 ** k), float(10.0 ** (k + 1))
+        out = F.when((a >= lo) & (a < hi),
+                     F.floor(a / F.lit(lo)).cast("long")).otherwise(out)
+    return out
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law conformity of a numeric column's first significant
+    digits — the classic detector for fabricated, truncated, or
+    unit-mangled numeric feeds (naturally occurring multi-decade data
+    follows log10(1+1/d); uniform or manually-entered data does not).
+
+    Emits one row per digit 1-9 (zero-count digits grid-completed, so
+    the deviation statistic cannot silently shrink): n, share, the
+    expected Benford share, abs_dev — plus the global mean absolute
+    deviation and its Nigrini-band verdict (GREEN conforming /
+    YELLOW marginal >0.012 / RED nonconforming >0.015) repeated on
+    each row. A uniform fixture column lands RED by design — the
+    check's job is to say so.
+
+    Scale shape: ONE map-combinable 9-row hash aggregate over the
+    corpus; the digit grid, shares, MAD, and verdict are all
+    literal-sized arithmetic after it (broadcast joins, no windows).
+    """
+    spark = df.sparkSession
+    counts = (df.select(first_digit(F.col(col)).alias("digit"))
+              .filter(F.col("digit").isNotNull())
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    grid = spark.createDataFrame(
+        [(d, BENFORD_SHARES[d]) for d in range(1, 10)],
+        "digit long, expected double")
+    full = (grid.join(counts, "digit", "left")
+            .select("digit", "expected",
+                    F.coalesce("n", F.lit(0)).alias("n")))
+    tot = full.agg(F.sum("n").alias("__tot"))
+    dev = (full.join(F.broadcast(tot))
+           .select("digit", "n", "expected",
+                   (F.col("n") / F.col("__tot")).alias("__share")))
+    dev = dev.withColumn("__adev", F.abs(F.col("__share") - F.col("expected")))
+    mad = dev.agg((F.sum("__adev") / F.lit(9.0)).alias("__mad"))
+    return (dev.join(F.broadcast(mad))
+            .select("digit", "n",
+                    F.round("__share", 6).alias("share"),
+                    F.round("expected", 6).alias("expected"),
+                    F.round("__adev", 6).alias("abs_dev"),
+                    F.round("__mad", 6).alias("mad"),
+                    F.when(F.col("__mad") > BENFORD_MAD_RED, "RED")
+                    .when(F.col("__mad") > BENFORD_MAD_YELLOW, "YELLOW")
+                    .otherwise("GREEN").alias("verdict")))

@@ -61,9 +61,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: (audio_dynamic_range, audio_silence_trim, dedup_substring,
 #: dedup_audio_span, domain_constraints, partition_anomaly,
 #: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
-#: key_emergence, drift_wasserstein, join_fanout_profile — all
-#: judge-replica green at sf0.01, no driver row yet), then the four
-#: rows-only queries cycled out
+#: key_emergence, drift_wasserstein, join_fanout_profile,
+#: benford_check — all judge-replica green at sf0.01, no driver row
+#: yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -3150,6 +3150,64 @@ def q_key_emergence(spark: SparkSession, sf_dir: str) -> DataFrame:
          .selectExpr("__us DIV 86400000000 AS day", "props2"))
     keyed = e.select(F.json_object_keys("props2").alias("keys"), "day")
     return key_emergence(keyed, "keys", "day")
+
+
+# first-digit decade chain shared with operators/profiling.py:first_digit
+# — powers of ten are exact doubles, so the chain is engine-identical by
+# construction (verified: float(f"1e{k}") == 10.0**k for k in -6..12).
+_BENFORD_CASE = " ".join(
+    f"WHEN a >= 1e{k} AND a < 1e{k + 1} "
+    f"THEN CAST(floor(a / 1e{k}) AS BIGINT)"
+    for k in range(-6, 13))
+_BENFORD_EXPECTED = " ".join(
+    f"WHEN {d} THEN CAST({share!r} AS DOUBLE)" for d, share in (
+        (1, 0.3010299956639812), (2, 0.17609125905568124),
+        (3, 0.12493873660829992), (4, 0.09691001300805642),
+        (5, 0.07918124604762482), (6, 0.06694678963061322),
+        (7, 0.05799194697768673), (8, 0.05115252244738129),
+        (9, 0.04575749056067514)))
+
+
+@register("benford_check", oracle=f"""
+WITH vals AS (SELECT abs(value) AS a FROM events WHERE value IS NOT NULL),
+digits AS (SELECT CASE {_BENFORD_CASE} END AS digit FROM vals),
+counts AS (SELECT digit, count(*) AS n FROM digits
+           WHERE digit IS NOT NULL GROUP BY digit),
+grid AS (SELECT d AS digit, CASE d {_BENFORD_EXPECTED} END AS expected
+         FROM generate_series(1, 9) t(d)),
+full_g AS (SELECT g.digit, g.expected, coalesce(c.n, 0) AS n
+           FROM grid g LEFT JOIN counts c USING (digit)),
+tot AS (SELECT sum(n) AS t FROM full_g),
+dev AS (SELECT digit, n, expected, n / t AS share,
+               abs(n / t - expected) AS adev
+        FROM full_g, tot),
+m AS (SELECT sum(adev) / 9.0 AS mad FROM dev)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(share, 6) AS share,
+       round(expected, 6) AS expected,
+       round(adev, 6) AS abs_dev,
+       round(mad, 6) AS mad,
+       CASE WHEN mad > 0.015 THEN 'RED'
+            WHEN mad > 0.012 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM dev, m
+""")
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity of events.value (operators/
+    profiling.py:benford_profile) — the classic fabricated/truncated/
+    unit-mangled numeric-feed detector. First digits come from a pure
+    decade when-chain (powers of ten are exact doubles; NO log10 and NO
+    double→string rendering, the two places engines disagree), and the
+    expected Benford shares are Python-precomputed literals injected
+    into BOTH plans, so every double is identical by construction. The
+    fixture's near-uniform value column is correctly flagged RED — the
+    oracle proves the verdict, not just the counts. One map-combinable
+    9-row aggregate touches the corpus; grid completion, MAD, and the
+    Nigrini-band verdict are literal-sized arithmetic after it.
+    """
+    from ..operators.profiling import benford_profile
+    ev = load_table(spark, sf_dir, "events")
+    return benford_profile(ev, "value")
 
 
 @register("join_fanout_profile", oracle="""

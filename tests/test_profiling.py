@@ -106,3 +106,45 @@ def test_key_emergence_statuses(spark):
     assert got["new"].status == "EMERGENT" and got["new"].first_seen == 2
     assert got["exp"].status == "WINDOWED" and got["exp"].days_present == 1
     assert got["base"].n_docs == 5
+
+
+def test_benford_conforming_and_digit_extraction(spark):
+    """A set weighted exactly by the Benford shares => GREEN with tiny
+    MAD; a python twin pins every per-digit count; values are spread
+    across positive AND negative decades (plus a sign flip) to exercise
+    the when-chain; zero and null contribute no digit."""
+    from collections import Counter
+
+    from json_spark.operators.profiling import BENFORD_SHARES, benford_profile
+
+    vals: list[float] = []
+    for d in range(1, 10):
+        n_d = round(BENFORD_SHARES[d] * 10000)
+        # digit d placed in decade (d mod 5) - 2 in [-2..2]; digit 3 negative
+        mag = 10.0 ** ((d % 5) - 2)
+        v = (d + 0.3) * mag        # (d + 0.3) keeps the first digit = d
+        if d == 3:
+            v = -v                 # |.| must be taken before the chain
+        vals += [v] * n_d
+    rows = [(v,) for v in vals] + [(0.0,), (None,)]
+    df = spark.createDataFrame(rows, "value double")
+    out = {r.digit: r for r in benford_profile(df, "value").collect()}
+
+    twin = Counter()
+    for v in vals:
+        twin[int(f"{abs(v):.20e}"[0])] += 1
+    assert sum(twin.values()) == len(vals)
+    for d in range(1, 10):
+        assert out[d].n == twin.get(d, 0), (d, out[d].n, twin.get(d, 0))
+        assert abs(out[d].expected - round(BENFORD_SHARES[d], 6)) < 1e-12
+    assert out[1].verdict == "GREEN" and out[1].mad < 0.001
+    assert all(out[d].mad == out[1].mad for d in range(1, 10))
+
+
+def test_benford_uniform_is_red(spark):
+    """A uniform integer column (100..999, flat first digits ~1/9) is
+    nonconforming => RED with MAD above the Nigrini band."""
+    from json_spark.operators.profiling import benford_profile
+    df = spark.range(100, 1000).selectExpr("CAST(id AS DOUBLE) AS value")
+    row = benford_profile(df, "value").collect()[0]
+    assert row.verdict == "RED" and row.mad > 0.015
