@@ -148,3 +148,64 @@ def test_benford_uniform_is_red(spark):
     df = spark.range(100, 1000).selectExpr("CAST(id AS DOUBLE) AS value")
     row = benford_profile(df, "value").collect()[0]
     assert row.verdict == "RED" and row.mad > 0.015
+
+
+def test_first_digit_random_batch_vs_twin(spark):
+    """first_digit over 2000 seeded random doubles spanning decades
+    -6..12 (log-uniform, both signs, plus decade-boundary values like
+    exactly 1.0, 10.0, 0.001) equals the scientific-notation twin for
+    every value — the when-chain has no boundary holes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from json_spark.operators.profiling import first_digit
+
+    rng = np.random.default_rng(42)
+    mags = rng.uniform(-6, 13, size=2000)
+    vals = [float(v) for v in
+            (10.0 ** mags) * rng.choice([-1.0, 1.0], size=2000)]
+    # boundary values pinned to the chain's DOUBLE-LITERAL convention
+    # (shared with the DuckDB oracle): a power-of-ten literal opens its
+    # own decade even when its nearest double sits a hair below the
+    # decimal power (1e-6's double renders 9.99...e-07 — by convention
+    # it is digit 1, identically in both engines).
+    edges = {1.0: 1, 10.0: 1, 100.0: 1, 0.001: 1, 1e-6: 1, 1e12: 1,
+             9.9999999: 9, -1.0: 1, 0.9999999999: 9, 1.0000000001: 1,
+             1e13: None, 9.99e-7: None, 0.0: None}   # below min decade
+    allv = vals + list(edges)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(allv)],
+                               "i long, value double")
+    got = {r.i: r.d for r in
+           df.select("i", first_digit(F.col("value")).alias("d")).collect()}
+    for i, v in enumerate(vals):
+        a = abs(v)
+        want = int(f"{a:.20e}"[0]) if 1e-6 <= a < 1e13 else None
+        assert got[i] == want, (i, v, got[i], want)
+    for j, (v, want) in enumerate(edges.items()):
+        assert got[len(vals) + j] == want, (v, got[len(vals) + j], want)
+
+
+def test_wasserstein_properties(spark):
+    """W1 is symmetric and zero iff distributions are identical; a
+    one-bucket uniform shift of the whole mass scores exactly 1.0 (in
+    bucket units) and a two-bucket shift exactly 2.0 — the linearity
+    KS (always 1.0 here) cannot see."""
+    from json_spark.operators.drift import ks_statistic, wasserstein_distance
+
+    def shares(counts):
+        tot = sum(counts.values())
+        return spark.createDataFrame(
+            [(b, n, n / tot) for b, n in counts.items()],
+            "bucket long, n long, share double")
+
+    p = shares({0: 10})
+    q1 = shares({1: 10})            # all mass moved +1 bucket
+    q2 = shares({2: 10})            # all mass moved +2 buckets
+    w_p_q1 = wasserstein_distance(p, q1).collect()[0]["w1"]
+    w_q1_p = wasserstein_distance(q1, p).collect()[0]["w1"]
+    w_p_q2 = wasserstein_distance(p, q2).collect()[0]["w1"]
+    assert w_p_q1 == w_q1_p == 1.0
+    assert w_p_q2 == 2.0
+    # KS saturates at 1.0 for both shifts — W1 distinguishes them
+    assert ks_statistic(p, q1).collect()[0]["ks"] == 1.0
+    assert ks_statistic(p, q2).collect()[0]["ks"] == 1.0
