@@ -194,9 +194,14 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
     counts = (df.select(first_digit(F.col(col)).alias("digit"))
               .filter(F.col("digit").isNotNull())
               .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
-    grid = spark.createDataFrame(
-        [(d, BENFORD_SHARES[d]) for d in range(1, 10)],
-        "digit long, expected double")
+    # 9-row grid built JVM-side (range + when-chain of the precomputed
+    # literals) — keeps the plan free of any Python RDD scan
+    expected = F.lit(None).cast("double")
+    for d in range(1, 10):
+        expected = F.when(F.col("digit") == d,
+                          F.lit(BENFORD_SHARES[d])).otherwise(expected)
+    grid = (spark.range(1, 10).select(F.col("id").alias("digit"))
+            .withColumn("expected", expected))
     full = (grid.join(counts, "digit", "left")
             .select("digit", "expected",
                     F.coalesce("n", F.lit(0)).alias("n")))

@@ -274,6 +274,48 @@ CHECKS = {
          lambda p: "hashpartitioning(" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "key_emergence": [
+        ("explode collapses in a partial+final (key, day) hash aggregate",
+         True,
+         lambda p: "Generate" in p.split("\n\n")[0]
+         and p.split("\n\n")[0].count("HashAggregate") >= 2),
+        ("span and max-id lookups join back as 1-row broadcasts, never "
+         "a shuffled join", True,
+         lambda p: "SortMergeJoin" not in p),
+        ("no Python stage (json_object_keys is JVM-side)", True,
+         lambda p: "Python" not in p),
+        ("no Window anywhere", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
+    "benford_check": [
+        ("ONE corpus-sized exchange (the 9-row digit aggregate); grid, "
+         "MAD and verdict are literal-sized after it", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange hashpartitioning",
+                                  p.split("== CODEGEN ==")[0])) <= 2),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no Window, no Python stage (pure decade when-chain)", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]
+         and "Python" not in p),
+    ],
+    "join_fanout_profile": [
+        ("both sides collapse to (key, count) partial+final aggregates "
+         "BEFORE any join — the profile never joins raw rows", True,
+         lambda p: p.split("\n\n")[0].count("HashAggregate") >= 4),
+        ("summary/top-key joins are 1-row broadcasts", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "drift_wasserstein": [
+        ("corpus touched only by the two histogram aggregates; the "
+         "cumsum/lead windows run on bucket-sized frames", True,
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to the value column (+ filter key)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
     "fuzzy_referential": [
         ("lev<=1 never reaches the join: deletion-variant EQUALITY join "
          "(no cartesian/NestedLoop anywhere)", True,
