@@ -66,6 +66,7 @@ HEADLINE = [
     "text_repetition",
     "text_surprisal",
     "text_tfidf",
+    "truncation_report",
     "pii_scan",
     "dedup_minhash_lsh",
     "dedup_simhash",

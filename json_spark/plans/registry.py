@@ -62,8 +62,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: dedup_audio_span, domain_constraints, partition_anomaly,
 #: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
 #: key_emergence, drift_wasserstein, join_fanout_profile,
-#: benford_check — all judge-replica green at sf0.01, no driver row
-#: yet), then the four rows-only queries cycled out
+#: benford_check, truncation_report — all judge-replica green at
+#: sf0.01, no driver row yet), then the four rows-only queries cycled
+#: out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -2999,6 +3000,42 @@ def q_doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.size(F.split("text", " ")).alias("tok"))
     return pack_batches(d, "doc_id", "tok", ["lang"], budget=8192,
                         n_shards=4)
+
+
+@register("truncation_report", oracle="""
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n
+  FROM documents),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(count(*) FILTER (WHERE n > 64) AS BIGINT) AS docs_over,
+         CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS tokens_lost
+  FROM t GROUP BY source)
+SELECT source, n_docs, total_tokens, docs_over, tokens_lost,
+       total_tokens - tokens_lost AS kept_tokens,
+       round(tokens_lost / total_tokens, 6) AS loss_share,
+       CASE WHEN tokens_lost / total_tokens > 0.15 THEN 'RED'
+            WHEN tokens_lost / total_tokens > 0.05 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM g
+""")
+def q_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation loss (operators/packing.py:
+    truncation_report): per source, the tokens lost if every document
+    is cut at a 64-token budget — the report that drives the packing-
+    length choice, since a budget that silently drops a big share of
+    one source's tokens biases the corpus with no per-document symptom.
+    The fixture's length spread puts sources on both sides of the
+    YELLOW line, so the verdict is exercised. Pure per-row arithmetic
+    into ONE map-combinable |sources|-row aggregate; integers
+    everywhere except the single rounded ratio.
+    """
+    from ..operators.packing import truncation_report
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("tok"))
+    return truncation_report(d, "tok", ["source"], budget=64)
 
 
 @register("column_profile", oracle="""

@@ -186,3 +186,27 @@ def test_sequence_inversions_planted(spark):
     r = sequence_inversions(df, "user_id", "seq", "us").collect()[0]
     assert (r["n_keys"], r["n_pairs"], r["n_inversions"]) == (4, 5, 1)
     assert r["inversion_rate"] == 0.2
+
+
+def test_truncation_report_boundaries(spark):
+    """truncation_report vs hand counts: a doc exactly AT the budget
+    loses nothing (strict >), loss verdicts hit all three bands, and
+    kept + lost always reconstructs the total."""
+    from json_spark.operators.packing import truncation_report
+
+    rows = (
+        [("green", 10)] * 5 + [("green", 64)]            # nothing over
+        + [("yellow", 60)] * 9 + [("yellow", 100)]       # 36/576 lost ~6.3%
+        + [("red", 64)] + [("red", 200)]                 # 136/264 ~51%
+    )
+    df = spark.createDataFrame(rows, "src string, tok int")
+    got = {r.src: r for r in
+           truncation_report(df, "tok", ["src"], budget=64).collect()}
+    g = got["green"]
+    assert (g.docs_over, g.tokens_lost, g.verdict) == (0, 0, "GREEN")
+    y = got["yellow"]
+    assert (y.docs_over, y.tokens_lost, y.verdict) == (1, 36, "YELLOW")
+    r = got["red"]
+    assert (r.docs_over, r.tokens_lost, r.verdict) == (1, 136, "RED")
+    for row in got.values():
+        assert row.kept_tokens + row.tokens_lost == row.total_tokens
