@@ -67,6 +67,7 @@ HEADLINE = [
     "text_surprisal",
     "text_tfidf",
     "truncation_report",
+    "hash_uniformity",
     "pii_scan",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -113,3 +113,49 @@ def truncation_report(df: DataFrame, token_col: str, group_cols: list[str],
         F.when(share > red_share, "RED")
         .when(share > yellow_share, "YELLOW")
         .otherwise("GREEN").alias("verdict"))
+
+
+def hash_uniformity(df: DataFrame, id_col: str, n_buckets: int = 16,
+                    salt: str = "shard:",
+                    chi2_yellow: float = 2.0,
+                    chi2_red: float = 4.0) -> DataFrame:
+    """Audit of the engine's own splitting/sampling primitive: are the
+    md5 buckets that drive ``dataset_split`` / ``stratified_sample`` /
+    ``pack_batches`` actually uniform over THIS id population? A skewed
+    id scheme (e.g. ids sharing a long common prefix fed to a weaker
+    hash) silently biases every downstream split — this check makes the
+    assumption measurable instead of assumed.
+
+    Emits one row per bucket: n, share, dev from the uniform share —
+    plus the global Pearson chi-square statistic normalized per bucket
+    (chi2 / n_buckets; ~1 expected under uniformity, E[chi2] = B−1)
+    and its verdict repeated on each row. Zero-count buckets are
+    grid-completed so emptiness raises the statistic instead of
+    shrinking the table.
+
+    Scale shape: one map-combinable ``n_buckets``-row hash aggregate
+    touches the corpus; the grid join, chi-square, and verdict are
+    literal-sized arithmetic after it.
+    """
+    spark = df.sparkSession
+    b = F.pmod(hash32(F.col(id_col), salt), F.lit(n_buckets))
+    counts = (df.select(b.alias("bucket"))
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    grid = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
+    full = (grid.join(counts, "bucket", "left")
+            .select("bucket", F.coalesce("n", F.lit(0)).alias("n")))
+    tot = full.agg(F.sum("n").alias("__tot"))
+    withtot = full.join(F.broadcast(tot))
+    exp = F.col("__tot") / F.lit(float(n_buckets))
+    dev2 = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    chi = (withtot.select(dev2.alias("__d"))
+           .agg((F.sum("__d") / F.lit(float(n_buckets))).alias("__chi_b")))
+    return (withtot.join(F.broadcast(chi))
+            .select("bucket", "n",
+                    F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+                    F.round(F.col("n") / F.col("__tot")
+                            - 1.0 / n_buckets, 6).alias("dev"),
+                    F.round("__chi_b", 6).alias("chi2_per_bucket"),
+                    F.when(F.col("__chi_b") > chi2_red, "RED")
+                    .when(F.col("__chi_b") > chi2_yellow, "YELLOW")
+                    .otherwise("GREEN").alias("verdict")))

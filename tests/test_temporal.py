@@ -210,3 +210,27 @@ def test_truncation_report_boundaries(spark):
     assert (r.docs_over, r.tokens_lost, r.verdict) == (1, 136, "RED")
     for row in got.values():
         assert row.kept_tokens + row.tokens_lost == row.total_tokens
+
+
+def test_hash_uniformity_detects_skew(spark):
+    """hash_uniformity: md5 buckets of sequential ids are ~uniform
+    (GREEN, chi2/B near 1); a deliberately skewed bucket assignment —
+    simulated by feeding CONSTANT ids so everything lands in one
+    bucket — is RED with the zero-count buckets grid-completed."""
+    from pyspark.sql import functions as F
+
+    from json_spark.operators.packing import hash_uniformity
+
+    ids = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    rows = hash_uniformity(ids, "doc_id", n_buckets=16).collect()
+    assert len(rows) == 16 and sum(r.n for r in rows) == 20_000
+    assert all(r.verdict == "GREEN" for r in rows)
+    assert rows[0].chi2_per_bucket < 2.0
+
+    const = spark.range(1000).select(F.lit("same-id").alias("doc_id"))
+    red = hash_uniformity(const, "doc_id", n_buckets=16).collect()
+    assert len(red) == 16                       # grid-completed
+    assert sum(1 for r in red if r.n == 0) == 15
+    assert all(r.verdict == "RED" for r in red)
+    # chi2/B for all mass in one bucket = (16-1)*n/16 /16 * ... >> 4
+    assert red[0].chi2_per_bucket > 4.0
