@@ -60,6 +60,9 @@ HEADLINE = [
     "drift_ks",
     "drift_rolling",
     "drift_wasserstein",
+    "drift_changepoint",
+    "class_balance",
+    "dedup_incremental",
     "verdict_rollup",
     "text_quality",
     "text_fingerprint",

@@ -62,9 +62,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: dedup_audio_span, domain_constraints, partition_anomaly,
 #: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
 #: key_emergence, drift_wasserstein, join_fanout_profile,
-#: benford_check, truncation_report, hash_uniformity — all
-#: judge-replica green at sf0.01, no driver row yet), then the four
-#: rows-only queries cycled out
+#: benford_check, truncation_report, hash_uniformity, and the
+#: late-r3 trio drift_changepoint / dedup_incremental /
+#: class_balance — all judge-replica green at sf0.01, no driver row
+#: yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -4957,3 +4958,153 @@ def q_sequence_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("user_id", "event_id", epoch_us("ts").alias("us"))
     return sequence_inversions(e, "user_id", "event_id", "us")
+
+
+# =========================================================================
+# drift localization, incremental dedup, label balance (round-3 additions)
+# =========================================================================
+
+@register("drift_changepoint", oracle="""
+WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS n, sum(CAST(value AS DOUBLE)) AS s
+               FROM events GROUP BY 1, 2),
+cum AS (SELECT event_type, day, n, s,
+               sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+               sum(n) OVER (PARTITION BY event_type) AS tn,
+               sum(s) OVER (PARTITION BY event_type) AS ts_
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cand AS (SELECT *, abs(cs / cn - (ts_ - cs) / (tn - cn))
+                   * sqrt(cn::DOUBLE * (tn - cn)::DOUBLE / tn::DOUBLE)
+                   AS stat
+         FROM cum WHERE tn - cn > 0),
+best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                      ORDER BY stat DESC, day) AS rk
+         FROM cand)
+SELECT event_type, CAST(day AS BIGINT) AS split_day,
+       CAST(cn AS BIGINT) AS n_before, CAST(tn - cn AS BIGINT) AS n_after,
+       round(cs / cn, 6) AS mean_before,
+       round((ts_ - cs) / (tn - cn), 6) AS mean_after,
+       round(stat, 6) AS shift_stat,
+       CASE WHEN stat >= 4.0 THEN 'RED' WHEN stat >= 2.0 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM best WHERE rk = 1
+""")
+def q_drift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift change-point localization (operators/changepoint.py:
+    mean_shift_changepoint): per event_type, the day boundary that
+    maximizes |mean_before - mean_after| * sqrt(n1*n2/N) — WHEN the
+    metric drifted, complementing PSI/KS/Wasserstein's "did it drift".
+    One map-combinable (event_type, day) aggregate touches the corpus;
+    cumsums + argmax run per-group on the 30-day aggregate. The
+    statistic uses only IEEE-exact ops (div/mul/sqrt/abs), so the
+    argmax day is bit-identical in DuckDB; ties break earlier-day. The
+    fixture's generator-planted value drift makes every event_type's
+    localization informative (stats 39-135, RED).
+    """
+    from ..operators.changepoint import mean_shift_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    return mean_shift_changepoint(ev.select("event_type", "ts", "value"),
+                                  ["event_type"], "ts", "value")
+
+
+@register("dedup_incremental", oracle="""
+WITH all_docs AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 10 = 0),
+fp AS (SELECT doc_id, lang,
+         list_reduce(list_prepend(0::BIGINT,
+           [('0x' || substr(md5(t), 1, 8))::BIGINT
+            for t in string_split(text, ' ')]),
+           (acc, h) -> (acc * 131 + h) % 2147483647) AS fp,
+         ('0x' || substr(md5('delta:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 5 AS bkt
+       FROM all_docs),
+batch AS (SELECT * FROM fp WHERE bkt = 0),
+corpus_idx AS (SELECT DISTINCT fp FROM fp WHERE bkt != 0),
+hits AS (SELECT lang, count(*) AS n_dup FROM batch
+         WHERE fp IN (SELECT fp FROM corpus_idx) GROUP BY lang),
+fresh AS (SELECT * FROM batch
+          WHERE fp NOT IN (SELECT fp FROM corpus_idx)),
+within AS (SELECT lang, sum(c - 1) AS n_w
+           FROM (SELECT lang, fp, count(*) AS c FROM fresh GROUP BY 1, 2)
+           GROUP BY 1),
+tot AS (SELECT lang, count(*) AS n_batch FROM batch GROUP BY lang)
+SELECT t.lang, t.n_batch,
+       CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_corpus,
+       CAST(coalesce(w.n_w, 0) AS BIGINT) AS n_dup_within,
+       CAST(t.n_batch - coalesce(h.n_dup, 0) - coalesce(w.n_w, 0) AS BIGINT)
+         AS n_kept
+FROM tot t LEFT JOIN hits h USING (lang) LEFT JOIN within w USING (lang)
+""")
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus incremental dedup (operators/delta.py:
+    incremental_dedup) — the daily-ingest shape: nobody re-dedups
+    10^12 docs per batch; the corpus collapses to a DISTINCT
+    fingerprint index and the new batch semi-joins it (so the join
+    shuffles deduped 8-byte keys, never text). Planted exact copies
+    (every 10th doc, id+100000 — the dedup_exact planting) guarantee
+    cross-bucket hits; batch membership is the md5 bucket of doc_id,
+    so the oracle replays every kept/dropped decision bit-for-bit.
+    """
+    from ..operators.delta import incremental_dedup, split_batch
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    copies = d.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text")
+    alld = d.unionByName(copies)
+    batch, corpus = split_batch(alld, "doc_id", batch_buckets=5)
+    return incremental_dedup(batch, corpus, "doc_id", "text", ["lang"])
+
+
+@register("class_balance", oracle="""
+WITH lab AS (
+  SELECT CASE WHEN b < 600 THEN 'train' WHEN b < 800 THEN 'val'
+         ELSE 'test' END AS split, lang
+  FROM (SELECT lang,
+          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 1000 AS b
+        FROM documents)),
+c AS (SELECT split, lang, count(*) AS n FROM lab GROUP BY 1, 2),
+t AS (SELECT split, sum(n) AS tot, count(*) AS k, max(n) AS mx, min(n) AS mn
+      FROM c GROUP BY 1),
+per AS (SELECT c.split,
+          any_value(t.tot) AS n_rows, any_value(t.k) AS n_classes,
+          any_value(t.mx) AS mx, any_value(t.mn) AS mn,
+          -sum((c.n::DOUBLE / t.tot::DOUBLE)
+               * log2(c.n::DOUBLE / t.tot::DOUBLE)) AS h,
+          sum((c.n::DOUBLE / t.tot::DOUBLE)
+              * (c.n::DOUBLE / t.tot::DOUBLE)) AS simpson
+        FROM c JOIN t USING (split) GROUP BY c.split),
+fin AS (SELECT *, CASE WHEN n_classes > 1
+                  THEN h / log2(n_classes::DOUBLE) ELSE 0.0 END AS nh
+        FROM per)
+SELECT split, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       round(h, 6) AS entropy_bits, round(nh, 6) AS norm_entropy,
+       round(1.0 / simpson, 6) AS inv_simpson,
+       round(mx::DOUBLE / mn::DOUBLE, 6) AS imbalance_ratio,
+       CASE WHEN nh < 0.60 THEN 'RED' WHEN nh < 0.85 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM fin
+""")
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label balance audit per hash split (operators/
+    balance.py:class_balance over packing.assign_split 60/20/20):
+    normalized Shannon entropy, inverse-Simpson effective classes,
+    max/min imbalance, verdict — the corpus-level defect no per-row
+    rule can see, asked per split so "does the split preserve the
+    class mix?" is one query. One map-combinable (split, lang)
+    aggregate + broadcast-joined totals; shares/entropy are IEEE
+    division + same-libm log2, rounded 6dp on both sides.
+    """
+    from ..operators.balance import class_balance
+    from ..operators.packing import assign_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = d.withColumn("split", assign_split(F.col("doc_id"), 600, 800))
+    return class_balance(d, "lang", ["split"])

@@ -658,6 +658,35 @@ CHECKS = {
          lambda p: "LocalTableScan" in p.split("\n\n")[0]
          or "Scan ExistingRDD" in p.split("\n\n")[0]),
     ],
+    "drift_changepoint": [
+        ("scan pruned to event_type/ts/value", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 3),
+        ("partial+final hash aggregate (the ONE corpus-sized exchange "
+         "carries (group, day) partials)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("cumsum/argmax windows run per-group on the day aggregate — "
+         "never a keyless single-partition collapse of raw rows", True,
+         _singlepart_fed_by_partial),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "dedup_incremental": [
+        ("corpus index and batch meet in semi+anti joins on the "
+         "fingerprint — deduped 8-byte keys shuffle, never text", True,
+         lambda p: "LeftSemi" in p and "LeftAnti" in p),
+        ("never a cross join", True,
+         lambda p: "CartesianProduct" not in p),
+        ("no Python stage (fingerprint is a JVM-side aggregate fold)",
+         True, lambda p: "Python" not in p),
+    ],
+    "class_balance": [
+        ("no Window anywhere (totals broadcast-join back; an id-like "
+         "label column cannot collapse into one task)", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+        ("totals join is a broadcast", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
 }
 
 
