@@ -731,3 +731,96 @@ def perceptual_fingerprint(clips: DataFrame,
 
     return clips.select("clip_id", "codec", "dur_ms", "bytes").mapInArrow(
         fps, PERCEPTUAL_FP_SCHEMA)
+
+
+GOERTZEL_SCHEMA = (
+    "clip_id string, codec string, n_samples long, "
+    "c_sum long, s_sum long, sum_sq long, f0 long"
+)
+
+
+def goertzel_profile(clips: DataFrame) -> DataFrame:
+    """Single-bin spectral verification: correlate every clip's decoded
+    PCM against quantized cos/sin templates at its contract pitch
+    (f0 = 100 + crc32(clip_id) % 997 — the same generator contract
+    audio_dominant_freq exploits), i.e. the Goertzel/matched-filter
+    answer to "does the energy at the frequency this clip CLAIMS to
+    carry actually dominate?" — the spectral complement of the
+    broadband RMS check (a clip can pass loudness while carrying the
+    wrong tone, noise, or a re-encoded artifact).
+
+    Exactness contract: the templates are cos/sin quantized to integer
+    Q15 weights via round-half-even, so ``c_sum = Σ v_j·w_j``,
+    ``s_sum`` and ``sum_sq`` are EXACT int64 sums (|Σ| ≤ n·32767·32768
+    ≈ 1e13 « 2^63) — the DuckDB oracle refolds the identical integers
+    from the per-sample SQL twin, making every correlation bit-exact
+    cross-engine (float dot-products would diverge by summation order;
+    integer sums cannot).
+
+    Scale shape: one map-only Arrow stage over the scan partitioning —
+    payload bytes never shuffle; the output is 5 scalars per clip.
+    Undecodable payloads emit null sums (AttributeError = null bytes,
+    same contract as the sibling stages).
+    """
+    import zlib
+
+    def corr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            payloads = batch.column("bytes")
+            ns, cs, ss, sq, f0s = [], [], [], [], []
+            for j in range(batch.num_rows):
+                try:
+                    buf = memoryview(payloads[j].as_buffer())
+                    try:
+                        sig, sr = decode_wav_pcm16(buf)
+                    except (ValueError, struct.error):
+                        sig, sr = decode_flac(bytes(buf))
+                except (ValueError, struct.error, AttributeError,
+                        TypeError):
+                    # AttributeError/TypeError: a NULL bytes value has no
+                    # buffer — emit null sums, like the sibling stages
+                    ns.append(None); cs.append(None); ss.append(None)
+                    sq.append(None); f0s.append(None)
+                    continue
+                v = np.round(
+                    sig.astype(np.float64) * 32767.0).astype(np.int64)
+                n = len(v)
+                seed = zlib.crc32(ids[j].encode("utf-8")) & 0xFFFFFFFF
+                f0 = 100 + (seed % 997)
+                t = np.arange(n, dtype=np.float64) / sr
+                ang = (2 * np.pi * f0) * t
+                cw = np.round(np.cos(ang) * 32768.0).astype(np.int64)
+                sw = np.round(np.sin(ang) * 32768.0).astype(np.int64)
+                ns.append(n)
+                cs.append(int(v @ cw))
+                ss.append(int(v @ sw))
+                sq.append(int((v * v).sum()))
+                f0s.append(f0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(ns, pa.int64()), pa.array(cs, pa.int64()),
+                 pa.array(ss, pa.int64()), pa.array(sq, pa.int64()),
+                 pa.array(f0s, pa.int64())],
+                ["clip_id", "codec", "n_samples", "c_sum", "s_sum",
+                 "sum_sq", "f0"])
+
+    return clips.select("clip_id", "codec", "bytes").mapInArrow(
+        corr, GOERTZEL_SCHEMA)
+
+
+def goertzel_share(n: Column, c_sum: Column, s_sum: Column,
+                   sum_sq: Column) -> Column:
+    """Fraction of a clip's power held by the contract frequency:
+    ``2·(C² + S²) / (n · 32768² · Σv²)`` — the amplitude estimate
+    Â = (2/n)·√(C²+S²)/32768 turned into power share Â²/2 ÷ (Σv²/n).
+    Left-associative double arithmetic, mirrored exactly in the SQL
+    oracle (the int64 inputs are < 2^53, so the double conversions are
+    exact and every multiply/divide is correctly rounded identically).
+    """
+    c = c_sum.cast("double")
+    s = s_sum.cast("double")
+    return (F.lit(2.0) * (c * c + s * s)
+            / (n.cast("double") * F.lit(32768.0) * F.lit(32768.0)
+               * sum_sq.cast("double")))

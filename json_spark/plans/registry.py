@@ -63,9 +63,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
 #: key_emergence, drift_wasserstein, join_fanout_profile,
 #: benford_check, truncation_report, hash_uniformity, and the
-#: late-r3 trio drift_changepoint / dedup_incremental /
-#: class_balance — all judge-replica green at sf0.01, no driver row
-#: yet), then the four rows-only queries cycled out
+#: late-r3 additions drift_changepoint / dedup_incremental /
+#: class_balance / audio_goertzel_check — all judge-replica green at
+#: sf0.01, no driver row yet), then the four rows-only queries cycled
+#: out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -5108,3 +5109,75 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     d = d.withColumn("split", assign_split(F.col("doc_id"), 600, 800))
     return class_balance(d, "lang", ["split"])
+
+
+@register("audio_goertzel_check", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+corr AS (
+  SELECT s.i, s.codec, any_value(c.n) AS n,
+         CAST(sum(s.v * CAST(round_even(
+             cos(2*pi()*c.f0*(CAST(s.j AS DOUBLE)/c.sr_hz))
+             * CAST(32768.0 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS cs,
+         CAST(sum(s.v * CAST(round_even(
+             sin(2*pi()*c.f0*(CAST(s.j AS DOUBLE)/c.sr_hz))
+             * CAST(32768.0 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS ss_,
+         CAST(sum(s.v * s.v) AS BIGINT) AS sq
+  FROM samples s JOIN clean c USING (i)
+  GROUP BY s.i, s.codec),
+shared AS (
+  SELECT i, codec, cs, ss_,
+         2.0 * (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                + CAST(ss_ AS DOUBLE) * CAST(ss_ AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 32768.0 * 32768.0 * CAST(sq AS DOUBLE))
+           AS share
+  FROM corr),
+cl AS (SELECT codec,
+         count(*) FILTER (WHERE share >= 0.78) AS n_dom,
+         sum(CASE WHEN share >= 0.78
+             THEN ((cs % 1000003) + 1000003) % 1000003 END) AS c_pin,
+         sum(CASE WHEN share >= 0.78
+             THEN ((ss_ % 1000003) + 1000003) % 1000003 END) AS s_pin
+       FROM shared GROUP BY codec),
+tot AS (SELECT codec, count(*) AS n_clips FROM full_ GROUP BY codec)
+SELECT t.codec, CAST(t.n_clips AS BIGINT) AS n_clips,
+       CAST(coalesce(cl.n_dom, 0) AS BIGINT) AS n_f0_dominant,
+       CAST(t.n_clips - coalesce(cl.n_dom, 0) AS BIGINT) AS n_diffuse,
+       CAST(coalesce(cl.c_pin, 0) AS BIGINT) AS c_pin,
+       CAST(coalesce(cl.s_pin, 0) AS BIGINT) AS s_pin
+FROM tot t LEFT JOIN cl USING (codec)
+""")
+def q_audio_goertzel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin spectral verification (operators/multimodal.py:
+    goertzel_profile): correlate decoded PCM against integer-quantized
+    cos/sin templates at the contract pitch and test whether that
+    frequency DOMINATES the clip's power (share >= 0.78 — clean clips
+    measure 0.842-0.866, the planted noise-corrupted rows 0.705-0.709,
+    so the threshold splits with ~9% margin on both sides). The
+    spectral complement of audio_rms_check: a clip can pass loudness
+    while carrying the wrong tone. Correlations are EXACT int64 sums
+    (Q15 round-half-even weights), so the oracle refolds identical
+    integers from the per-sample SQL twin and additionally pins
+    sum-mod-1000003 of every dominant clip's C and S — bit-exactness
+    of each correlation, not just the counts. Map-only Arrow stage;
+    bytes never shuffle.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import goertzel_profile, goertzel_share
+
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    g = goertzel_profile(clips)
+    share = goertzel_share(F.col("n_samples"), F.col("c_sum"),
+                           F.col("s_sum"), F.col("sum_sq"))
+    dom = (share >= F.lit(0.78))
+    pin = lambda c: F.when(dom, F.pmod(F.col(c), F.lit(1000003)))  # noqa: E731
+    agg = g.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(dom.cast("long")).alias("n_f0_dominant"),
+        F.coalesce(F.sum(pin("c_sum")), F.lit(0).cast("long"))
+        .alias("c_pin"),
+        F.coalesce(F.sum(pin("s_sum")), F.lit(0).cast("long"))
+        .alias("s_pin"))
+    return agg.select(
+        "codec", "n_clips", "n_f0_dominant",
+        (F.col("n_clips") - F.col("n_f0_dominant")).alias("n_diffuse"),
+        "c_pin", "s_pin")

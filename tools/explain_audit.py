@@ -679,6 +679,17 @@ CHECKS = {
         ("no Python stage (fingerprint is a JVM-side aggregate fold)",
          True, lambda p: "Python" not in p),
     ],
+    "audio_goertzel_check": [
+        ("exactly ONE Arrow decode stage beyond the fixture synth "
+         "(decode + correlate fused)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("bytes column absent from every exchange (5 scalars per clip "
+         "shuffle, payloads stay in their scan partitions)", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+        ("partial+final hash aggregate after the stage", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "class_balance": [
         ("no Window anywhere (totals broadcast-join back; an id-like "
          "label column cannot collapse into one task)", True,
