@@ -57,3 +57,53 @@ def norm_stats(df: DataFrame, vec_col: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.avg("nrm"), 6).alias("mean_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"))
+
+
+def dimension_drift(a: DataFrame, b: DataFrame, vec_col: str,
+                    yellow: float = 0.5,
+                    red: float = 1.5) -> DataFrame:
+    """Per-dimension distribution drift between two embedding snapshots
+    — the encoder-version-change detector: a silently retrained or
+    re-quantized encoder shifts individual dimensions' means long
+    before any norm or dead-dimension check moves, and every cosine
+    between old and new vectors quietly degrades.
+
+    ``shift_sigmas = |mean_b - mean_a| / stddev_a`` (the reference
+    snapshot's own spread is the unit, so the score is scale-free);
+    verdicts band on it. Both snapshots ride ONE scan: union with a
+    side tag → posexplode → a single partial+final (pos) aggregate
+    with per-side conditional stats — the exchange carries
+    |tasks| × dim rows regardless of corpus size (same shape as
+    :func:`dimension_stats`).
+
+    Output: pos, n_a, n_b, mean_a, mean_b, stddev_a, shift_sigmas,
+    verdict — one row per dimension.
+    """
+    tagged = (a.select(F.lit("a").alias("side"), F.col(vec_col))
+              .unionByName(
+                  b.select(F.lit("b").alias("side"), F.col(vec_col))))
+    x = (tagged.select("side", F.posexplode(vec_col).alias("pos", "v"))
+         .select("side", F.col("pos").cast("long").alias("pos"),
+                 F.col("v").cast("double").alias("v")))
+    va = F.when(F.col("side") == "a", F.col("v"))
+    vb = F.when(F.col("side") == "b", F.col("v"))
+    g = x.groupBy("pos").agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("__ma"),
+        F.avg(vb).alias("__mb"),
+        F.stddev_samp(va).alias("__sa"))
+    # try_divide: a constant reference dimension has stddev 0 — the
+    # shift is undefined (NULL), which never crosses a band, so an
+    # unchanged constant dim stays GREEN instead of aborting under ANSI
+    d = F.try_divide(F.abs(F.col("__mb") - F.col("__ma")), F.col("__sa"))
+    v = (F.when(d >= red, "RED")
+         .when(d >= yellow, "YELLOW")
+         .otherwise("GREEN"))
+    return g.select(
+        "pos", "n_a", "n_b",
+        F.round("__ma", 6).alias("mean_a"),
+        F.round("__mb", 6).alias("mean_b"),
+        F.round("__sa", 6).alias("stddev_a"),
+        F.round(d, 6).alias("shift_sigmas"),
+        v.alias("verdict"))

@@ -5181,3 +5181,66 @@ def q_audio_goertzel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codec", "n_clips", "n_f0_dominant",
         (F.col("n_clips") - F.col("n_f0_dominant")).alias("n_diffuse"),
         "c_pin", "s_pin")
+
+
+@register("embedding_drift", oracle="""
+WITH s AS (
+  SELECT ('0x' || substr(md5('snap:' || CAST(vec_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 2 AS side,
+         embedding
+  FROM embeddings),
+u AS (SELECT side, unnest(embedding) AS v0,
+             unnest(range(len(embedding))) AS pos
+      FROM s),
+x AS (SELECT side, pos,
+             CAST(v0 AS DOUBLE)
+             + CASE WHEN side = 1 AND pos = 3 THEN 0.25
+                    WHEN side = 1 AND pos = 7 THEN -0.12
+                    ELSE 0.0 END AS v
+      FROM u),
+g AS (SELECT pos,
+        count(v) FILTER (WHERE side = 0) AS n_a,
+        count(v) FILTER (WHERE side = 1) AS n_b,
+        avg(v) FILTER (WHERE side = 0) AS ma,
+        avg(v) FILTER (WHERE side = 1) AS mb,
+        stddev_samp(v) FILTER (WHERE side = 0) AS sa
+      FROM x GROUP BY pos)
+SELECT pos, n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(sa, 6) AS stddev_a,
+       round(abs(mb - ma) / sa, 6) AS shift_sigmas,
+       CASE WHEN abs(mb - ma) / sa >= 1.5 THEN 'RED'
+            WHEN abs(mb - ma) / sa >= 0.5 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM g
+""")
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two snapshots
+    (operators/embedding_qa.py:dimension_drift) — the encoder-version
+    -change detector: a retrained/re-quantized encoder shifts
+    per-dimension means long before norms or dead-dimension checks
+    move. Snapshots are the md5 halves of the corpus; the candidate
+    side gets a deterministic perturbation (dim 3 +0.25 → RED at 2.1σ,
+    dim 7 −0.12 → YELLOW at 0.77σ; natural split noise maxes at 0.26σ,
+    safely inside GREEN < 0.5σ) that both engines construct
+    identically, then each runs its own detection. ONE scan: union
+    with a side tag → posexplode → a single (pos) aggregate with
+    per-side conditional stats.
+    """
+    from ..operators.embedding_qa import dimension_drift
+    from ..operators.packing import hash32
+
+    e = load_table(spark, sf_dir, "embeddings")
+    side = F.pmod(hash32(F.col("vec_id"), "snap:"), F.lit(2))
+    a = e.filter(side == 0).select(
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    b = e.filter(side == 1).select(
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 3, F.lit(0.25))
+              .when(i == 7, F.lit(-0.12))
+              .otherwise(F.lit(0.0)))
+        .alias("embedding"))
+    return dimension_drift(a, b, "embedding")
