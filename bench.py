@@ -107,6 +107,7 @@ HEADLINE = [
     "audio_dynamic_range",
     "audio_silence_trim",
     "audio_zcr_check",
+    "audio_bandwidth_check",
     "audio_goertzel_check",
     "audio_chunks",
     "audio_resample",

@@ -76,7 +76,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
              emit_profile: bool = False,
              emit_energy: bool = False,
              emit_runs: bool = False,
-             emit_zcr: bool = False) -> DataFrame:
+             emit_zcr: bool = False,
+             emit_hfc: bool = False) -> DataFrame:
     """The ONE decode pass over the audio payload — every content-level
     check family is a column group off this single Arrow kernel, so a
     caller wanting SNR + header + sample-exact digests + amplitude
@@ -107,6 +108,14 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
       zero samples — the zero-crossing-rate feature (speech/music/noise
       discrimination) as exact integers over the recovered lattice.
       Null unless GREEN.
+    - ``emit_hfc``     : hfc = sum (v_j - v_{j-1})^2 over adjacent
+      samples — the first-difference energy. Normalized by pcm_sq_sum
+      it equals the spectrum-weighted mean of 4 sin^2(pi f / sr), i.e.
+      a one-pass effective-bandwidth estimate (for a pure tone at f the
+      ratio is exactly 4 sin^2(pi f / sr)); content band-limited far
+      below the declared Nyquist — upsampled/re-encoded ingest — shows
+      a tiny ratio. Exact int64 (|diff| <= 65534, so the sum overflows
+      only past 2^31 samples/clip). Null unless GREEN.
     - ``emit_runs``    : silent-run structure over the active mask
       |v| > SILENCE_THR — lead_sil / trail_sil (leading/trailing silent
       sample counts; = n_samples when the whole clip is silent),
@@ -119,7 +128,7 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
     """
     extra = list(extra_cols or [])
     emit_nsamp = (emit_digest or emit_profile or emit_energy or emit_runs
-                  or emit_zcr)
+                  or emit_zcr or emit_hfc)
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
     schema_parts = (
         ["clip_id string"]
@@ -144,6 +153,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             "max_sil_run long")
     if emit_zcr:
         schema_parts.append("zcr long, n_zero long")
+    if emit_hfc:
+        schema_parts.append("hfc long")
     out_schema = ", ".join(schema_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -168,6 +179,7 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             silruns = np.zeros(n, dtype=np.int64)
             zcrs = np.zeros(n, dtype=np.int64)
             nzeros = np.zeros(n, dtype=np.int64)
+            hfcs = np.zeros(n, dtype=np.int64)
             hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
@@ -225,6 +237,9 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                         zcrs[j] = int((v[1:].astype(np.int64)
                                        * v[:-1] < 0).sum()) if len(v) > 1 else 0
                         nzeros[j] = int((v == 0).sum())
+                    if emit_hfc:
+                        d = np.diff(v)
+                        hfcs[j] = int((d * d).sum()) if len(v) > 1 else 0
                     if emit_runs:
                         act = np.abs(v) > SILENCE_THR
                         idx = np.flatnonzero(act)
@@ -290,6 +305,9 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                 arrays += [pa.array(zcrs, pa.int64(), mask=~mask),
                            pa.array(nzeros, pa.int64(), mask=~mask)]
                 names += ["zcr", "n_zero"]
+            if emit_hfc:
+                arrays.append(pa.array(hfcs, pa.int64(), mask=~mask))
+                names.append("hfc")
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return clips.select(*in_cols).mapInArrow(scan, out_schema)
@@ -467,3 +485,32 @@ def pcm_zcr_profile(clips: DataFrame,
     return pcm_scan(clips, threshold_db, extra,
                     emit_zcr=True).select(
         "clip_id", *extra, "verdict", "n_samples", "zcr", "n_zero")
+
+
+def pcm_bandwidth_profile(clips: DataFrame,
+                          extra_cols: list[str] | None = None,
+                          threshold_db: float = SNR_THRESHOLD_DB
+                          ) -> DataFrame:
+    """Effective-bandwidth profile of every clip's decoded PCM stream —
+    the upsample/re-encode detector: content whose spectrum sits far
+    below the declared Nyquist (an 8 kHz phone recording stored as a
+    48 kHz clip, or a low-bitrate transcode) is flagged before it
+    inflates a training corpus with empty bandwidth.
+
+    Emits per clip: n_samples, hfc = Σ(v_j − v_{j-1})² (first-difference
+    energy) and pcm_sq_sum = Σv². Their ratio is the spectrum-weighted
+    mean of 4·sin²(π·f/sr) — exactly 4·sin²(π·f/sr) for a pure tone —
+    so ``hfc·10⁴ DIV Σv²`` is a fixed-point effective-bandwidth
+    occupancy that downstream banding keeps in pure int64 (f_eff <
+    Nyquist/4 ⇔ ratio < 4·sin²(π/8) ⇔ fp < 5858), and a DuckDB oracle
+    reproduces every band count bit-for-bit from the analytic
+    per-sample twin. RED clips carry nulls.
+
+    Facade over :func:`pcm_scan` (one decode pass, map-only Arrow; ~28
+    bytes/clip travel onward, the payload never shuffles). At 10^12
+    clips the profile aggregates map-side into |codec| rows.
+    """
+    extra = list(extra_cols or [])
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_energy=True, emit_hfc=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "pcm_sq_sum", "hfc")

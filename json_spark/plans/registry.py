@@ -1218,6 +1218,86 @@ def q_audio_zcr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_zero_clips")))
 
 
+@register("audio_bandwidth_check", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+dif AS (
+  SELECT i, clip_id, codec, v,
+         lag(v) OVER (PARTITION BY i ORDER BY j) AS pv
+  FROM samples),
+per_row AS (
+  SELECT i, clip_id, codec,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(v*v) AS BIGINT) AS sq,
+         CAST(COALESCE(SUM((v - pv)*(v - pv))
+                       FILTER (WHERE pv IS NOT NULL), 0) AS BIGINT) AS hfc
+  FROM dif GROUP BY i, clip_id, codec),
+per AS (
+  SELECT clip_id, codec, SUM(n) AS n, SUM(sq) AS sq, SUM(hfc) AS hfc
+  FROM per_row GROUP BY clip_id, codec),
+band AS (
+  SELECT codec, n, sq, hfc,
+         CASE WHEN sq > 0 THEN (hfc * 10000) // sq END AS nhfc_fp
+  FROM per)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(hfc) AS BIGINT) AS hfc_sum,
+       CAST(SUM(sq) AS BIGINT) AS pcm_sq_sum,
+       CAST(MIN(nhfc_fp) AS BIGINT) AS nhfc_fp_min,
+       CAST(MAX(nhfc_fp) AS BIGINT) AS nhfc_fp_max,
+       CAST(count(*) FILTER (WHERE nhfc_fp < 5858) AS BIGINT)
+         AS n_oversampled,
+       CAST(count(*) FILTER (WHERE nhfc_fp < 384) AS BIGINT)
+         AS n_narrowband
+FROM band GROUP BY codec
+""")
+def q_audio_bandwidth_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bandwidth occupancy validation on decoded CONTENT —
+    the upsample/re-encode detector a training pipeline runs before
+    audio enters a corpus: content band-limited far below its declared
+    Nyquist (telephone speech re-stored at 48 kHz, low-bitrate
+    transcodes) wastes storage and lies to any sr-conditioned model.
+    Per clip the first-difference energy ratio Σ(Δv)²/Σv² equals the
+    spectrum-weighted mean of 4·sin²(π·f/sr) — a one-pass bandwidth
+    estimate needing no FFT — and ``·10⁴ DIV`` keeps it in pure int64
+    fixed point: f_eff < Nyquist/4 ⇔ fp < 5858 (upsample-suspect),
+    f_eff < Nyquist/16 ⇔ fp < 384 (narrowband — the fixture's drifted
+    high-sr codec lands here wholesale, the planted story). Per codec:
+    clip/sample counts, exact Σ(Δv)² and Σv² pins, the fp min/max, and
+    both band counts. Duplicate-id pairs merge per clip_id before
+    banding; RED clips (planted noise) are excluded by the engine's
+    SNR verdict on one side, the generator contract (i %% 997) on the
+    other — the oracle reproduces every integer from a lag window over
+    the analytic per-sample twin without reading a byte. Reinterprets
+    the reference's declared-vs-actual tolerance checks
+    (internal/dirty/decoder.go coercions) in the spectral domain.
+
+    Scale shape: one map-only Arrow decode pass (fused pcm_scan kernel,
+    emit_energy+emit_hfc groups, ~28 bytes/clip onward), a clip_id
+    partial+final hash agg, then a |codec|-row agg — no per-sample rows
+    ever exist on the Spark side and the payload never shuffles.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_bandwidth_profile
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    per = (pcm_bandwidth_profile(clips, extra_cols=["codec"])
+           .filter(F.col("verdict") == "GREEN")
+           .groupBy("clip_id", "codec")
+           .agg(F.sum("n_samples").alias("n"),
+                F.sum("pcm_sq_sum").alias("sq"),
+                F.sum("hfc").alias("hfc")))
+    fp = F.expr("CASE WHEN sq > 0 THEN hfc * 10000 DIV sq END")
+    return per.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n").alias("n_samples"),
+        F.sum("hfc").alias("hfc_sum"),
+        F.sum("sq").alias("pcm_sq_sum"),
+        F.min(fp).alias("nhfc_fp_min"),
+        F.max(fp).alias("nhfc_fp_max"),
+        F.sum((fp < 5858).cast("long")).alias("n_oversampled"),
+        F.sum((fp < 384).cast("long")).alias("n_narrowband"))
+
+
 @register("suite_content_verdicts", oracle=f"""
 WITH {_PCM_SAMPLES_CTE},
 part AS (

@@ -578,6 +578,20 @@ CHECKS = {
         ("partial+final hash aggregate", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "audio_bandwidth_check": [
+        # bandwidth banding is int64 Column arithmetic over the fused
+        # decode's per-clip scalars; no FFT, no per-sample rows
+        ("exactly two unique Python stages (fixture source + fused "
+         "energy+hfc decode)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("bytes column absent from every exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no window exec (hfc computed in-kernel)", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
     "audio_silence_trim": [
         # run detection happens inside the Arrow kernel — no per-sample
         # rows, no window, straight to the |codec|-row aggregate
