@@ -107,3 +107,38 @@ def dimension_drift(a: DataFrame, b: DataFrame, vec_col: str,
         F.round("__sa", 6).alias("stddev_a"),
         F.round(d, 6).alias("shift_sigmas"),
         v.alias("verdict"))
+
+
+def quantization_check(df: DataFrame, vec_col: str,
+                       levels: int = 127,
+                       frac_threshold: float = 0.99) -> DataFrame:
+    """Per-dimension quantization detection — the silent-int8 detector:
+    embeddings that passed through a quantized store or a lossy
+    serialization land exactly on the k/``levels`` lattice, which
+    costs recall in every downstream cosine/ANN stage long before any
+    mean or norm statistic moves. A dimension is QUANTIZED when ≥
+    ``frac_threshold`` of its values sit on the lattice (|v·levels −
+    nearest int| < 1e-5 in double — float32 storage of k/levels
+    lands within 127·2⁻²⁴ ≈ 7.6e-6, inside the tolerance, while
+    continuous values land within it with probability ~2·10⁻⁵ each).
+
+    Output: pos, n, n_lattice, lattice_frac, verdict — one row per
+    dimension. Same scale shape as :func:`dimension_stats`: posexplode
+    → ONE partial+final (pos) hash aggregate; the exchange carries
+    |tasks| × dim rows regardless of corpus size.
+    """
+    x = (df.select(F.posexplode(vec_col).alias("pos", "v"))
+         .select(F.col("pos").cast("long").alias("pos"),
+                 F.col("v").cast("double").alias("v")))
+    scaled = F.col("v") * F.lit(float(levels))
+    on_lattice = (F.abs(scaled - F.floor(scaled + F.lit(0.5)))
+                  < F.lit(1e-5))
+    g = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(on_lattice.cast("long")).alias("n_lattice"))
+    frac = F.try_divide(F.col("n_lattice"), F.col("n"))
+    return g.select(
+        "pos", "n", "n_lattice",
+        F.round(frac, 6).alias("lattice_frac"),
+        F.when(frac >= frac_threshold, "QUANTIZED")
+         .otherwise("OK").alias("verdict"))

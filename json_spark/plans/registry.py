@@ -5324,3 +5324,53 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.lit(0.0)))
         .alias("embedding"))
     return dimension_drift(a, b, "embedding")
+
+
+@register("embedding_quantization", oracle="""
+WITH u AS (
+  SELECT unnest(embedding) AS v0,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings),
+x AS (SELECT pos,
+             CASE WHEN pos IN (2, 5)
+                  THEN CAST(CAST(floor(CAST(v0 AS DOUBLE) * 127 + 0.5) / 127
+                                 AS REAL) AS DOUBLE)
+                  ELSE CAST(v0 AS DOUBLE) END AS v
+      FROM u),
+g AS (SELECT pos, count(*) AS n,
+             count(*) FILTER (
+               WHERE abs(v * 127 - floor(v * 127 + 0.5)) < 1e-5)
+               AS n_lattice
+      FROM x GROUP BY pos)
+SELECT pos, n, n_lattice,
+       round(CAST(n_lattice AS DOUBLE) / n, 6) AS lattice_frac,
+       CASE WHEN CAST(n_lattice AS DOUBLE) / n >= 0.99 THEN 'QUANTIZED'
+            ELSE 'OK' END AS verdict
+FROM g
+""")
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantization detection
+    (operators/embedding_qa.py:quantization_check) — the silent-int8
+    detector: dims 2 and 5 are round-tripped through a symmetric int8
+    lattice (floor(v·127+0.5)/127, stored as float32) exactly as a
+    quantized store would, both engines constructing the perturbation
+    identically, then each runs its own lattice-membership detection
+    (|v·127 − nearest int| < 1e-5). Expected: dims 2/5 QUANTIZED at
+    frac 1.0, all other dims OK at frac ~0. ONE scan: posexplode → a
+    single (pos) partial+final aggregate with a conditional count —
+    the exchange carries |tasks| × dim rows at any corpus size.
+    Reinterprets the reference's declared-vs-actual tolerance checks
+    (internal/dirty/decoder.go) for the vector-payload column.
+    """
+    from ..operators.embedding_qa import quantization_check
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mixed = e.select(
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((i == 2) | (i == 5),
+                                (F.floor(x.cast("double") * 127
+                                         + F.lit(0.5)) / 127)
+                                .cast("float").cast("double"))
+            .otherwise(x.cast("double"))).alias("embedding"))
+    return quantization_check(mixed, "embedding")

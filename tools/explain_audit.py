@@ -705,6 +705,18 @@ CHECKS = {
          lambda p: "Window" not in p.split("== CODEGEN ==")[0]
          and "Python" not in p),
     ],
+    "embedding_quantization": [
+        ("ONE exchange: the (pos) aggregate — map-side combine "
+         "collapses the posexplode to |tasks| x dim before the shuffle",
+         True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange hashpartitioning",
+                                  p.split("== CODEGEN ==")[0])) <= 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no Window, no Python stage", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]
+         and "Python" not in p),
+    ],
     "audio_goertzel_check": [
         ("exactly ONE Arrow decode stage beyond the fixture synth "
          "(decode + correlate fused)", True,
