@@ -1320,6 +1320,22 @@ sil AS (
                (count(*) FILTER (WHERE abs(v) <= 164))
                  / CAST(count(*) AS DOUBLE) AS ratio
         FROM samples GROUP BY 1, 2)
+  GROUP BY 1),
+bw AS (
+  SELECT partition_id,
+         CAST(count(*) FILTER (WHERE (hfc * 10000) // sq < 384) AS BIGINT)
+           AS n_bw_yellow,
+         CAST(sum(hfc) AS BIGINT) AS hfc_sum,
+         CAST(sum(sq) AS BIGINT) AS sq_sum
+  FROM (SELECT i, codec AS partition_id,
+               CAST(SUM(v*v) AS BIGINT) AS sq,
+               CAST(COALESCE(SUM((v - pv)*(v - pv))
+                             FILTER (WHERE pv IS NOT NULL), 0) AS BIGINT)
+                 AS hfc
+        FROM (SELECT i, codec, v,
+                     lag(v) OVER (PARTITION BY i ORDER BY j) AS pv
+              FROM samples)
+        GROUP BY 1, 2)
   GROUP BY 1)
 SELECT p.partition_id, 'pcm_content' AS check_name,
        CASE WHEN p.n_red > 0 THEN 'RED' ELSE 'GREEN' END AS verdict,
@@ -1337,19 +1353,30 @@ SELECT p.partition_id, 'silence',
        '{{"n_silence":' || d.n_silence || ',"n_ceiling":' || d.n_ceiling
          || '}}'
 FROM part p JOIN dig d USING (partition_id) JOIN sil s USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'bandwidth',
+       CASE WHEN p.n_red > 0 THEN 'RED'
+            WHEN b.n_bw_yellow > 0 THEN 'YELLOW' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - p.n_red - b.n_bw_yellow, b.n_bw_yellow, p.n_red,
+       '{{"hfc_sum":' || b.hfc_sum || ',"pcm_sq_sum":' || b.sq_sum
+         || '}}'
+FROM part p JOIN bw b USING (partition_id)
 """)
 def q_suite_content_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ValidationSuite run with ``content_checks=True``: the
-    sample-exact PCM content check and the silence-curation check ride
-    the SAME single scan of ``bytes`` as header + SNR (pcm_scan emits
-    all four column groups from one container decode — plans/suite.py:
-    check_media). The oracle re-derives both verdict rows per codec
-    partition without reading a byte: verdict/row counts come from the
-    planted corruption arithmetic (i % 997), and metrics_json is
-    rebuilt integer-for-integer from the analytic per-sample twin
-    (pure-SQL trigonometry with the numpy float pipeline pinned), so a
-    hash match proves the fused pass aggregates the exact decoded
-    samples into the exact JSON the engine emits. Complements
+    sample-exact PCM content check, the silence-curation check, and the
+    effective-bandwidth (upsample-suspect) check ride the SAME single
+    scan of ``bytes`` as header + SNR (pcm_scan emits all six column
+    groups from one container decode — plans/suite.py:check_media). The
+    oracle re-derives all three verdict rows per codec partition
+    without reading a byte: verdict/row counts come from the planted
+    corruption arithmetic (i % 997), and metrics_json is rebuilt
+    integer-for-integer from the analytic per-sample twin (pure-SQL
+    trigonometry with the numpy float pipeline pinned), so a hash match
+    proves the fused pass aggregates the exact decoded samples into the
+    exact JSON the engine emits. The bandwidth family's planted story:
+    the drifted 'opus' partition (sr from {{44100, 48000}} only, content
+    ≤ 3·1096 Hz) goes YELLOW wholesale. Complements
     suite_partition_verdicts, which pins the other six check families
     of the same suite.
     """
@@ -1358,7 +1385,8 @@ def q_suite_content_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, _SNR_N, partitions=8)
     res = ValidationSuite(SuiteConfig(content_checks=True)).run(spark, clips)
     return res.partition_verdicts.filter(
-        F.col("check_name").isin("pcm_content", "silence")).select(
+        F.col("check_name").isin("pcm_content", "silence", "bandwidth")
+    ).select(
         "partition_id", "check_name", "verdict", "n_rows",
         "n_green", "n_yellow", "n_red", "metrics_json")
 

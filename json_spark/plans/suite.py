@@ -68,6 +68,10 @@ class SuiteConfig:
     content_checks: bool = False
     #: per-clip YELLOW when near-silent samples exceed this share
     max_silence_ratio: float = 0.5
+    #: per-clip YELLOW when the effective-bandwidth occupancy fixed
+    #: point (Σ(Δv)²·10⁴ DIV Σv²) falls below this — 384 ⇔ f_eff <
+    #: Nyquist/16, the upsample-suspect band (content_checks only)
+    bandwidth_fp_yellow: int = 384
     drift_bins: int = 10
     #: columns drifted-checked (north star: sr_hz AND dur_ms) with their
     #: fixed bucket ranges — shared by baseline and current so edges match
@@ -460,11 +464,12 @@ class ValidationSuite:
         remains the zero-Python path when only header integrity is wanted.
 
         Returns (header_verdicts, header_violations, snr_verdicts,
-        snr_violations); with ``cfg.content_checks`` two more verdict
-        frames (pcm_content, silence) and one more violation frame ride
-        the SAME decode pass — pcm_scan emits the sample-exact digest and
-        amplitude-profile column groups next to header + SNR, so four
-        check families cost one scan of the binary column.
+        snr_violations); with ``cfg.content_checks`` three more verdict
+        frames (pcm_content, silence, bandwidth) and two more violation
+        frames ride the SAME decode pass — pcm_scan emits the
+        sample-exact digest, amplitude-profile, and energy+hfc column
+        groups next to header + SNR, so five check families cost one
+        scan of the binary column.
         """
         c = self.cfg
         content = c.content_checks
@@ -478,7 +483,8 @@ class ValidationSuite:
         raw = pcm_scan(enriched, c.snr_threshold_db,
                        extra_cols=[c.partition_col, "sr_hz"],
                        emit_header=True,
-                       emit_digest=content, emit_profile=content)
+                       emit_digest=content, emit_profile=content,
+                       emit_energy=content, emit_hfc=content)
         container_ok = (F.col("riff_ok")
                         & (F.col("payload_len") == 44 + F.col("data_bytes")))
         sr_ok = F.col("hdr_sr_hz") == F.col("sr_hz").cast("bigint")
@@ -497,10 +503,18 @@ class ValidationSuite:
         sil_bad = F.coalesce(
             F.col("n_silence") > c.max_silence_ratio * F.col("n_samples"),
             F.lit(False)) if content else F.lit(False)
-        viol_cond = snr_red | (hdr_code != 0) | sil_bad
+        # effective-bandwidth fixed point off the same scan's energy+hfc
+        # scalars (null on RED clips, so the YELLOW never double-counts)
+        nhfc_fp = F.expr(
+            "CASE WHEN pcm_sq_sum > 0 THEN hfc * 10000 DIV pcm_sq_sum END")
+        bw_bad = (F.coalesce(nhfc_fp < c.bandwidth_fp_yellow, F.lit(False))
+                  if content else F.lit(False))
+        viol_cond = snr_red | (hdr_code != 0) | sil_bad | bw_bad
         content_cols = ([
             "n_samples", "pcm_sum", "pcm_abs_sum", "pcm_jv_sum",
             "n_silence", "n_ceiling", sil_bad.alias("sil_bad"),
+            "hfc", "pcm_sq_sum", nhfc_fp.alias("nhfc_fp"),
+            bw_bad.alias("bw_bad"),
         ] if content else [])
         slim = self._p(raw.select(
             F.col(c.partition_col).alias("partition_id"),
@@ -527,6 +541,9 @@ class ValidationSuite:
             F.sum("n_silence").alias("c_n_silence"),
             F.sum("n_ceiling").alias("c_n_ceiling"),
             F.sum(F.col("sil_bad").cast("long")).alias("n_sil_yellow"),
+            F.sum("hfc").alias("c_hfc_sum"),
+            F.sum("pcm_sq_sum").alias("c_sq_sum"),
+            F.sum(F.col("bw_bad").cast("long")).alias("n_bw_yellow"),
         ] if content else [])
         agg = self._p(slim.groupBy("partition_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -573,7 +590,8 @@ class ValidationSuite:
         )
         viol_base = slim.filter(F.col("viol_info").isNotNull()).select(
             "partition_id", "snr_db", "snr_red", "hdr_code",
-            *(["sil_bad", "n_silence", "n_samples"] if content else []),
+            *(["sil_bad", "n_silence", "n_samples", "bw_bad", "nhfc_fp"]
+              if content else []),
             F.split("viol_info", "\x00").getItem(0).alias("clip_id"),
             F.split("viol_info", "\x00").getItem(1).alias("hdr_sr"),
             F.split("viol_info", "\x00").getItem(2).alias("meta_sr"),
@@ -657,7 +675,36 @@ class ValidationSuite:
                          F.col("n_samples").cast("string")),
                 1, 50).alias("offending_value_trunc50"),
         )
-        return hv, hviol, sv, sviol, pcv, silv, silviol
+        bwv = agg.select(
+            "partition_id",
+            F.lit("bandwidth").alias("check_name"),
+            F.when(F.col("n_snr_red") > 0, "RED")
+            .when(F.col("n_bw_yellow") > 0, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_snr_red") - F.col("n_bw_yellow"))
+            .alias("n_green"),
+            F.col("n_bw_yellow").cast("long").alias("n_yellow"),
+            F.col("n_snr_red").cast("long").alias("n_red"),
+            F.concat(
+                F.lit('{"hfc_sum":'),
+                F.coalesce(F.col("c_hfc_sum").cast("string"), F.lit("0")),
+                F.lit(',"pcm_sq_sum":'),
+                F.coalesce(F.col("c_sq_sum").cast("string"), F.lit("0")),
+                F.lit("}")).alias("metrics_json"),
+        )
+        bwviol = viol_base.filter(F.col("bw_bad")).select(
+            "clip_id",
+            "partition_id",
+            F.lit("bandwidth").alias("check_name"),
+            F.lit("effective bandwidth below Nyquist/16 "
+                  "(upsample suspect)").alias("reason"),
+            F.substring(
+                F.concat(F.lit("nhfc_fp="),
+                         F.col("nhfc_fp").cast("string")),
+                1, 50).alias("offending_value_trunc50"),
+        )
+        return hv, hviol, sv, sviol, pcv, silv, bwv, silviol, bwviol
 
     def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
@@ -773,10 +820,12 @@ class ValidationSuite:
         verdict_frames.append(sv)
         violation_frames.append(sviol)
         if c.content_checks:
-            pcv, silv, silviol = media[4:]
+            pcv, silv, bwv, silviol, bwviol = media[4:]
             verdict_frames.append(pcv)
             verdict_frames.append(silv)
+            verdict_frames.append(bwv)
             violation_frames.append(silviol)
+            violation_frames.append(bwviol)
 
         verdicts = verdict_frames[0]
         for fdf in verdict_frames[1:]:

@@ -172,12 +172,13 @@ def content_result(spark, fixture_dir) -> SuiteResult:
 
 
 def test_content_checks_ride_the_media_pass(content_result):
-    """content_checks=True adds pcm_content + silence verdict rows per
-    partition, served by the same single decode pass as header + snr."""
+    """content_checks=True adds pcm_content + silence + bandwidth verdict
+    rows per partition, served by the same single decode pass as
+    header + snr."""
     names = {r["check_name"] for r in
              content_result.partition_verdicts.select("check_name")
              .distinct().collect()}
-    assert {"pcm_content", "silence", "header", "snr"} <= names
+    assert {"pcm_content", "silence", "bandwidth", "header", "snr"} <= names
 
 
 def test_pcm_content_matches_standalone_digest(spark, fixture_dir,
@@ -285,3 +286,28 @@ def test_join_fanout_profile_exact_and_ties(spark):
 
     hot = join_fanout_profile(left, right, "k", max_fanout=5).collect()[0]
     assert hot["verdict"] == "RED"
+
+
+def test_bandwidth_check_flags_drifted_codec(content_result):
+    """The planted upsample story: 'opus' draws sr from {44100, 48000}
+    while content tops out at 3·1096 Hz, so every decodable opus clip
+    sits below Nyquist/16 → the opus partition's bandwidth verdict is
+    YELLOW (or RED if it also holds a planted-noise clip) with
+    n_yellow = n_rows − n_red, and violations carry the fixed-point
+    occupancy."""
+    rows = {r["partition_id"]: r for r in
+            content_result.partition_verdicts.filter(
+                F.col("check_name") == "bandwidth").collect()}
+    opus = rows["opus"]
+    assert opus["verdict"] in ("YELLOW", "RED")
+    assert opus["n_yellow"] == opus["n_rows"] - opus["n_red"]
+    viol = content_result.violations.filter(
+        (F.col("check_name") == "bandwidth")
+        & (F.col("partition_id") == "opus")).collect()
+    assert len(viol) == opus["n_yellow"]
+    assert all(v["offending_value_trunc50"].startswith("nhfc_fp=")
+               for v in viol)
+    import json as _json
+    for r in rows.values():
+        m = _json.loads(r["metrics_json"])
+        assert m["hfc_sum"] >= 0 and m["pcm_sq_sum"] > 0
