@@ -551,6 +551,41 @@ def dedup_representatives(pairs: DataFrame) -> DataFrame:
     )
 
 
+def canonical_representatives(labels: DataFrame, scored: DataFrame,
+                              id_col: str, score_col: str) -> DataFrame:
+    """Quality-aware canonical selection — the step AFTER clustering that
+    decides which copy survives: per duplicate cluster keep the member
+    with the highest ``score_col`` (min id among exact ties, so the
+    choice is deterministic), instead of the blind min-id rule
+    ``dedup_representatives`` applies. Near-dup clusters routinely mix a
+    clean original with truncated/boilerplated copies; keeping by
+    quality instead of by id measurably improves the surviving corpus.
+
+    ``labels`` is ``duplicate_clusters`` output (id, cluster_id);
+    ``scored`` carries (id_col, score_col) for at least every member.
+
+    Output: cluster_id, kept_id, best_score, n_members, n_dropped.
+
+    Scale shape: one equi-join of the member set against the score
+    table (members ≪ corpus — the join shuffles on the id key), then
+    two cluster-keyed partial+final aggregates (max-score, then
+    min-id-among-ties). No windows, no collects; every exchange is
+    bounded by the duplicate-member count, not the corpus.
+    """
+    m = labels.join(
+        scored.select(F.col(id_col).alias("id"),
+                      F.col(score_col).alias("__score")), "id")
+    best = m.groupBy("cluster_id").agg(
+        F.max("__score").alias("best_score"),
+        F.count(F.lit(1)).alias("n_members"))
+    return (m.join(best, "cluster_id")
+            .filter(F.col("__score") == F.col("best_score"))
+            .groupBy("cluster_id", "best_score", "n_members")
+            .agg(F.min("id").alias("kept_id"))
+            .select("cluster_id", "kept_id", "best_score", "n_members",
+                    (F.col("n_members") - 1).alias("n_dropped")))
+
+
 # ---------------------------------------------------------------------------
 # Embedding LSH (random hyperplanes) — the 100 TB embedding-dedup path
 # ---------------------------------------------------------------------------

@@ -1832,6 +1832,80 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("dedup_canonical", oracle=f"""
+WITH RECURSIVE s AS ({_SHINGLE3_SQL}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT doc_id AS id,
+         least(1.0, n_tokens / 50.0) * 0.5
+         + (n_stop::DOUBLE / n_tokens) * 0.3
+         + (1.0 - n_punct::DOUBLE / n_chars) * 0.2 AS score
+  FROM (SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','it')))
+                 AS n_stop,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        FROM documents)),
+m AS (SELECT l.cluster_id, l.id, sc.score
+      FROM labels l JOIN scored sc USING (id)),
+best AS (SELECT cluster_id, max(score) AS best_score,
+                CAST(count(*) AS BIGINT) AS n_members
+         FROM m GROUP BY cluster_id)
+SELECT m.cluster_id, CAST(min(m.id) AS BIGINT) AS kept_id,
+       round(b.best_score, 6) AS best_score, b.n_members,
+       b.n_members - 1 AS n_dropped
+FROM m JOIN best b USING (cluster_id)
+WHERE m.score = b.best_score
+GROUP BY m.cluster_id, b.best_score, b.n_members
+""")
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over text near-dup clusters
+    (operators/dedup.py:canonical_representatives) — the keep/drop
+    decision a curation pipeline actually ships: per duplicate cluster
+    keep the highest-quality member (text.py:quality_features score;
+    min doc_id among exact ties — identical copies tie exactly), not
+    the blind min-id representative. Pair generation is the PRODUCTION
+    path (MinHash-banded candidates + exact Jaccard verify, the same
+    contract dedup_minhash_lsh pins); the oracle closes the exhaustive
+    pair set with a recursive CTE and replays the score arithmetic the
+    text_quality oracle already proves bit-identical.
+
+    Scale shape: LSH pair generation (banded equality self-join), min-
+    label propagation (O(diameter) rounds over the member set), one
+    member×score equi-join, two cluster-keyed map-combinable aggs —
+    every post-banding exchange is bounded by the duplicate-member
+    count, never the corpus.
+    """
+    from ..operators.dedup import canonical_representatives
+    from ..operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3,
+                              num_hashes=32, bands=16, threshold=0.5)
+    labels = duplicate_clusters(pairs)
+    scored = d.select(
+        "doc_id",
+        quality_features(F.col("text"))["quality_score"].alias("score"))
+    out = canonical_representatives(labels, scored, "doc_id", "score")
+    return out.select("cluster_id", "kept_id",
+                      F.round("best_score", 6).alias("best_score"),
+                      "n_members", "n_dropped")
+
+
 _TEST_SHINGLE3_SQL = """
   SELECT doc_id,
          list_distinct(CASE WHEN len(toks) >= 3

@@ -1,0 +1,59 @@
+"""canonical_representatives (operators/dedup.py): quality-aware
+keep/drop — highest score wins, exact ties fall to min id, and the
+output accounts for every member exactly once."""
+
+from pyspark.sql import functions as F
+
+from json_spark.operators.dedup import (canonical_representatives,
+                                        duplicate_clusters)
+
+
+def _frames(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, cluster_id long")
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4), (99, 1.0)],
+        "doc_id long, s double")
+    return labels, scored
+
+
+def test_best_quality_wins_min_id_breaks_ties(spark):
+    labels, scored = _frames(spark)
+    out = {r["cluster_id"]: r for r in canonical_representatives(
+        labels, scored, "doc_id", "s").collect()}
+    # cluster 1: ids 2 and 3 tie at 0.9 -> min id 2 kept, 2 dropped
+    assert out[1]["kept_id"] == 2
+    assert out[1]["best_score"] == 0.9
+    assert (out[1]["n_members"], out[1]["n_dropped"]) == (3, 2)
+    # cluster 10: 0.5 beats 0.4
+    assert out[10]["kept_id"] == 10 and out[10]["n_dropped"] == 1
+    # unclustered docs (99) never appear
+    assert set(out) == {1, 10}
+
+
+def test_end_to_end_clusters_keep_by_quality(spark):
+    """Pairs -> components -> canonical: the kept member is the argmax
+    of the score within each component, not the min id."""
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7)], "id_a long, id_b long")
+    labels = duplicate_clusters(pairs)
+    scored = spark.createDataFrame(
+        [(5, 0.1), (6, 0.3), (7, 0.8)], "doc_id long, s double")
+    out = canonical_representatives(
+        labels, scored, "doc_id", "s").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cluster_id"] == 5 and r["kept_id"] == 7
+    assert r["n_members"] == 3 and r["n_dropped"] == 2
+
+
+def test_registry_invariants(spark, sf_dir):
+    """Every cluster keeps exactly one member; kept_id belongs to the
+    cluster closure; n_dropped sums to members minus clusters."""
+    import __spark_entry__ as e
+    rows = e.queries()["dedup_canonical"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["n_members"] >= 2 for r in rows)
+    assert all(r["n_dropped"] == r["n_members"] - 1 for r in rows)
+    assert all(r["kept_id"] >= r["cluster_id"] for r in rows)

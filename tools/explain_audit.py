@@ -135,6 +135,18 @@ CHECKS = {
         ("equality join on band key (no cartesian)", True,
          lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
     ],
+    "dedup_canonical": [
+        # label propagation result is a cached member set; selection is
+        # join + two cluster-keyed aggregates — never a cartesian or a
+        # window over the corpus
+        ("no cartesian/nested-loop anywhere", True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("partial+final hash aggregates (argmax via max-score join, "
+         "not a rank window — the only Windows are the pair pipeline's "
+         "key-partitioned bucket caps)", True,
+         lambda p: p.count("HashAggregate") >= 2
+         and "Exchange SinglePartition" not in p.split("== CODEGEN ==")[0]),
+    ],
     "ann_cosine_topk": [
         ("queries broadcast", True, lambda p: "Broadcast" in p),
         ("windowed top-k", True, lambda p: "Window" in p),
