@@ -208,6 +208,7 @@ def streaming_content_verdicts(
     watermark: str = "2 minutes",
     group_col: str = "codec",
     threshold_db: float | None = None,
+    bandwidth_fp_yellow: int = 384,
 ) -> DataFrame:
     """CONTENT-level validation of a streaming clips ingest: the fused
     batch decode kernel (operators/snr.py:pcm_scan — SNR vs the
@@ -226,24 +227,30 @@ def streaming_content_verdicts(
     the map stage.
 
     Emits per (window, group): n_rows, n_green / n_red (reference-SNR
-    verdict), n_hdr_bad (container broken/truncated), min/mean snr_db
-    over decodable clips, and the worst-of GREEN/RED window verdict.
-    State is the standard streaming agg keyed on (window, group) —
-    O(windows x groups), independent of stream volume; the map stage
-    holds no state at all, so the payload column never enters the
-    state store.
+    verdict), n_hdr_bad (container broken/truncated), n_bw_yellow
+    (effective-bandwidth occupancy below ``bandwidth_fp_yellow`` —
+    upsample suspects off the same scan's energy+hfc scalars, the
+    streaming twin of the batch suite's bandwidth family), min/mean
+    snr_db over decodable clips, and the worst-of RED/YELLOW/GREEN
+    window verdict. State is the standard streaming agg keyed on
+    (window, group) — O(windows x groups), independent of stream
+    volume; the map stage holds no state at all, so the payload column
+    never enters the state store.
     """
     from ..operators.snr import SNR_THRESHOLD_DB, pcm_scan
     thr = SNR_THRESHOLD_DB if threshold_db is None else threshold_db
     pre = stream.withColumn(
         "__evus", F.unix_micros(F.col(event_time_col)).cast("string"))
     scanned = pcm_scan(pre, thr, extra_cols=[group_col, "__evus"],
-                       emit_header=True)
+                       emit_header=True, emit_energy=True, emit_hfc=True)
     with_ts = scanned.withColumn(
         event_time_col,
         F.timestamp_micros(F.col("__evus").cast("long")))
     red = F.col("verdict") == "RED"
     hdr_bad = ~F.coalesce(F.col("riff_ok"), F.lit(False))
+    nhfc_fp = F.expr(
+        "CASE WHEN pcm_sq_sum > 0 THEN hfc * 10000 DIV pcm_sq_sum END")
+    bw_bad = F.coalesce(nhfc_fp < bandwidth_fp_yellow, F.lit(False))
     return (
         with_ts.withWatermark(event_time_col, watermark)
         .groupBy(F.window(F.col(event_time_col), window_duration),
@@ -253,6 +260,7 @@ def streaming_content_verdicts(
             F.sum((~red).cast("long")).alias("n_green"),
             F.sum(red.cast("long")).alias("n_red"),
             F.sum(hdr_bad.cast("long")).alias("n_hdr_bad"),
+            F.sum(bw_bad.cast("long")).alias("n_bw_yellow"),
             F.min("snr_db").alias("min_snr_db"),
             F.avg("snr_db").alias("mean_snr_db"),
         )
@@ -260,9 +268,10 @@ def streaming_content_verdicts(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             F.col(group_col),
-            "n_rows", "n_green", "n_red", "n_hdr_bad",
+            "n_rows", "n_green", "n_red", "n_hdr_bad", "n_bw_yellow",
             "min_snr_db", "mean_snr_db",
             F.when((F.col("n_red") > 0) | (F.col("n_hdr_bad") > 0), "RED")
+            .when(F.col("n_bw_yellow") > 0, "YELLOW")
             .otherwise("GREEN").alias("verdict"),
         )
     )

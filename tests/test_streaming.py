@@ -539,7 +539,12 @@ def test_streaming_content_verdicts(spark, tmp_path):
     run()
     write([("2026-01-01 00:03:30", "c-good", bytearray(good), 100, "wav")])
     run()
-    write([("2026-01-01 00:06:00", "c-good", bytearray(good), 100, "wav")])
+    # GREEN by SNR but narrowband at 48 kHz (f0=656 ⇒ occupancy fp≈109
+    # < 384): the upsample-suspect YELLOW path of the bandwidth band
+    upsam = pcm16_wav_bytes(reference_signal("c-good", 48000, 100), 48000)
+    write([("2026-01-01 00:06:00", "c-good", bytearray(upsam), 100, "wav")])
+    run()
+    write([("2026-01-01 00:09:00", "c-good", bytearray(good), 100, "wav")])
     run()
     rows = {r["window_start"].strftime("%H:%M"): r
             for r in spark.read.parquet(sink).collect()}
@@ -548,7 +553,11 @@ def test_streaming_content_verdicts(spark, tmp_path):
     assert w0["n_green"] == 1          # payload == reference signal
     assert w0["n_red"] == 2            # wrong-signal SNR fail + truncated
     assert w0["n_hdr_bad"] == 1        # only the truncated container
+    assert w0["n_bw_yellow"] == 0      # 8 kHz clips sit above the band
     assert w0["verdict"] == "RED"
     assert w0["min_snr_db"] < 30 <= 60 < w0["mean_snr_db"] * 3
     w3 = rows["00:03"]
     assert (w3["n_rows"], w3["n_green"], w3["verdict"]) == (1, 1, "GREEN")
+    w6 = rows["00:06"]
+    assert (w6["n_rows"], w6["n_green"], w6["n_bw_yellow"],
+            w6["verdict"]) == (1, 1, 1, "YELLOW")
