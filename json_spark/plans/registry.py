@@ -64,7 +64,11 @@ ORACLE_SQL: dict[str, str] = {}
 #: key_emergence, drift_wasserstein, join_fanout_profile,
 #: benford_check, truncation_report, hash_uniformity, and the
 #: late-r3 additions drift_changepoint / dedup_incremental /
-#: class_balance / audio_goertzel_check — all judge-replica green at
+#: class_balance / audio_goertzel_check / embedding_drift /
+#: embedding_quantization, the association family corr_profile /
+#: categorical_association / zipf_conformity / skew_profile /
+#: key_comissingness, and the consistency family snapshot_diff /
+#: approx_fd / transcript_conflicts — all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled
 #: out
 #: late in r3 to make room for oracle-backed ones
@@ -5755,3 +5759,143 @@ def q_key_comissingness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat(F.expr("substring(props, 1, length(props) - 1)"),
                           add, F.lit("}"))).alias("keys")))
     return key_comissingness(keyed, "keys", _COMISS_KEYS)
+
+
+# =========================================================================
+# Cross-snapshot / cross-provider consistency (operators/consistency.py)
+# — between-version and between-provider checks no per-row rule can see.
+# =========================================================================
+
+@register("snapshot_diff", oracle="""
+WITH old_ AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
+             coalesce(CAST(o_orderpriority AS VARCHAR), '<null>'))) AS fp
+  FROM orders WHERE o_orderkey % 11 <> 3),
+new_ AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
+             coalesce(CAST(CASE WHEN o_orderkey % 13 = 2
+                                THEN '9-PLANTED'
+                                ELSE o_orderpriority END
+                           AS VARCHAR), '<null>'))) AS fp
+  FROM orders WHERE o_orderkey % 11 <> 7),
+j AS (SELECT old_.fp AS fo, new_.fp AS fn
+      FROM old_ FULL JOIN new_ USING (o_orderkey))
+SELECT CASE WHEN fo IS NULL THEN 'added'
+            WHEN fn IS NULL THEN 'removed'
+            WHEN fo <> fn THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM j GROUP BY 1
+""")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (operators/consistency.py:snapshot_diff):
+    two snapshots are derived deterministically from orders — "old"
+    drops keys ≡3 (mod 11) (they are *added* later), "new" drops keys
+    ≡7 (mod 11) (*removed*) and rewrites o_orderpriority for keys ≡2
+    (mod 13) (*changed*). Each engine builds both snapshots with the
+    same arithmetic, then runs its own diff: Spark full-outer-joins
+    (key, md5 fingerprint) projections — payload columns never shuffle —
+    while DuckDB's FULL JOIN recomputes the statuses independently.
+    Fingerprint columns are string-typed only (double formatting is not
+    cross-engine-stable; a real deployment fingerprints binary/decimal
+    columns directly, same shape).
+    """
+    from ..operators.consistency import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = o.where(key % 11 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    new = o.where(key % 11 != 7).select(
+        "o_orderkey", "o_orderstatus",
+        F.when(key % 13 == 2, F.lit("9-PLANTED"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_orderstatus", "o_orderpriority"])
+
+
+_AFD_CANDIDATES = [("o_orderkey", "o_orderstatus"),
+                   ("o_custkey", "o_orderpriority"),
+                   ("o_orderpriority", "o_orderstatus")]
+
+_AFD_ORACLE = "SELECT * FROM (\n" + "\nUNION ALL\n".join(
+    f"""SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(n - keep) AS BIGINT) AS n_violating_rows,
+       round(CAST(sum(keep) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         AS g3_confidence
+FROM (SELECT l, sum(c) AS n, max(c) AS keep, count(*) AS n_rhs
+      FROM (SELECT coalesce(CAST({lhs} AS VARCHAR), '<null>') AS l,
+                   coalesce(CAST({rhs} AS VARCHAR), '<null>') AS r,
+                   count(*) AS c
+            FROM orders GROUP BY 1, 2)
+      GROUP BY l)"""
+    for lhs, rhs in _AFD_CANDIDATES) + "\n)"
+
+
+@register("approx_fd", oracle=_AFD_ORACLE)
+def q_approx_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional dependencies with the g3 confidence
+    measure (operators/consistency.py:approx_fd): per candidate
+    lhs → rhs, the fraction of rows surviving the minimal repair
+    (keep each lhs group's majority rhs). o_orderkey → o_orderstatus is
+    a key so g3 = 1.0 exactly; the two non-key candidates quantify
+    partial dependence. Complements fd_profile's binary verdicts with
+    the violating row mass a repair would delete. Corpus collapses in
+    groupBy(lhs, rhs); the oracle recomputes the same two-level
+    reduction in SQL from the raw table.
+    """
+    from ..operators.consistency import approx_fd
+
+    o = load_table(spark, sf_dir, "orders")
+    return approx_fd(o, _AFD_CANDIDATES)
+
+
+@register("transcript_conflicts", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+flags AS (
+  SELECT codec,
+         CASE WHEN i % 1000 = 999 AND i > 0 THEN i - 1 ELSE i END
+           AS base_i
+  FROM full_),
+k AS (SELECT codec, base_i, count(*) AS n_clip_rows
+      FROM flags GROUP BY codec, base_i),
+conf AS (
+  SELECT codec, base_i, n_clip_rows + 1 AS n_rows
+  FROM k WHERE base_i % 991 <> 990 AND base_i % 983 = 982)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_conflict_keys,
+       CAST(sum(n_rows) AS BIGINT) AS n_conflict_rows
+FROM conf GROUP BY codec
+""")
+def q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same input, contradictory target
+    (operators/consistency.py:label_conflicts): clip transcripts and
+    manifest transcripts are unioned on clip_id; a clip_id carrying >1
+    distinct transcript is a label conflict — exactly the planted
+    manifest mismatches (fixtures/gen.py: every 983rd non-orphan row
+    appends " MISMATCH"). The codec attribution rides along as max()
+    so the manifest rows (no codec) don't fracture the key group. The
+    oracle derives the conflicting key set and its row mass purely from
+    row-id arithmetic + the CRC-32 codec fold — it never builds either
+    table or compares a transcript string.
+    """
+    from ..fixtures.gen import generate_clips, generate_manifest
+    from ..operators.consistency import conflict_summary, label_conflicts
+
+    clips = generate_clips(spark, _SNR_N, partitions=8).select(
+        "clip_id", "codec", "transcript")
+    man = generate_manifest(spark, _SNR_N, partitions=4).select(
+        "clip_id", F.lit(None).cast("string").alias("codec"),
+        "transcript")
+    un = clips.unionByName(man)
+    conf = label_conflicts(un, "clip_id", "transcript",
+                           attr_cols=["codec"])
+    return conflict_summary(conf, ["codec"])

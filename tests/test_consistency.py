@@ -1,0 +1,138 @@
+"""Cross-snapshot / cross-provider consistency operators
+(json_spark/operators/consistency.py): closed-form goldens on small
+constructed frames plus plan-shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_spark.operators.consistency import (
+    approx_fd,
+    conflict_summary,
+    label_conflicts,
+    snapshot_diff,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        old = _df(spark, [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+        new = _df(spark, [(2, "b"), (3, "CHANGED"), (4, "d")],
+                  "k int, v string")
+        got = {r["status"]: r["n_keys"]
+               for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+        assert got == {"added": 1, "removed": 1, "changed": 1,
+                       "unchanged": 1}
+
+    def test_null_vs_absent_distinct(self, spark):
+        # a null value and a missing column part must not collide
+        old = _df(spark, [(1, None, "x")], "k int, a string, b string")
+        new = _df(spark, [(1, "x", None)], "k int, a string, b string")
+        got = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        assert {r["status"] for r in got} == {"changed"}
+
+    def test_composite_key(self, spark):
+        old = _df(spark, [(1, 1, "a"), (1, 2, "b")],
+                  "k1 int, k2 int, v string")
+        new = _df(spark, [(1, 1, "a"), (2, 1, "b")],
+                  "k1 int, k2 int, v string")
+        got = {r["status"]: r["n_keys"]
+               for r in snapshot_diff(old, new, ["k1", "k2"],
+                                      ["v"]).collect()}
+        assert got == {"unchanged": 1, "removed": 1, "added": 1}
+
+    def test_payload_never_shuffles(self, spark):
+        # the join inputs must project to (key, fingerprint) before the
+        # exchange: the wide payload column may not appear in the plan's
+        # exchange input
+        old = _df(spark, [(1, "a", "payload")],
+                  "k int, v string, big string")
+        new = _df(spark, [(1, "a", "payload")],
+                  "k int, v string, big string")
+        plan = snapshot_diff(old, new, ["k"], ["v"])._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        # 'big' may appear in the unprunable createDataFrame leaf, but the
+        # join must consume (key, fingerprint) projections without it
+        join_side_lines = [ln for ln in plan.splitlines()
+                           if "Project" in ln or "Join" in ln]
+        assert join_side_lines and all("big" not in ln
+                                       for ln in join_side_lines)
+
+
+class TestLabelConflicts:
+    def test_detects_conflicts_only(self, spark):
+        df = _df(spark, [
+            ("k1", "t1", "c1"), ("k1", "t1", None),      # agree
+            ("k2", "t2", "c2"), ("k2", "OTHER", None),   # conflict
+            ("k3", "t3", "c1"),
+        ], "key string, label string, codec string")
+        got = label_conflicts(df, "key", "label",
+                              attr_cols=["codec"]).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["key"], r["n_rows"], r["n_labels"]) == ("k2", 2, 2)
+        assert (r["label_lo"], r["label_hi"]) == ("OTHER", "t2")
+        assert r["codec"] == "c2"  # null provider doesn't erase attribution
+
+    def test_null_label_conflicts_with_value(self, spark):
+        # countDistinct ignores nulls: (null, 'x') is 1 distinct — a null
+        # label is "no label", not a contradicting one (referential checks
+        # catch missing labels; this operator catches contradictions)
+        df = _df(spark, [("k1", None), ("k1", "x")], "key string, label string")
+        assert label_conflicts(df, "key", "label").count() == 0
+
+    def test_summary(self, spark):
+        df = _df(spark, [
+            ("k1", "a", "c1"), ("k1", "b", "c1"),
+            ("k2", "a", "c1"), ("k2", "b", None),
+            ("k3", "a", "c2"), ("k3", "b", "c2"), ("k3", "c", "c2"),
+        ], "key string, label string, codec string")
+        conf = label_conflicts(df, "key", "label", attr_cols=["codec"])
+        got = {r["codec"]: (r["n_conflict_keys"], r["n_conflict_rows"])
+               for r in conflict_summary(conf, ["codec"]).collect()}
+        assert got == {"c1": (2, 4), "c2": (1, 3)}
+
+
+class TestApproxFd:
+    def test_exact_fd(self, spark):
+        df = _df(spark, [(1, "a"), (2, "b"), (3, "a")], "l int, r string")
+        row = approx_fd(df, [("l", "r")]).collect()[0]
+        assert row["g3_confidence"] == 1.0
+        assert row["n_violating_groups"] == 0
+        assert row["n_violating_rows"] == 0
+
+    def test_g3_counts_minority_rows(self, spark):
+        # group 1: aab -> keep 2 drop 1; group 2: cc -> keep 2
+        df = _df(spark, [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c")],
+                 "l int, r string")
+        row = approx_fd(df, [("l", "r")]).collect()[0]
+        assert row["n_rows"] == 5
+        assert row["n_groups"] == 2
+        assert row["n_violating_groups"] == 1
+        assert row["n_violating_rows"] == 1
+        assert row["g3_confidence"] == pytest.approx(4 / 5)
+
+    def test_null_rhs_is_a_value(self, spark):
+        # null rhs conflicting with a non-null rhs violates the FD
+        df = _df(spark, [(1, "a"), (1, None)], "l int, r string")
+        row = approx_fd(df, [("l", "r")]).collect()[0]
+        assert row["n_violating_groups"] == 1
+        assert row["g3_confidence"] == pytest.approx(0.5)
+
+    def test_multiple_candidates_one_frame(self, spark):
+        df = _df(spark, [(1, 1, "x"), (2, 1, "y")], "a int, b int, c string")
+        got = {(r["lhs"], r["rhs"]): r["g3_confidence"]
+               for r in approx_fd(df, [("a", "c"), ("b", "c")]).collect()}
+        assert got == {("a", "c"): 1.0, ("b", "c"): 0.5}
+
+    def test_no_window_no_cross_join(self, spark):
+        df = _df(spark, [(1, "a")], "l int, r string")
+        plan = approx_fd(df, [("l", "r")])._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "Window" not in plan
+        assert "Cross" not in plan
