@@ -18,6 +18,10 @@ profile (profiling.py) and the drift metrics (drift.py):
 - ``key_skew_profile`` — shuffle-key skew diagnosis: top-1 share, hot
   ratio, and entropy of the key histogram, all plain aggregates over
   the count table (the same no-global-window shape column_profile uses).
+- ``cohen_kappa``      — inter-labeler agreement beyond chance between
+  two categorical label columns (declared label vs content-derived, or
+  two annotation providers on the same rows); everything after the
+  first groupBy runs on the contingency table.
 - ``key_comissingness``— pairwise phi coefficient of embedded-JSON key
   *presence*: which optional fields appear / go missing together. The
   reference tolerates unknown/missing keys per document
@@ -224,6 +228,59 @@ def key_skew_profile(df: DataFrame, key_cols: list[str],
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str,
+                decimals: int = 6) -> DataFrame:
+    """Inter-labeler agreement beyond chance (Cohen's kappa).
+
+    Two categorical label columns over the same rows — a declared
+    provider label vs a content-derived one (e.g. the stored ``lang``
+    vs ``predict_lang(text)``), or two annotation vendors on the same
+    clips. Raw agreement po overstates consensus when the label
+    distribution is skewed; kappa subtracts the chance-agreement floor:
+
+        po    = Σ_diag c / n
+        pe    = Σ_label ra(label)·cb(label) / n²
+        kappa = (po − pe) / (1 − pe)
+
+    Shape: the corpus collapses in ``groupBy(a, b).count()`` (partial+
+    final hash agg); marginals, the diagonal mass, and the pe cross
+    terms all run on the contingency table, bounded by label
+    cardinality² — never the corpus. Null labels participate as their
+    own ``<null>`` level (two labelers agreeing to abstain IS
+    agreement a validation engine should count).
+
+    Cross-engine determinism: all mass terms are exact integer sums;
+    po, pe, kappa are single IEEE divisions / subtractions in a pinned
+    order — po = agree/n, pe = src/(n·n), kappa = (po−pe)/(1−pe) — so
+    a DuckDB replay is bit-identical. kappa is null when pe = 1 (one
+    label level on both sides — undefined by definition).
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    cont = (df.select(a.alias("__a"), b.alias("__b"))
+            .groupBy("__a", "__b").count())
+    marg_a = cont.groupBy("__a").agg(F.sum("count").alias("__ra"))
+    marg_b = cont.groupBy("__b").agg(F.sum("count").alias("__cb"))
+    tot = cont.agg(F.sum("count").alias("__nl"))
+    agree = (cont.where(F.col("__a") == F.col("__b"))
+             .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("__agree")))
+    # pe cross terms: only labels present on BOTH sides contribute
+    src = (marg_a.join(marg_b, marg_a["__a"] == marg_b["__b"])
+           .agg(F.coalesce(F.sum(F.col("__ra") * F.col("__cb")),
+                           F.lit(0)).alias("__src")))
+    row = (tot.crossJoin(F.broadcast(agree)).crossJoin(F.broadcast(src)))
+    n = F.col("__nl").cast("double")
+    po = F.col("__agree").cast("double") / n
+    pe = F.col("__src").cast("double") / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return row.select(
+        F.lit(col_a).alias("col_a"), F.lit(col_b).alias("col_b"),
+        F.col("__nl").alias("n_rows"),
+        F.round(po, decimals).alias("po"),
+        F.round(pe, decimals).alias("pe"),
+        F.round(kappa, decimals).alias("kappa"))
 
 
 def key_comissingness(keyed: DataFrame, keys_col: str,

@@ -23,6 +23,10 @@ Scale shapes:
                       group's values — fine per-partition, OOM at 10^12
                       rows/group) for the mergeable ``percentile_approx``
                       sketch: the production path at clip scale.
+- weighted_sample   : one (n, Σw) aggregate pass + a map-only filter —
+                      inclusion probability ∝ an integer weight, the
+                      importance-sampling middle ground between uniform
+                      sampling and hard top-k.
 - curate_corpus     : one scan computes lang/quality/fingerprint, one
                       shuffle dedups on the fingerprint, the split report
                       aggregates the (already tiny) survivors.
@@ -211,3 +215,50 @@ def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
             .filter(bucket < F.col("thresh"))
             .drop("thresh"))
     return kept, rates
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    keep_frac: float = 0.25, salt: str = "wsample:",
+                    buckets: int = 1 << 20) -> DataFrame:
+    """Deterministic Bernoulli sampling with inclusion probability
+    proportional to an integer weight column.
+
+    The curation primitive between uniform sampling (every row equal)
+    and hard top-k filtering: each row survives with probability
+
+        p_i = min(1, keep_frac · w_i · n / Σw)
+
+    so the expected kept fraction is ``keep_frac`` of ROWS while the
+    kept mass is tilted toward heavy rows — e.g. weight = token count
+    keeps long documents preferentially without discarding short ones
+    outright (importance sampling for training-mix construction).
+
+    Membership is the md5 bucket of the id against a per-row integer
+    threshold — no RNG, reproducible, stable under re-partitioning and
+    corpus growth, like :func:`stratified_sample` /
+    :func:`temperature_sample`.
+
+    Cross-engine determinism: the weight is summed as a LONG (exact,
+    order-free — a double Σw would depend on summation order across
+    10^12 rows), and p_i is the pinned IEEE chain
+    ``((keep_frac · w) · n) / Σw`` on doubles, so every integer
+    threshold replays bit-identically in SQL. Weights must be
+    non-negative integers (token counts, byte sizes); w_i = 0 rows are
+    never kept.
+
+    Scale shape: ONE aggregate pass for (n, Σw) — map-combinable sums,
+    1-row result — broadcast back via crossJoin, then a map-only
+    filter. Two scans total, zero data-sized shuffles.
+    """
+    tot = df.agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(F.col(weight_col).cast("long")).alias("__sw"))
+    w = F.col(weight_col).cast("double")
+    p = F.least(
+        F.lit(1.0),
+        ((F.lit(float(keep_frac)) * w) * F.col("__n").cast("double"))
+        / F.col("__sw").cast("double"))
+    thresh = F.floor(p * F.lit(float(buckets))).cast("long")
+    bucket = F.pmod(hash32(F.col(id_col), salt), F.lit(buckets))
+    return (df.crossJoin(F.broadcast(tot))
+            .where(bucket < thresh)
+            .drop("__n", "__sw"))

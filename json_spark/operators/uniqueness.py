@@ -4,6 +4,8 @@ North-rule ops (BASELINE.json:6): uniqueness of ``clip_id`` via
 - ``approx_uniqueness``: HyperLogLog++ (`approx_count_distinct`) — one agg
   pass, constant memory, mergeable across 1000 executors; the cheap gate.
 - ``exact_duplicates`` / ``uniqueness_summary``: exact, one shuffle.
+- ``set_overlap``: cross-table key-set overlap (Jaccard / Dice /
+  containment) in one union + key-only shuffle — coverage as a ratio.
 
 Why a single ``groupBy(key).count()`` is already skew-proof HERE: Spark's
 hash aggregate does map-side partial aggregation, so a pathologically hot
@@ -66,3 +68,59 @@ def uniqueness_summary(df: DataFrame, key: str) -> DataFrame:
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("n_dup_rows"),
     )
+
+
+def set_overlap(df_a: DataFrame, df_b: DataFrame, key_a: str,
+                key_b: str | None = None,
+                label_a: str = "a", label_b: str = "b",
+                decimals: int = 6) -> DataFrame:
+    """Key-set overlap between two tables: Jaccard, Dice, containment.
+
+    The between-tables complement of :func:`uniqueness_summary` — how
+    much of table A's key universe does table B cover (and vice
+    versa)? The validation uses: clip_id vs the transcript manifest
+    (referential coverage as a *ratio*, not just an orphan list),
+    train-vs-test id leakage, and snapshot-to-snapshot key churn.
+
+    Shape: each side collapses to its distinct key projection inside
+    ONE union + groupBy(key) with max() indicators — map-side combine
+    bounds every task's output to one row per distinct key it saw, so
+    the single shuffle carries key-only rows; the metrics are a final
+    1-row aggregate. No join, no second shuffle; at 10^12 keys this is
+    the same plan shape as exact uniqueness. Null keys are excluded
+    (they never corefer).
+
+    Metrics are exact integer masses plus single IEEE divisions
+    (jaccard = n_both/(n_a+n_b−n_both), dice = 2·n_both/(n_a+n_b),
+    containment = n_both/n_side) — bit-reproducible in a SQL replay.
+    """
+    key_b = key_b or key_a
+    a = (df_a.where(F.col(key_a).isNotNull())
+         .select(F.col(key_a).cast("string").alias("__k"),
+                 F.lit(1).alias("__ia"), F.lit(0).alias("__ib")))
+    b = (df_b.where(F.col(key_b).isNotNull())
+         .select(F.col(key_b).cast("string").alias("__k"),
+                 F.lit(0).alias("__ia"), F.lit(1).alias("__ib")))
+    keys = (a.unionByName(b).groupBy("__k")
+            .agg(F.max("__ia").alias("__ia"), F.max("__ib").alias("__ib")))
+    m = keys.agg(
+        F.sum("__ia").alias("n_a"),
+        F.sum("__ib").alias("n_b"),
+        F.sum(F.col("__ia") * F.col("__ib")).alias("n_both"))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n_both = F.col("n_both").cast("double")
+    union_n = n_a + n_b - n_both
+    return m.select(
+        F.lit(label_a).alias("set_a"), F.lit(label_b).alias("set_b"),
+        "n_a", "n_b", "n_both",
+        (F.col("n_a") - F.col("n_both")).alias("n_a_only"),
+        (F.col("n_b") - F.col("n_both")).alias("n_b_only"),
+        F.round(F.when(union_n > 0, n_both / union_n), decimals)
+        .alias("jaccard"),
+        F.round(F.when(n_a + n_b > 0, (F.lit(2.0) * n_both) / (n_a + n_b)),
+                decimals).alias("dice"),
+        F.round(F.when(n_a > 0, n_both / n_a), decimals)
+        .alias("containment_a"),
+        F.round(F.when(n_b > 0, n_both / n_b), decimals)
+        .alias("containment_b"))

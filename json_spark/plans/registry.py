@@ -67,10 +67,11 @@ ORACLE_SQL: dict[str, str] = {}
 #: class_balance / audio_goertzel_check / embedding_drift /
 #: embedding_quantization, the association family corr_profile /
 #: categorical_association / zipf_conformity / skew_profile /
-#: key_comissingness, and the consistency family snapshot_diff /
-#: approx_fd / transcript_conflicts — all judge-replica green at
-#: sf0.01, no driver row yet), then the four rows-only queries cycled
-#: out
+#: key_comissingness, the consistency family snapshot_diff /
+#: approx_fd / transcript_conflicts, and the batch-B trio
+#: label_agreement / key_set_overlap / weighted_sample — all
+#: judge-replica green at sf0.01, no driver row yet), then the four
+#: rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -5899,3 +5900,187 @@ def q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = label_conflicts(un, "clip_id", "transcript",
                            attr_cols=["codec"])
     return conflict_summary(conf, ["codec"])
+
+
+# =========================================================================
+# Batch B: inter-labeler agreement, cross-table key overlap, weighted
+# sampling — the remaining association / uniqueness / curation gaps.
+# =========================================================================
+
+@register("label_agreement", oracle="""
+WITH sc AS (
+  SELECT lang,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['the','a','of','and','is'])) AS s_en,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['der','die','das','und','ist'])) AS s_de,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['le','les','des','et','est'])) AS s_fr,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['el','los','las','y','es'])) AS s_es
+  FROM documents),
+p AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS a,
+    CASE
+      WHEN s_en = greatest(s_en,s_de,s_fr,s_es)
+           AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'en'
+      WHEN s_de = greatest(s_en,s_de,s_fr,s_es)
+           AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'de'
+      WHEN s_fr = greatest(s_en,s_de,s_fr,s_es)
+           AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'fr'
+      WHEN s_es = greatest(s_en,s_de,s_fr,s_es)
+           AND greatest(s_en,s_de,s_fr,s_es) >= 1 THEN 'es'
+      ELSE 'und' END AS b
+  FROM sc),
+cont AS (SELECT a, b, count(*) AS c FROM p GROUP BY a, b),
+ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cont GROUP BY a),
+cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cont GROUP BY b),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS nl FROM cont),
+ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS agree
+       FROM cont WHERE a = b),
+rc AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS src
+       FROM ra JOIN cb ON ra.a = cb.b)
+SELECT 'lang' AS col_a, 'predicted_lang' AS col_b, nl AS n_rows,
+       round(CAST(agree AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS po,
+       round(CAST(src AS DOUBLE)
+             / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)), 6) AS pe,
+       round(CASE WHEN CAST(src AS DOUBLE)
+                       / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)) < 1.0
+             THEN (CAST(agree AS DOUBLE) / CAST(nl AS DOUBLE)
+                   - CAST(src AS DOUBLE)
+                     / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+                  / (1.0 - CAST(src AS DOUBLE)
+                           / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+             ELSE NULL END, 6) AS kappa
+FROM nn, ag, rc
+""")
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared document language and the
+    content-derived detection (operators/association.py:cohen_kappa ×
+    operators/text.py:predict_lang) — do the provider's labels agree
+    with what the text actually says, beyond the agreement a skewed
+    label distribution would produce by chance? The clip-table use:
+    vendor A's transcript language vs vendor B's on the same clips.
+    Reinterprets the reference's declared-vs-actual tolerance stance
+    (a field SAYS it is a number; is it? decoder.go's coercion gates)
+    at the label level. The corpus collapses in one groupBy(a, b);
+    marginals / diagonal / chance terms run on the contingency table.
+    The oracle recomputes detection AND kappa independently, with the
+    po/pe/kappa division chain pinned to the same IEEE order.
+    """
+    from ..operators.association import cohen_kappa
+    from ..operators.text import predict_lang
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(F.col("lang"),
+                       predict_lang(F.col("text")).alias("predicted_lang"))
+    return cohen_kappa(labeled, "lang", "predicted_lang")
+
+
+@register("key_set_overlap", oracle="""
+WITH a AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+           FROM customer WHERE c_custkey IS NOT NULL),
+b AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+      FROM orders WHERE o_custkey IS NOT NULL),
+j AS (SELECT CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END AS ia,
+             CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS ib
+      FROM a FULL JOIN b ON a.k = b.k),
+m AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+             CAST(sum(ib) AS BIGINT) AS n_b,
+             CAST(sum(ia * ib) AS BIGINT) AS n_both
+      FROM j)
+SELECT 'customer.c_custkey' AS set_a, 'orders.o_custkey' AS set_b,
+       n_a, n_b, n_both,
+       n_a - n_both AS n_a_only, n_b - n_both AS n_b_only,
+       round(CASE WHEN CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                       - CAST(n_both AS DOUBLE) > 0
+             THEN CAST(n_both AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                     - CAST(n_both AS DOUBLE)) END, 6) AS jaccard,
+       round(CASE WHEN CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) > 0
+             THEN (2.0 * CAST(n_both AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END, 6)
+         AS dice,
+       round(CASE WHEN CAST(n_a AS DOUBLE) > 0
+             THEN CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) END, 6)
+         AS containment_a,
+       round(CASE WHEN CAST(n_b AS DOUBLE) > 0
+             THEN CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) END, 6)
+         AS containment_b
+FROM m
+""")
+def q_key_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table key-set overlap (operators/uniqueness.py:set_overlap):
+    Jaccard / Dice / containment of customer.c_custkey vs
+    orders.o_custkey — referential coverage as a RATIO (TPC-H plants
+    customers with no orders, so containment_a < 1 while
+    containment_b = 1). The clip-table uses: clip_id vs the transcript
+    manifest, train-vs-test id leakage, snapshot key churn. Shape: one
+    union + groupBy(key) with max() indicators (map-side combine →
+    key-only shuffle rows), one final 1-row aggregate — no join. The
+    oracle takes the independent FULL JOIN route over distinct
+    projections.
+    """
+    from ..operators.uniqueness import set_overlap
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return set_overlap(c, o, "c_custkey", "o_custkey",
+                       label_a="customer.c_custkey",
+                       label_b="orders.o_custkey")
+
+
+@register("weighted_sample", oracle="""
+WITH d AS (SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS w
+           FROM documents),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM d),
+k AS (SELECT lang, w FROM d, t
+      WHERE ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT % 1048576
+            < CAST(floor(least(1.0,
+                    ((0.25 * CAST(w AS DOUBLE)) * CAST(n AS DOUBLE))
+                    / CAST(sw AS DOUBLE)) * 1048576.0) AS BIGINT)),
+b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(w) AS BIGINT) AS w_before
+      FROM d GROUP BY lang),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(w) AS BIGINT) AS w_kept
+      FROM k GROUP BY lang)
+SELECT b.lang, b.n_before, b.w_before,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.w_kept, 0) AS w_kept
+FROM b LEFT JOIN a ON b.lang = a.lang
+""")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling
+    (operators/curation.py:weighted_sample, keep_frac=0.25, weight =
+    whitespace token count): long documents survive preferentially —
+    the importance-sampling primitive for training-mix construction,
+    between uniform sampling and hard top-k. Membership is the md5
+    bucket of doc_id vs a per-row integer threshold derived from the
+    pinned IEEE chain ((0.25·w)·n)/Σw with Σw summed as a LONG (exact,
+    order-free), so the oracle replays every kept row bit-identically
+    and reports the same per-language kept row/weight mass. Scale: one
+    (n, Σw) aggregate + a map-only filter — zero data-sized shuffles.
+    """
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang",
+                    F.size(F.split(F.col("text"), " ")).alias("w"))
+    kept = weighted_sample(d, "doc_id", "w", keep_frac=0.25)
+    before = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.col("w").cast("long")).alias("w_before"))
+    after = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__nk"),
+        F.sum(F.col("w").cast("long")).alias("__wk"))
+    return (before.join(after, "lang", "left")
+            .select("lang", "n_before", "w_before",
+                    F.coalesce(F.col("__nk"), F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce(F.col("__wk"), F.lit(0).cast("long"))
+                    .alias("w_kept")))

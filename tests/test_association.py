@@ -210,3 +210,69 @@ def test_association_plan_shapes(spark, sf_dir):
     zp = get_plan(QUERIES["zipf_conformity"](spark, sf_dir))
     assert "TakeOrderedAndProject" in zp     # head is top-K, not a sort
     assert "Python" not in zp
+
+
+def test_cohen_kappa_vs_closed_form(spark):
+    from json_spark.operators.association import cohen_kappa
+    # two labelers with partial, structured agreement + a null label
+    rows = []
+    for i in range(300):
+        a = ["x", "y", "z"][i % 3]
+        b = a if i % 5 != 0 else ["y", "z", "x"][i % 3]
+        if i % 50 == 49:
+            a = None
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    la = [x if x is not None else "<null>" for x, _ in rows]
+    lb = [x if x is not None else "<null>" for _, x in rows]
+    n = len(rows)
+    po = sum(1 for u, v in zip(la, lb) if u == v) / n
+    ca, cb = Counter(la), Counter(lb)
+    pe = sum(ca[k] * cb.get(k, 0) for k in ca) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert r["n_rows"] == n
+    assert abs(r["po"] - round(po, 6)) < 1e-9
+    assert abs(r["pe"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round(kappa, 6)) < 1e-9
+    assert 0.0 < r["kappa"] < 1.0
+
+
+def test_cohen_kappa_edges(spark):
+    from json_spark.operators.association import cohen_kappa
+    # perfect agreement -> kappa = 1
+    df = spark.createDataFrame(
+        [(v, v) for v in ("p", "q", "r") for _ in range(5)],
+        "a string, b string")
+    assert cohen_kappa(df, "a", "b").collect()[0]["kappa"] == 1.0
+    # single shared constant label -> pe = 1, kappa undefined
+    one = spark.createDataFrame([("k", "k")] * 8, "a string, b string")
+    r = one.transform(lambda d: cohen_kappa(d, "a", "b")).collect()[0]
+    assert r["pe"] == 1.0 and r["kappa"] is None
+    # disjoint label vocabularies -> po = 0, pe = 0, kappa = 0
+    dj = spark.createDataFrame(
+        [("u", "v")] * 6 + [("w", "t")] * 6, "a string, b string")
+    r = cohen_kappa(dj, "a", "b").collect()[0]
+    assert r["po"] == 0.0 and r["pe"] == 0.0 and r["kappa"] == 0.0
+
+
+def test_set_overlap_vs_python_sets(spark):
+    from json_spark.operators.uniqueness import set_overlap
+    xa = list(range(0, 120)) + [5, 5, 17]          # dups collapse
+    xb = list(range(80, 200)) + [None]             # nulls excluded
+    da = spark.createDataFrame([(v,) for v in xa], "k int")
+    db = spark.createDataFrame([(v,) for v in xb], "k int")
+    r = set_overlap(da, db, "k", label_a="A", label_b="B").collect()[0]
+    sa, sb = set(xa), {v for v in xb if v is not None}
+    both = sa & sb
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (len(sa), len(sb), len(both))
+    assert r["n_a_only"] == len(sa - sb)
+    assert r["n_b_only"] == len(sb - sa)
+    assert abs(r["jaccard"] - round(len(both) / len(sa | sb), 6)) < 1e-9
+    assert abs(r["dice"] - round(2 * len(both) / (len(sa) + len(sb)), 6)) < 1e-9
+    assert abs(r["containment_a"] - round(len(both) / len(sa), 6)) < 1e-9
+    assert abs(r["containment_b"] - round(len(both) / len(sb), 6)) < 1e-9
+    # disjoint sets -> all ratios 0, not null
+    dd = spark.createDataFrame([(900,), (901,)], "k int")
+    r2 = set_overlap(da, dd, "k").collect()[0]
+    assert r2["n_both"] == 0 and r2["jaccard"] == 0.0

@@ -4,6 +4,7 @@ numpy median/MAD outliers (exact AND the approx production path), and
 funnel invariants for the end-to-end curation pipeline."""
 
 import hashlib
+import math
 
 import numpy as np
 import pytest
@@ -156,3 +157,42 @@ def test_temperature_sample_rebalances(spark):
         exp = frac[lang] * v["n_before"]
         got = kept.filter(F.col("lang") == lang).count()
         assert abs(got - exp) < 4 * (exp ** 0.5 + 1)
+
+
+def test_weighted_sample_matches_hashlib_replay(spark):
+    from json_spark.operators.curation import weighted_sample
+    rows = [(i, (i % 7) * 10) for i in range(800)]    # integer weights, some 0
+    df = spark.createDataFrame(rows, "id long, w int")
+    kept = {r["id"] for r in
+            weighted_sample(df, "id", "w", keep_frac=0.3).collect()}
+    n = len(rows)
+    sw = sum(w for _, w in rows)
+    want = set()
+    for i, w in rows:
+        p = min(1.0, ((0.3 * float(w)) * float(n)) / float(sw))
+        thresh = math.floor(p * float(1 << 20))
+        if _md5_bucket(f"wsample:{i}", 1 << 20) < thresh:
+            want.add(i)
+    assert kept == want
+    # zero-weight rows are never kept
+    assert all(rows[i][1] > 0 for i in kept)
+    # heavier strata keep a larger fraction
+    def frac(wv):
+        ids = [i for i, w in rows if w == wv]
+        return sum(1 for i in ids if i in kept) / len(ids)
+    assert frac(60) > frac(10)
+    # repartitioning cannot change membership
+    again = {r["id"] for r in
+             weighted_sample(df.repartition(11), "id", "w",
+                             keep_frac=0.3).collect()}
+    assert again == kept
+
+
+def test_weighted_sample_saturates_at_p1(spark):
+    from json_spark.operators.curation import weighted_sample
+    # one giant weight saturates at p=1 -> always kept
+    rows = [(0, 10_000)] + [(i, 1) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    kept = {r["id"] for r in
+            weighted_sample(df, "id", "w", keep_frac=0.5).collect()}
+    assert 0 in kept
