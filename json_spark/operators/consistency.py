@@ -15,6 +15,15 @@ can see:
   where one key carries >1 distinct label value. The training-data
   failure this catches — "same input, different target" — silently
   caps model accuracy and is invisible to every per-row check.
+- ``dup_content_integrity`` — when a KEY appears more than once, do
+  the copies actually agree? Per duplicate group, distinct-content /
+  distinct-label / distinct-metadata counts and a precedence verdict
+  (CONTENT_DIVERGENT > LABEL_DIVERGENT > META_DIVERGENT > IDENTICAL).
+  The uniqueness × content cross check: exact dedup says clip_id is
+  duplicated; THIS says whether that duplication is a benign re-upload
+  (safe to drop either copy) or an id collision carrying two different
+  payloads (dropping one silently loses data; keeping both poisons
+  training with two targets for one id).
 - ``approx_fd``       — the g3 confidence of a functional dependency
   lhs → rhs: the fraction of rows that survive deleting the minimum
   row set that makes the FD exact (per lhs group, keep the majority
@@ -37,6 +46,12 @@ Scale shapes (100 TB):
 - approx_fd collapses the corpus in groupBy(lhs, rhs) — the shuffle
   carries deduplicated pairs, not rows — then reduces the pair table
   per lhs and finally to one verdict row; no windows anywhere.
+- dup_content_integrity digests content map-side (the caller passes a
+  digest column, e.g. md5 of the payload — binary bytes never
+  shuffle); per-key distinct counts are collect_set sizes whose
+  cardinality is bounded by the duplicate multiplicity of that key
+  (map-side partial collect_set), so the single key shuffle carries a
+  few dozen bytes per row at any corpus size.
 """
 
 from __future__ import annotations
@@ -161,3 +176,59 @@ def approx_fd(df: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def dup_content_integrity(df: DataFrame, key_cols: list[str],
+                          content_col: str,
+                          label_cols: list[str] | None = None,
+                          meta_cols: list[str] | None = None) -> DataFrame:
+    """Content agreement within duplicate-key groups.
+
+    Exact dedup (uniqueness.py) says a key is duplicated;
+    label_conflicts says whether a LABEL disagrees across providers.
+    This operator closes the remaining gap — whether the duplicated
+    rows' CONTENT agrees — which decides what the duplication *means*:
+
+    - IDENTICAL          : benign re-upload; drop either copy.
+    - META_DIVERGENT     : same content + label, metadata disagrees
+                           (e.g. one copy lost its dur_ms) — recoverable.
+    - LABEL_DIVERGENT    : same content, different label — two targets
+                           for one input; poisons training silently.
+    - CONTENT_DIVERGENT  : different payload under one id — an id
+                           collision; dropping "the duplicate" loses a
+                           distinct row. Highest severity, so it wins
+                           the precedence chain.
+
+    ``content_col`` is a digest the CALLER computes map-side (md5 of the
+    payload bytes, a PCM digest, a row fingerprint) so the binary column
+    never shuffles — only digests and the key do. Per-key distinct
+    counts are ``collect_set`` sizes: the set cardinality is bounded by
+    the key's duplicate multiplicity (tiny by definition — a key
+    duplicated 10^6 times is a different defect, caught by
+    uniqueness_summary long before this runs), and partial collect_set
+    merges map-side. Nulls count as their own value via a sentinel
+    (losing a value IS a divergence; collect_set alone would drop it).
+
+    One key shuffle; output = one row per duplicate key.
+    """
+
+    def _sent(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+
+    def _ndistinct(cols: list[str]) -> Column:
+        if not cols:
+            return F.max(F.lit(1))
+        sizes = [F.size(F.collect_set(_sent(c))) for c in cols]
+        return F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
+
+    g = (df.groupBy(*[F.col(k) for k in key_cols])
+         .agg(F.count(F.lit(1)).alias("n_copies"),
+              F.size(F.collect_set(_sent(content_col))).alias("n_content"),
+              _ndistinct(list(label_cols or [])).alias("n_label"),
+              _ndistinct(list(meta_cols or [])).alias("n_meta"))
+         .where(F.col("n_copies") > 1))
+    verdict = (F.when(F.col("n_content") > 1, F.lit("CONTENT_DIVERGENT"))
+               .when(F.col("n_label") > 1, F.lit("LABEL_DIVERGENT"))
+               .when(F.col("n_meta") > 1, F.lit("META_DIVERGENT"))
+               .otherwise(F.lit("IDENTICAL")))
+    return g.withColumn("verdict", verdict)

@@ -68,10 +68,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: embedding_quantization, the association family corr_profile /
 #: categorical_association / zipf_conformity / skew_profile /
 #: key_comissingness, the consistency family snapshot_diff /
-#: approx_fd / transcript_conflicts, and the batch-B trio
-#: label_agreement / key_set_overlap / weighted_sample — all
-#: judge-replica green at sf0.01, no driver row yet), then the four
-#: rows-only queries cycled out
+#: approx_fd / transcript_conflicts, the batch-B trio
+#: label_agreement / key_set_overlap / weighted_sample, and
+#: dup_content_conflicts — all judge-replica green at sf0.01, no
+#: driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -2901,6 +2901,80 @@ def q_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_h") > 1, F.col("n_hc")).otherwise(F.lit(0)))
         .alias("n_dup_clips"),
         F.sum((F.col("n_h") > 1).cast("long")).alias("n_dup_hashes"))
+
+
+@register("dup_content_conflicts", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+dup_pairs AS (
+  SELECT codec,
+         CASE WHEN ((i % 997 = 996) <> ((i - 1) % 997 = 996))
+                   OR (((i % 101 = 100) <> ((i - 1) % 101 = 100))
+                       AND seed % 151 <> 50)
+              THEN 'CONTENT_DIVERGENT'
+              WHEN (i % 101 = 100) <> ((i - 1) % 101 = 100)
+              THEN 'META_DIVERGENT'
+              ELSE 'IDENTICAL' END AS verdict
+  FROM full_ WHERE i % 1000 = 999 AND i > 0),
+reup AS (
+  SELECT codec,
+         CASE WHEN i % 500 = 0 THEN 'CONTENT_DIVERGENT'
+              WHEN i % 750 = 0 THEN 'LABEL_DIVERGENT'
+              ELSE 'IDENTICAL' END AS verdict
+  FROM full_ WHERE i % 250 = 0),
+allv AS (SELECT * FROM dup_pairs UNION ALL SELECT * FROM reup)
+SELECT codec, verdict,
+       CAST(count(*) AS BIGINT) AS n_dup_keys,
+       CAST(2 * count(*) AS BIGINT) AS n_rows
+FROM allv GROUP BY codec, verdict
+""")
+def q_dup_content_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key CONTENT integrity (operators/consistency.py:
+    dup_content_integrity) — the uniqueness × content cross check no
+    single family makes: for every clip_id appearing more than once, do
+    the copies carry byte-identical audio, the same transcript, the
+    same metadata? Exact dedup only counts the duplication; this
+    classifies what it MEANS (benign re-upload vs id collision vs
+    two-targets-for-one-input), which decides whether dropping a copy
+    is safe. The reference's analogue is its duplicate-key stance at
+    decode time (last key wins, decoder.go's map semantics) — at corpus
+    scale "last wins" silently discards a divergent payload, so the
+    engine surfaces the divergence instead.
+
+    Fixture: the generator's planted duplicate ids (every 1000th row
+    reuses the previous id — same seed, so copies agree except where
+    the corrupt/null-dur plantings hit exactly one of the pair) UNION a
+    derived re-ingest batch: every 250th clip re-appears, every 500th
+    with a truncated payload (substring drops the last 2 bytes), every
+    750th with an edited transcript — all row-id keyed, so the oracle
+    derives every group's verdict closed-form without reading a byte.
+
+    Scale shape: md5(bytes) is computed map-side and is the only
+    content that shuffles; per-key distinct counts are collect_set
+    sizes bounded by duplicate multiplicity; one key shuffle, then the
+    dup-group frame (defect-mass-sized) rolls up per (codec, verdict).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.consistency import dup_content_integrity
+
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    idn = F.substring("clip_id", 6, 12).cast("long")
+    reingest = clips.where(idn % 250 == 0).select(
+        "clip_id",
+        F.when(idn % 500 == 0,
+               F.expr("substring(bytes, 1, length(bytes) - 2)"))
+        .otherwise(F.col("bytes")).alias("bytes"),
+        "sr_hz", "dur_ms", "codec",
+        F.when(idn % 750 == 0, F.concat("transcript", F.lit(" v2")))
+        .otherwise(F.col("transcript")).alias("transcript"))
+    un = clips.unionByName(reingest)
+    d = un.select("clip_id", "codec", F.md5("bytes").alias("__content"),
+                  "transcript", "dur_ms")
+    integ = dup_content_integrity(d, ["clip_id", "codec"], "__content",
+                                  label_cols=["transcript"],
+                                  meta_cols=["dur_ms"])
+    return integ.groupBy("codec", "verdict").agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.sum("n_copies").alias("n_rows"))
 
 
 @register("ledger_trend", oracle=f"""

@@ -136,3 +136,64 @@ class TestApproxFd:
             .optimizedPlan().toString()
         assert "Window" not in plan
         assert "Cross" not in plan
+
+
+class TestDupContentIntegrity:
+    def _run(self, spark, rows):
+        from json_spark.operators.consistency import dup_content_integrity
+        df = _df(spark, rows, "k string, h string, lbl string, m int")
+        return {r["k"]: r for r in dup_content_integrity(
+            df, ["k"], "h", label_cols=["lbl"], meta_cols=["m"]).collect()}
+
+    def test_verdict_precedence_all_branches(self, spark):
+        got = self._run(spark, [
+            # unique key: never emitted
+            ("solo", "h0", "a", 1),
+            # identical copies
+            ("ident", "h1", "a", 1), ("ident", "h1", "a", 1),
+            # metadata only diverges (null vs value — sentinel counts)
+            ("meta", "h2", "a", 1), ("meta", "h2", "a", None),
+            # label diverges, content identical
+            ("label", "h3", "a", 1), ("label", "h3", "b", 1),
+            # content diverges — wins over a simultaneous label conflict
+            ("content", "h4", "a", 1), ("content", "h5", "b", 2),
+        ])
+        assert "solo" not in got
+        assert got["ident"]["verdict"] == "IDENTICAL"
+        assert got["meta"]["verdict"] == "META_DIVERGENT"
+        assert got["label"]["verdict"] == "LABEL_DIVERGENT"
+        assert got["content"]["verdict"] == "CONTENT_DIVERGENT"
+        assert got["content"]["n_copies"] == 2
+        assert got["content"]["n_content"] == 2
+        assert got["content"]["n_label"] == 2
+        assert got["content"]["n_meta"] == 2
+
+    def test_null_content_is_a_divergence(self, spark):
+        # one copy lost its payload digest: that IS content divergence
+        got = self._run(spark, [("k", "h1", "a", 1), ("k", None, "a", 1)])
+        assert got["k"]["verdict"] == "CONTENT_DIVERGENT"
+
+    def test_triplicate_group(self, spark):
+        got = self._run(spark, [
+            ("k", "h1", "a", 1), ("k", "h1", "a", 1), ("k", "h2", "a", 1)])
+        assert got["k"]["n_copies"] == 3
+        assert got["k"]["n_content"] == 2
+        assert got["k"]["verdict"] == "CONTENT_DIVERGENT"
+
+    def test_no_label_meta_cols_defaults_green(self, spark):
+        from json_spark.operators.consistency import dup_content_integrity
+        df = _df(spark, [("k", "h1", "a", 1), ("k", "h1", "b", 2)],
+                 "k string, h string, lbl string, m int")
+        row = dup_content_integrity(df, ["k"], "h").collect()[0]
+        # without label/meta columns declared, divergence there is unseen
+        assert row["verdict"] == "IDENTICAL"
+
+    def test_plan_no_window_no_cross(self, spark):
+        from json_spark.operators.consistency import dup_content_integrity
+        df = _df(spark, [("k", "h", "a", 1)],
+                 "k string, h string, lbl string, m int")
+        plan = dup_content_integrity(
+            df, ["k"], "h", label_cols=["lbl"], meta_cols=["m"]
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+        assert "Cross" not in plan
