@@ -262,3 +262,28 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     return (df.crossJoin(F.broadcast(tot))
             .where(bucket < thresh)
             .drop("__n", "__sw"))
+
+
+def group_cap(df: DataFrame, group_cols: list[str],
+              order_cols: list[Column], k: int) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by a preference order —
+    the per-domain/per-source CAP every web-scale corpus applies so one
+    crawler-friendly site cannot dominate the training mix (the quota
+    complement of :func:`stratified_sample`'s rate-based rebalance:
+    a cap bounds the group absolutely, a rate only scales it).
+
+    ``order_cols`` must be a TOTAL order (end it with the id column) or
+    the kept set is nondeterministic at the cap boundary.
+
+    Scale shape: ``row_number`` over (group, order) with the ``<= k``
+    filter directly on it compiles to Spark's WindowGroupLimit, which
+    pushes the limit below the exchange — every task pre-selects its
+    local top-k per group BEFORE the shuffle (asserted in
+    tests/test_curation.py), so the exchange carries at most
+    tasks×k rows per group, never the group's full mass — the hot-domain
+    skew bound falls out of the plan itself.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k))
+            .drop("__rn"))

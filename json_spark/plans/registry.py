@@ -69,9 +69,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: categorical_association / zipf_conformity / skew_profile /
 #: key_comissingness, the consistency family snapshot_diff /
 #: approx_fd / transcript_conflicts, the batch-B trio
-#: label_agreement / key_set_overlap / weighted_sample, and
-#: dup_content_conflicts — all judge-replica green at sf0.01, no
-#: driver row yet), then the four rows-only queries cycled out
+#: label_agreement / key_set_overlap / weighted_sample,
+#: dup_content_conflicts, and source_cap — all judge-replica green at
+#: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
 #: stats_quantiles_sketch — pytest-pinned, code unchanged since their
@@ -6158,3 +6158,52 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_kept"),
                     F.coalesce(F.col("__wk"), F.lit(0).cast("long"))
                     .alias("w_kept")))
+
+
+@register("source_cap", oracle="""
+WITH k AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents),
+b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(n_chars) AS BIGINT) AS chars_before
+      FROM documents GROUP BY source),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+             CAST(min(n_chars) AS BIGINT) AS min_kept_chars
+      FROM k WHERE rn <= 10 GROUP BY source)
+SELECT b.source, n_before, chars_before, n_kept,
+       n_before - n_kept AS n_dropped, chars_kept, min_kept_chars
+FROM b JOIN a ON b.source = a.source
+""")
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap (operators/curation.py:group_cap): keep at
+    most 10 documents per source, preferring longer ones (n_chars DESC,
+    doc_id tiebreak — a total order, so the kept SET is deterministic) —
+    the per-domain quota every web-scale mix applies so one
+    crawler-friendly site cannot dominate training (the absolute-bound
+    complement of stratified/temperature sampling's rates). The
+    row_number ≤ k filter compiles to WindowGroupLimit, so every task
+    pre-selects its local top-k per source BEFORE the shuffle — the
+    exchange carries ≤ tasks×k rows per source, never a hot domain's
+    full mass (plan asserted in tests/test_curation.py). The oracle
+    replays the identical total order and reports per-source kept
+    row/char mass plus the cap-boundary length.
+    """
+    from ..operators.curation import group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = group_cap(docs, ["source"],
+                     [F.col("n_chars").desc(), F.col("doc_id").asc()], 10)
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("n_chars").alias("chars_before"))
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("n_chars").alias("min_kept_chars"))
+    return (before.join(after, "source")
+            .select("source", "n_before", "chars_before", "n_kept",
+                    (F.col("n_before") - F.col("n_kept")).alias("n_dropped"),
+                    "chars_kept", "min_kept_chars"))

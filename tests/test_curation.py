@@ -196,3 +196,32 @@ def test_weighted_sample_saturates_at_p1(spark):
     kept = {r["id"] for r in
             weighted_sample(df, "id", "w", keep_frac=0.5).collect()}
     assert 0 in kept
+
+
+def test_group_cap_vs_python_twin(spark):
+    from json_spark.operators.curation import group_cap
+    rows = [(i, f"s{i % 3}", (i * 37) % 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kept = group_cap(df, ["source"],
+                     [F.col("n").desc(), F.col("doc_id").asc()], 5)
+    got = {(r["source"], r["doc_id"]) for r in kept.collect()}
+    exp = set()
+    for s in ("s0", "s1", "s2"):
+        grp = sorted((r for r in rows if r[1] == s),
+                     key=lambda r: (-r[2], r[0]))[:5]
+        exp |= {(s, r[0]) for r in grp}
+    assert got == exp
+    # groups smaller than k survive whole
+    small = spark.createDataFrame([(1, "x", 9)], "doc_id long, source string, n long")
+    assert group_cap(small, ["source"],
+                     [F.col("n").desc(), F.col("doc_id")], 5).count() == 1
+
+
+def test_group_cap_plan_uses_window_group_limit(spark):
+    from json_spark.operators.curation import group_cap
+    df = spark.createDataFrame([(1, "s", 2)], "doc_id long, source string, n long")
+    kept = group_cap(df, ["source"],
+                     [F.col("n").desc(), F.col("doc_id").asc()], 5)
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    # the rank<=k filter must push below the exchange as WindowGroupLimit
+    assert "WindowGroupLimit" in plan
