@@ -124,6 +124,22 @@ HEADLINE = [
     "benford_check",
     "coverage_gaps",
     "sequence_inversions",
+    # association / consistency families + late-r3 curation
+    "corr_profile",
+    "categorical_association",
+    "zipf_conformity",
+    "skew_profile",
+    "snapshot_diff",
+    "approx_fd",
+    "transcript_conflicts",
+    "label_agreement",
+    "key_set_overlap",
+    "weighted_sample",
+    "source_cap",
+    "dedup_canonical",
+    "embedding_drift",
+    "embedding_quantization",
+    "dup_content_conflicts",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the
