@@ -99,3 +99,99 @@ def streaming_dedup_within_watermark(stream: DataFrame, key_cols: list[str],
     """
     return (stream.withWatermark(event_time_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+def _content_divergence(key, pdf_iter: Iterable[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+    """Alert when a re-seen key's content/label differs from first-seen.
+
+    State = (first_content, first_label, n_seen). The FIRST-ever row of
+    a key sets the reference; every later row (same trigger or any
+    later one) compares against it and emits an alert row only on
+    divergence — identical re-uploads stay silent (they are dedup's
+    business, not an integrity defect). Content wins the precedence
+    chain, mirroring the batch twin
+    (operators/consistency.py:dup_content_integrity).
+    On TTL expiry the state is REMOVED so the store stays bounded; a
+    key recurring after expiry re-references — the windowed trade every
+    TTL'd dedup state makes.
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        fc, fl, n = state.get
+    else:
+        fc, fl, n = None, None, 0
+    alerts = []
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        if n == 0:
+            fc = str(pdf["__content"].iloc[0])
+            fl = str(pdf["__label"].iloc[0])
+            later = pdf.iloc[1:]
+            base = n + 1
+        else:
+            later = pdf
+            base = n
+        if len(later):
+            cont_div = later["__content"].astype(str) != fc
+            lab_div = (~cont_div) & (later["__label"].astype(str) != fl)
+            occ = pd.Series(range(base + 1, base + 1 + len(later)),
+                            index=later.index)
+            div = later[cont_div | lab_div]
+            if len(div):
+                alerts.append(pd.DataFrame({
+                    "key": key[0],
+                    "verdict": cont_div[div.index].map(
+                        {True: "CONTENT_DIVERGENT",
+                         False: "LABEL_DIVERGENT"}),
+                    "first_value": cont_div[div.index].map(
+                        {True: fc, False: fl}),
+                    "value": div["__content"].astype(str).where(
+                        cont_div[div.index], div["__label"].astype(str)),
+                    "occurrence": occ[div.index].astype("int64"),
+                }))
+        n += len(pdf)
+    state.update((fc, fl, n))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    if alerts:
+        yield pd.concat(alerts)
+
+
+def streaming_content_divergence(stream: DataFrame, key_col: str,
+                                 content_col: str,
+                                 label_col: str) -> DataFrame:
+    """Ingest-time duplicate-content integrity: the streaming twin of
+    operators/consistency.py:dup_content_integrity. Batch answers "do
+    the copies we ALREADY stored agree?"; this answers it at the door —
+    a re-upload whose payload digest (or label) differs from the
+    first-seen copy raises an alert row in the same micro-batch it
+    arrives, before the divergent copy contaminates the corpus.
+
+    The caller passes digest-sized columns (md5 of the payload bytes,
+    a transcript hash) — the state row per key holds two digests and a
+    count, so the store is O(distinct keys) × ~100 bytes, TTL-bounded.
+    Nulls become a sentinel so a copy that LOST its payload still
+    diverges (losing a value is a defect, not a wildcard).
+    """
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.coalesce(F.col(content_col).cast("string"), F.lit("<null>"))
+        .alias("__content"),
+        F.coalesce(F.col(label_col).cast("string"), F.lit("<null>"))
+        .alias("__label"))
+    return (
+        projected.groupBy("__k")
+        .applyInPandasWithState(
+            _content_divergence,
+            outputStructType=("key string, verdict string, "
+                              "first_value string, value string, "
+                              "occurrence long"),
+            stateStructType=("first_content string, first_label string, "
+                             "n_seen long"),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -561,3 +561,50 @@ def test_streaming_content_verdicts(spark, tmp_path):
     w6 = rows["00:06"]
     assert (w6["n_rows"], w6["n_green"], w6["n_bw_yellow"],
             w6["verdict"]) == (1, 1, 1, "YELLOW")
+
+
+def test_streaming_content_divergence(spark, tmp_path):
+    """Ingest-time duplicate-content integrity (applyInPandasWithState):
+    a re-seen key whose content digest differs from the FIRST-seen copy
+    alerts CONTENT_DIVERGENT; same content but a changed label alerts
+    LABEL_DIVERGENT; identical re-uploads and first occurrences stay
+    silent — in-batch and across triggers (state via the checkpoint)."""
+    from json_spark.streaming.stateful import streaming_content_divergence
+
+    src = str(tmp_path / "cdsrc")
+    sink = str(tmp_path / "cdsink")
+    chk = str(tmp_path / "cdchk")
+    schema = "k string, h string, lbl string"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_content_divergence(stream, "k", "h", "lbl")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["key"], r["verdict"], r["first_value"], r["value"],
+                 r["occurrence"])
+                for r in spark.read.parquet(sink).collect()}
+
+    # trigger 1: first occurrences silent; in-batch content divergence of
+    # key b alerts against b's first-seen digest
+    got1 = run([("a", "h1", "t1"), ("b", "h2", "t2"), ("b", "h2x", "t2")])
+    assert got1 == {("b", "CONTENT_DIVERGENT", "h2", "h2x", 2)}
+
+    # trigger 2: identical re-upload of a stays silent; two label edits
+    # of a both alert against the PERSISTED first-seen label; new key c
+    # is silent
+    got2 = run([("a", "h1", "t1"), ("a", "h1", "t1x"), ("a", "h1", "t1y"),
+                ("c", "h9", "t9")])
+    new = got2 - got1
+    assert {(k, v, fv, val) for k, v, fv, val, _ in new} == {
+        ("a", "LABEL_DIVERGENT", "t1", "t1x"),
+        ("a", "LABEL_DIVERGENT", "t1", "t1y")}
+    # occurrences count ALL sightings of a (1 from trigger 1 + 3 now):
+    # the identical re-upload occupies one slot, so the two alerts sit
+    # somewhere in occurrences 2..4
+    assert {o for *_, o in new} <= {2, 3, 4}
+    assert len({o for *_, o in new}) == 2
