@@ -147,6 +147,53 @@ CHECKS = {
          lambda p: p.count("HashAggregate") >= 2
          and "Exchange SinglePartition" not in p.split("== CODEGEN ==")[0]),
     ],
+    "dup_content_conflicts": [
+        ("no cartesian/nested-loop (divergence from groupBy, not joins)",
+         True,
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("partial+final collect_set aggregate (distinct counts bounded by "
+         "duplicate multiplicity)", True,
+         lambda p: p.count("ObjectHashAggregate") >= 2),
+        ("only Python stages are the fixture render (operator pure Column)",
+         True,
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "key_set_overlap": [
+        ("NO join anywhere — overlap via union + indicator aggregate",
+         True,
+         lambda p: "Join" not in p.split("== CODEGEN ==")[0]),
+        ("partial+final hash aggregate (key-only shuffle rows)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "label_agreement": [
+        ("no corpus-sized window", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+        ("every nested-loop join is a broadcast of a 1-row side", True,
+         lambda p: "CartesianProduct" not in p
+         and p.split("== CODEGEN ==")[0].count("NestedLoop")
+         == p.split("== CODEGEN ==")[0].count("BroadcastNestedLoopJoin")),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "weighted_sample": [
+        ("threshold broadcast (1-row totals), membership map-only", True,
+         lambda p: "CartesianProduct" not in p
+         and p.split("== CODEGEN ==")[0].count("NestedLoop")
+         == p.split("== CODEGEN ==")[0].count("BroadcastNestedLoopJoin")),
+        ("no window anywhere", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "source_cap": [
+        ("rank filter pushed below the exchange (WindowGroupLimit: local "
+         "top-k per task before the shuffle)", True,
+         lambda p: "WindowGroupLimit" in p.split("== CODEGEN ==")[0]),
+        ("no single-partition exchange (cap is per-group, never global)",
+         True,
+         lambda p: "Exchange SinglePartition"
+         not in p.split("== CODEGEN ==")[0]),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "ann_cosine_topk": [
         ("queries broadcast", True, lambda p: "Broadcast" in p),
         ("windowed top-k", True, lambda p: "Window" in p),
