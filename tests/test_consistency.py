@@ -197,3 +197,45 @@ class TestDupContentIntegrity:
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "Window" not in plan
         assert "Cross" not in plan
+
+
+def test_dup_content_integrity_random_vs_pandas_twin(spark):
+    """Randomized property: 400 rows over 60 keys with random digests /
+    labels / metas (nulls included) — per-key distinct counts and the
+    precedence verdict must equal an independent pure-Python fold."""
+    import numpy as np
+    from json_spark.operators.consistency import dup_content_integrity
+
+    rng = np.random.default_rng(20260819)
+    rows = []
+    for _ in range(400):
+        k = f"k{rng.integers(0, 60)}"
+        h = None if rng.random() < 0.05 else f"h{rng.integers(0, 3)}"
+        lbl = None if rng.random() < 0.05 else f"l{rng.integers(0, 3)}"
+        m = None if rng.random() < 0.2 else int(rng.integers(0, 2))
+        rows.append((k, h, lbl, m))
+    df = spark.createDataFrame(rows, "k string, h string, lbl string, m int")
+    got = {r["k"]: r for r in dup_content_integrity(
+        df, ["k"], "h", label_cols=["lbl"], meta_cols=["m"]).collect()}
+
+    sent = lambda v: "<null>" if v is None else str(v)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for k, h, lbl, m in rows:
+        groups[k].append((sent(h), sent(lbl), sent(m)))
+    n_checked = 0
+    for k, g in groups.items():
+        if len(g) <= 1:
+            assert k not in got
+            continue
+        n_checked += 1
+        nc = len({h for h, _, _ in g})
+        nl = len({l for _, l, _ in g})
+        nm = len({m for _, _, m in g})
+        exp = ("CONTENT_DIVERGENT" if nc > 1 else
+               "LABEL_DIVERGENT" if nl > 1 else
+               "META_DIVERGENT" if nm > 1 else "IDENTICAL")
+        r = got[k]
+        assert (r["n_copies"], r["n_content"], r["n_label"], r["n_meta"],
+                r["verdict"]) == (len(g), nc, nl, nm, exp), k
+    assert n_checked >= 40      # the generator actually made dup groups

@@ -225,3 +225,32 @@ def test_group_cap_plan_uses_window_group_limit(spark):
     plan = kept._jdf.queryExecution().optimizedPlan().toString()
     # the rank<=k filter must push below the exchange as WindowGroupLimit
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_invariants_random(spark):
+    """Randomized invariants: kept ⊆ input; zero-weight rows never kept;
+    rows whose inclusion probability hits the p=1 ceiling are ALWAYS
+    kept; kept mass is weight-tilted (mean kept weight ≥ mean overall)."""
+    import numpy as np
+    from json_spark.operators.curation import weighted_sample
+
+    rng = np.random.default_rng(7)
+    rows = [(f"d{i}", int(w)) for i, w in
+            enumerate(rng.integers(0, 200, size=800))]
+    rows += [(f"z{i}", 0) for i in range(20)]            # zero weight
+    rows += [(f"big{i}", 100000) for i in range(5)]      # p capped at 1
+    df = spark.createDataFrame(rows, "id string, w long")
+    kept = {r["id"] for r in
+            weighted_sample(df, "id", "w", keep_frac=0.25).collect()}
+    all_ids = {i for i, _ in rows}
+    assert kept <= all_ids
+    assert not {i for i, w in rows if w == 0} & kept
+    assert {f"big{i}" for i in range(5)} <= kept
+    w_by_id = dict(rows)
+    mean_kept = sum(w_by_id[i] for i in kept) / len(kept)
+    mean_all = sum(w for _, w in rows) / len(rows)
+    assert mean_kept > mean_all
+    # determinism: a second run returns the identical set
+    kept2 = {r["id"] for r in
+             weighted_sample(df, "id", "w", keep_frac=0.25).collect()}
+    assert kept2 == kept
