@@ -140,6 +140,10 @@ HEADLINE = [
     "embedding_drift",
     "embedding_quantization",
     "dup_content_conflicts",
+    "dup_transcript_distance",
+    "corpus_mix",
+    "file_skew_audit",
+    "text_encoding_check",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

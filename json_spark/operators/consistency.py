@@ -31,6 +31,13 @@ can see:
   group) with the standard approximate-FD measure, so "clip_id
   determines sr_hz in 99.97% of rows — here is the violating mass"
   becomes a single verdict row.
+- ``dup_label_distance`` — the MAGNITUDE of a label disagreement:
+  Levenshtein edit distance between the extreme (lexicographic
+  min/max) distinct labels of a duplicate-key group. label_conflicts
+  says two transcripts disagree; this says whether the disagreement
+  is a one-character re-punctuation (keep either copy) or a full
+  rewrite (two targets for one input — route to review). The triage
+  signal every dedup-resolution pass needs before it picks a winner.
 
 Scale shapes (100 TB):
 - snapshot_diff projects each side to (key, 16-byte fingerprint)
@@ -52,6 +59,11 @@ Scale shapes (100 TB):
   cardinality is bounded by the duplicate multiplicity of that key
   (map-side partial collect_set), so the single key shuffle carries a
   few dozen bytes per row at any corpus size.
+- dup_label_distance is one groupBy(key) of map-combinable aggregates
+  (count / countDistinct / min / max — never collect_set, so a hot key
+  costs O(1) state per partial); the edit distance runs post-agg on
+  exactly two bounded strings per surviving key, and only keys with
+  >1 distinct label survive the filter — defect-mass-sized output.
 """
 
 from __future__ import annotations
@@ -232,3 +244,41 @@ def dup_content_integrity(df: DataFrame, key_cols: list[str],
                .when(F.col("n_meta") > 1, F.lit("META_DIVERGENT"))
                .otherwise(F.lit("IDENTICAL")))
     return g.withColumn("verdict", verdict)
+
+
+def dup_label_distance(df: DataFrame, key_cols: list[str],
+                       label_col: str) -> DataFrame:
+    """Edit-distance magnitude of label disagreement within duplicate-key
+    groups: for every key whose copies carry >1 distinct non-null label,
+    the Levenshtein distance between the lexicographic min and max label
+    (for n_labels == 2 that IS the conflicting pair; for more it is the
+    extreme representative span). dup_content_integrity says copies
+    DISAGREE; this says by HOW MUCH — distance 1–2 is a typo fix or
+    re-punctuation where either copy trains fine, distance ≈ len is a
+    rewrite that poisons training with two targets for one input.
+
+    Null labels are excluded (a null-vs-value divergence is a PRESENCE
+    defect, dup_content_integrity's verdict — there is no edit distance
+    to a missing string).
+
+    Output per surviving key: n_copies, n_labels, edit_distance,
+    rel_distance (distance / longer label length, rounded to 6).
+
+    Scale shape: one key shuffle of map-combinable aggregates (count /
+    countDistinct / min / max — O(1) partial state even for a hot key,
+    never a collect_set); levenshtein runs post-agg on exactly two
+    bounded strings per key, and the n_labels > 1 filter shrinks the
+    output to defect mass before anything downstream sees it.
+    """
+    g = (df.groupBy(*[F.col(k) for k in key_cols])
+         .agg(F.count(F.lit(1)).alias("n_copies"),
+              F.countDistinct(F.col(label_col)).alias("n_labels"),
+              F.min(F.col(label_col)).alias("__lo"),
+              F.max(F.col(label_col)).alias("__hi"))
+         .where(F.col("n_labels") > 1))
+    return (g.withColumn("edit_distance", F.levenshtein("__lo", "__hi"))
+            .withColumn("rel_distance",
+                        F.round(F.col("edit_distance") /
+                                F.greatest(F.length("__lo"),
+                                           F.length("__hi")), 6))
+            .drop("__lo", "__hi"))

@@ -287,3 +287,49 @@ def group_cap(df: DataFrame, group_cols: list[str],
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= int(k))
             .drop("__rn"))
+
+
+def corpus_mix(df: DataFrame, id_col: str, stratum_col: str,
+               rates: dict[str, float], default_rate: float = 1.0,
+               salt: str = "mix:", buckets: int = 1 << 20) -> DataFrame:
+    """Deterministic training-mix construction with UPSAMPLING: each row
+    is emitted ``floor(rate)`` times, plus one more iff its md5 bucket
+    falls below the fractional part of its stratum's rate — so a rate of
+    2.25 means every row appears twice and a deterministic quarter of
+    rows appear a third time (expected output mass = rate × input mass,
+    exact in the bucket limit).
+
+    This is the mixing step of every LLM data recipe — epochs > 1 for
+    scarce high-quality sources (books, reference text), < 1 to
+    downsample bulk crawl — realized without RNG: membership of the
+    fractional copy is the same md5-bucket arithmetic as
+    :func:`stratified_sample`, so the mix is reproducible, stable under
+    corpus growth, and every emitted copy is attributable. Rate 0 drops
+    the stratum entirely.
+
+    The output carries an ``epoch`` column (0-based copy index) so
+    downstream shuffling/packing can salt on (id, epoch) and repeated
+    copies land in different batches rather than adjacent ones.
+
+    Scale shape: map-only rate lookup (a when-chain over the handful of
+    strata) + a bounded ``explode(sequence(...))`` fan-out of at most
+    ``ceil(rate)`` copies per row — ZERO shuffles; rows with
+    n_copies = 0 are filtered BEFORE the sequence so the
+    sequence(0, -1) step-direction trap never fires.
+    """
+    rate: Column = F.lit(float(default_rate))
+    for stratum, r in rates.items():
+        rate = F.when(F.col(stratum_col) == stratum,
+                      F.lit(float(r))).otherwise(rate)
+    whole = F.floor(rate).cast("long")
+    frac_thresh = F.floor((rate - F.floor(rate)) * F.lit(float(buckets))
+                          ).cast("long")
+    bucket = F.pmod(hash32(F.col(id_col), salt), F.lit(buckets))
+    n_copies = whole + F.when(bucket < frac_thresh, F.lit(1)).otherwise(
+        F.lit(0)).cast("long")
+    return (df.withColumn("__n_copies", n_copies)
+            .where(F.col("__n_copies") > 0)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(0).cast("long"),
+                                             F.col("__n_copies") - 1)))
+            .drop("__n_copies"))

@@ -220,3 +220,36 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
                     F.when(F.col("__mad") > BENFORD_MAD_RED, "RED")
                     .when(F.col("__mad") > BENFORD_MAD_YELLOW, "YELLOW")
                     .otherwise("GREEN").alias("verdict")))
+
+
+def file_profile(df: DataFrame,
+                 path_col: str = "_metadata.file_path") -> DataFrame:
+    """Physical-layout audit of a file-backed scan: per-file row counts
+    collapsed into one report row — (n_files, n_rows, min_file_rows,
+    max_file_rows, skew = max / mean). The table-maintenance view a
+    100 TB lakehouse needs before every heavy read: thousands of tiny
+    files mean the scan is task-scheduling-bound (compact them), one
+    giant file means a straggler (split it), skew ≫ 1 means both.
+
+    ``df`` must come straight from a file source so Spark's hidden
+    ``_metadata`` struct is still addressable (any projection keeps it
+    alive; a join/agg drops it). Works on parquet/orc/json/csv sources
+    alike — the column is source-provided, not parsed from
+    ``input_file_name()`` strings.
+
+    Scale shape: groupBy(file_path) is map-combinable counting whose
+    key cardinality IS the file count, then a single-row final
+    aggregate — the shuffle carries one (path, count) pair per file per
+    task, never rows. The mean in the skew ratio is the pinned IEEE
+    chain max / (sum / count) so SQL twins replay it bit-identically.
+    """
+    per_file = (df.groupBy(F.col(path_col).alias("__file"))
+                .agg(F.count(F.lit(1)).alias("__n")))
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("__n").alias("n_rows"),
+        F.min("__n").alias("min_file_rows"),
+        F.max("__n").alias("max_file_rows"),
+        F.round(F.max("__n").cast("double")
+                / (F.sum("__n").cast("double")
+                   / F.count(F.lit(1)).cast("double")), 6).alias("skew"))

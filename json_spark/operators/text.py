@@ -197,3 +197,33 @@ def tfidf_topk(docs: DataFrame, text_col: str, id_col: str,
             .filter(F.col("rank") <= k)
             .select("doc_id", "rank", "term", "tf", "df",
                     F.round("score", 6).alias("tfidf")))
+
+
+def encoding_features(c: Column) -> dict[str, Column]:
+    """Encoding-health detectors: per-document counts of the four classic
+    text-corpus encoding defects, each a JVM-side regexp count (no
+    Python anywhere):
+
+    - ``n_replacement``: U+FFFD replacement characters — a decoder
+      already gave up upstream; the byte content is unrecoverable.
+    - ``n_control``: C0 control characters other than tab/newline/CR —
+      binary junk or terminal escapes inside "text".
+    - ``n_mojibake``: UTF-8 bytes decoded as Latin-1 ('\\u00c3' followed
+      by a Latin-1 continuation char — the 'Ã©'-for-'é' family), the
+      most common double-encoding artifact in web crawl.
+    - ``n_zero_width``: zero-width space/joiner/non-joiner and stray
+      BOMs — invisible characters that split tokens silently and leak
+      into generated text.
+
+    A clean pipeline wants all four at 0; any hit routes the document to
+    re-extraction rather than training. Map-only, pure codegen.
+    """
+    return {
+        "n_replacement": F.regexp_count(c, F.lit("\uFFFD")),
+        "n_control": F.regexp_count(
+            c, F.lit("[\u0000-\u0008\u000B\u000C\u000E-\u001F]")),
+        "n_mojibake": F.regexp_count(
+            c, F.lit("\u00C3[\u0080-\u00BF]")),
+        "n_zero_width": F.regexp_count(
+            c, F.lit("[\u200B\u200C\u200D\uFEFF]")),
+    }

@@ -70,7 +70,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: key_comissingness, the consistency family snapshot_diff /
 #: approx_fd / transcript_conflicts, the batch-B trio
 #: label_agreement / key_set_overlap / weighted_sample,
-#: dup_content_conflicts, and source_cap — all judge-replica green at
+#: dup_content_conflicts, source_cap, and the batch-C quartet
+#: dup_transcript_distance / corpus_mix / file_skew_audit /
+#: text_encoding_check — all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6207,3 +6209,254 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_before", "chars_before", "n_kept",
                     (F.col("n_before") - F.col("n_kept")).alias("n_dropped"),
                     "chars_kept", "min_kept_chars"))
+
+
+# =========================================================================
+# Late round-3 batch C: duplicate-label edit distance, training-mix
+# construction with upsampling, physical file-layout audit, and
+# encoding-health validation — queued for the r4 gate rotation (see the
+# ROUND-4 ROTATION note above GATE_FRONT).
+# =========================================================================
+
+@register("dup_transcript_distance", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+conf AS (
+  SELECT codec, 1 + (i // 150) % 3 AS d
+  FROM full_ WHERE i % 150 = 0)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_conflict_keys,
+       round(avg(CAST(d AS DOUBLE)), 6) AS avg_edit_distance,
+       CAST(max(d) AS INTEGER) AS max_edit_distance
+FROM conf GROUP BY codec
+""")
+def q_dup_transcript_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance MAGNITUDE of duplicate-transcript divergence
+    (operators/consistency.py:dup_label_distance): for every clip_id
+    whose copies carry different transcripts, the Levenshtein distance
+    between the conflicting pair — the triage signal that separates a
+    re-punctuation (distance 1-2: either copy trains fine) from a
+    rewrite (two targets for one input: route to review before dedup
+    picks a winner). Complements dup_content_conflicts, which only
+    classifies THAT labels diverge; the reference's last-key-wins
+    duplicate stance (decoder.go map semantics) silently keeps one of
+    the two copies — this measures what that choice would discard.
+
+    Fixture: every 50th clip re-appears (a re-ingest batch); every
+    150th re-appears with its transcript truncated by k = 1 + (i/150)%3
+    trailing characters. Pure end-deletions make the Levenshtein
+    distance EXACTLY k, so the per-codec conflict count, mean and max
+    distance are closed-form row-id arithmetic — the oracle never sees
+    a transcript.
+
+    Scale shape: one key shuffle of map-combinable aggregates (count /
+    countDistinct / min / max — O(1) partial state per key, no
+    collect_set); levenshtein runs post-agg on two bounded strings per
+    surviving key; output shrinks to defect mass before the per-codec
+    rollup.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.consistency import dup_label_distance
+
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    idn = F.substring("clip_id", 6, 12).cast("long")
+    k = (F.lit(1) + F.pmod((idn / 150).cast("long"), F.lit(3))).cast("int")
+    reingest = clips.where(idn % 50 == 0).select(
+        "clip_id", "codec",
+        F.when(idn % 150 == 0,
+               F.substring(F.col("transcript"), F.lit(1),
+                           F.length("transcript") - k))
+        .otherwise(F.col("transcript")).alias("transcript"))
+    un = clips.select("clip_id", "codec", "transcript").unionByName(reingest)
+    dist = dup_label_distance(un, ["clip_id", "codec"], "transcript")
+    return dist.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_conflict_keys"),
+        F.round(F.avg("edit_distance"), 6).alias("avg_edit_distance"),
+        F.max("edit_distance").alias("max_edit_distance"))
+
+
+@register("corpus_mix", oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                   WHEN 'zh' THEN CAST(2.25 AS DOUBLE)
+                   WHEN 'de' THEN CAST(1.5 AS DOUBLE)
+                   WHEN 'fr' THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(1.0 AS DOUBLE) END AS rate,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 1048576 AS bucket
+  FROM documents),
+c AS (
+  SELECT lang,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN bucket < CAST(floor((rate - floor(rate)) * 1048576.0)
+                              AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM r),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_in,
+         CAST(count(*) FILTER (WHERE n_copies > 0) AS BIGINT) AS n_docs_kept,
+         CAST(sum(n_copies) AS BIGINT) AS n_out
+  FROM c GROUP BY lang)
+SELECT lang, n_in, n_docs_kept, n_out,
+       round(CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6)
+         AS realized_rate
+FROM g
+""")
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction (operators/curation.py:corpus_mix):
+    per-language rates en 0.5x / zh 2.25x / de 1.5x / fr 0x / default
+    1x — every row emitted floor(rate) times plus a deterministic
+    md5-bucket fraction once more, with an epoch index for downstream
+    batch salting. The mixing step of every LLM data recipe (upsample
+    scarce high-quality strata, downsample bulk crawl, drop a stratum)
+    realized without RNG, so the oracle replays every copy count
+    bit-identically: rate constants are binary-exact, the fractional
+    threshold is the same floor(frac*2^20) integer, and membership is
+    the shared md5-bucket arithmetic. Reports per-language input rows,
+    surviving docs, emitted rows, and the realized rate n_out/n_in
+    (converging to the configured rate as the bucket grid refines).
+
+    Scale shape: map-only rate lookup + bounded explode fan-out
+    (<= ceil(rate) copies) — ZERO shuffles in the mix itself; the
+    n_copies = 0 filter precedes the sequence so the sequence(0,-1)
+    step trap never fires (ADVICE r2).
+    """
+    from ..operators.curation import corpus_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = corpus_mix(docs, "doc_id", "lang",
+                       {"en": 0.5, "zh": 2.25, "de": 1.5, "fr": 0.0},
+                       default_rate=1.0)
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    after = mixed.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("__docs"),
+        F.count(F.lit(1)).alias("__out"))
+    return (before.join(after, "lang", "left")
+            .select("lang", "n_in",
+                    F.coalesce(F.col("__docs"), F.lit(0).cast("long"))
+                    .alias("n_docs_kept"),
+                    F.coalesce(F.col("__out"), F.lit(0).cast("long"))
+                    .alias("n_out"))
+            .withColumn("realized_rate",
+                        F.round(F.col("n_out").cast("double")
+                                / F.col("n_in").cast("double"), 6)))
+
+
+@register("file_skew_audit", oracle="""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       min(n) AS min_file_rows,
+       max(n) AS max_file_rows,
+       round(CAST(max(n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         AS skew
+FROM c
+""")
+def q_file_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical file-layout audit (operators/profiling.py:file_profile):
+    per-file row counts from the source-provided ``_metadata.file_path``
+    column, collapsed to (n_files, n_rows, min/max file rows,
+    skew = max/mean) — the compaction/straggler diagnosis a 100 TB
+    lakehouse runs before every heavy scan (many tiny files mean the
+    read is task-scheduling-bound, one giant file means a straggler,
+    skew >> 1 means both).
+
+    The query materializes a deterministic layout first: documents
+    repartitioned by lang and written partitionBy(lang) to a scratch
+    dir, which yields exactly one file per language whose row count is
+    that language's histogram — so the oracle derives the whole file
+    profile from the lang histogram without touching the filesystem,
+    and the engine side proves the ``_metadata`` plumbing on files it
+    actually wrote (the Spark side runs before the oracle in the gate,
+    so the scratch dir always exists when compared).
+
+    Scale shape: groupBy(file_path) is map-combinable counting with
+    key cardinality = file count (the shuffle carries one pair per
+    file per task, never rows), then a single-row final aggregate; the
+    skew mean is the pinned IEEE chain max/(sum/count).
+    """
+    import os
+
+    from ..operators.profiling import file_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = ("/tmp/json_spark_file_audit_"
+               + os.path.basename(os.path.normpath(sf_dir)))
+    (docs.repartition("lang").write.mode("overwrite")
+     .partitionBy("lang").parquet(scratch))
+    return file_profile(spark.read.parquet(scratch))
+
+
+@register("text_encoding_check", oracle="""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS r,
+         CASE WHEN doc_id % 53 = 0 THEN 1 ELSE 0 END AS c,
+         CASE WHEN doc_id % 41 = 0 THEN 1 + doc_id % 2 ELSE 0 END AS m,
+         CASE WHEN doc_id % 43 = 0 THEN 1 + doc_id % 3 ELSE 0 END AS z
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r) AS BIGINT) AS n_replacement,
+       CAST(sum(c) AS BIGINT) AS n_control,
+       CAST(sum(m) AS BIGINT) AS n_mojibake,
+       CAST(sum(z) AS BIGINT) AS n_zero_width,
+       CAST(count(*) FILTER (WHERE r + c + m + z > 0) AS BIGINT)
+         AS n_flagged
+FROM p GROUP BY lang
+""")
+def q_text_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health validation (operators/text.py:encoding_features):
+    per-language totals of U+FFFD replacement chars, C0 control chars,
+    UTF-8-as-Latin-1 mojibake sequences, and zero-width characters,
+    plus the count of flagged documents — the re-extraction gate every
+    crawl corpus passes before tokenization (each defect class is
+    invisible to length/quality stats but corrupts training text).
+
+    Fixture: the synthetic corpus is clean (tests assert 0 hits on the
+    raw table), so the query PLANTS defects deterministically — doc_id
+    %37 gets one replacement char, %53 one BEL control char, %41 a
+    mojibake pair repeated 1 + doc_id%2 times, %43 a zero-width space
+    repeated 1 + doc_id%3 times — and the engine must recover exactly
+    those counts from the TEXT via the four regexp detectors, while
+    the oracle derives them from row-id arithmetic without reading a
+    string.
+
+    Scale shape: map-only regexp counts (pure codegen, no Python) into
+    a per-language map-combinable aggregate — zero data-sized shuffles.
+    """
+    from ..operators.text import encoding_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(did % 37 == 0, F.lit("\uFFFD")).otherwise(F.lit("")),
+            F.when(did % 53 == 0, F.lit("\u0007")).otherwise(F.lit("")),
+            F.when(did % 41 == 0,
+                   F.repeat(F.lit("\u00C3\u00A9"),
+                            (F.lit(1) + F.pmod(did, F.lit(2))).cast("int")))
+            .otherwise(F.lit("")),
+            F.when(did % 43 == 0,
+                   F.repeat(F.lit("\u200B"),
+                            (F.lit(1) + F.pmod(did, F.lit(3))).cast("int")))
+            .otherwise(F.lit(""))).alias("text"))
+    feats = encoding_features(F.col("text"))
+    enriched = planted.select(
+        "lang",
+        feats["n_replacement"].alias("__r"),
+        feats["n_control"].alias("__c"),
+        feats["n_mojibake"].alias("__m"),
+        feats["n_zero_width"].alias("__z"))
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__r").cast("long")).alias("n_replacement"),
+        F.sum(F.col("__c").cast("long")).alias("n_control"),
+        F.sum(F.col("__m").cast("long")).alias("n_mojibake"),
+        F.sum(F.col("__z").cast("long")).alias("n_zero_width"),
+        F.sum(((F.col("__r") + F.col("__c") + F.col("__m") + F.col("__z"))
+               > 0).cast("long")).alias("n_flagged"))

@@ -239,3 +239,74 @@ def test_dup_content_integrity_random_vs_pandas_twin(spark):
         assert (r["n_copies"], r["n_content"], r["n_label"], r["n_meta"],
                 r["verdict"]) == (len(g), nc, nl, nm, exp), k
     assert n_checked >= 40      # the generator actually made dup groups
+
+
+class TestDupLabelDistance:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, t string")
+
+    def test_distance_and_filtering(self, spark):
+        from json_spark.operators.consistency import dup_label_distance
+        rows = [
+            ("a", "hello world"), ("a", "hello world"),   # identical: out
+            ("b", "kitten"), ("b", "sitting"),            # classic lev=3
+            ("c", "abc"), ("c", "abcde"),                 # suffix add: 2
+            ("d", "only one copy"),                       # not duplicated
+            ("e", "x"), ("e", None),                      # null excluded
+        ]
+        got = {r["k"]: r for r in dup_label_distance(
+            self._mk(spark, rows), ["k"], "t").collect()}
+        assert set(got) == {"b", "c"}
+        assert (got["b"]["edit_distance"], got["b"]["n_labels"]) == (3, 2)
+        assert got["c"]["edit_distance"] == 2
+        assert got["c"]["rel_distance"] == round(2 / 5, 6)
+
+    def test_three_labels_takes_extreme_pair(self, spark):
+        from json_spark.operators.consistency import dup_label_distance
+        rows = [("k", "aaa"), ("k", "mmm"), ("k", "zzz")]
+        r = dup_label_distance(self._mk(spark, rows), ["k"], "t").collect()[0]
+        assert r["n_labels"] == 3
+        assert r["edit_distance"] == 3       # lev(aaa, zzz)
+
+    def test_plan_no_window_no_cross(self, spark):
+        from json_spark.operators.consistency import dup_label_distance
+        plan = dup_label_distance(
+            self._mk(spark, [("k", "a"), ("k", "b")]), ["k"], "t"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+        assert "Cross" not in plan
+
+    def test_random_vs_python_dp(self, spark):
+        """Randomized twin: distances equal a textbook Levenshtein DP on
+        the lexicographic extreme pair of each conflicting key."""
+        import numpy as np
+        from json_spark.operators.consistency import dup_label_distance
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rng = np.random.default_rng(20260819)
+        alpha = "abcx"
+        rows = []
+        for _ in range(300):
+            k = f"k{rng.integers(0, 40)}"
+            t = "".join(alpha[i] for i in rng.integers(0, 4, size=rng.integers(1, 9)))
+            rows.append((k, t))
+        got = {r["k"]: r for r in dup_label_distance(
+            self._mk(spark, rows), ["k"], "t").collect()}
+        from collections import defaultdict
+        groups = defaultdict(set)
+        for k, t in rows:
+            groups[k].add(t)
+        for k, labels in groups.items():
+            if len(labels) <= 1:
+                assert k not in got
+                continue
+            assert got[k]["edit_distance"] == lev(min(labels), max(labels)), k

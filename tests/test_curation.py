@@ -254,3 +254,49 @@ def test_weighted_sample_invariants_random(spark):
     kept2 = {r["id"] for r in
              weighted_sample(df, "id", "w", keep_frac=0.25).collect()}
     assert kept2 == kept
+
+
+class TestCorpusMix:
+    def _docs(self, spark, n=600):
+        rows = [(f"d{i}", ["a", "b", "c"][i % 3]) for i in range(n)]
+        return spark.createDataFrame(rows, "id string, s string")
+
+    def test_rates_whole_frac_zero(self, spark):
+        from json_spark.operators.curation import corpus_mix
+        df = self._docs(spark)
+        out = corpus_mix(df, "id", "s",
+                         {"a": 2.0, "b": 0.5, "c": 0.0}).collect()
+        by_s = {}
+        for r in out:
+            by_s.setdefault(r["s"], []).append(r)
+        # stratum a: every row exactly twice, epochs 0 and 1
+        a_rows = by_s["a"]
+        assert len(a_rows) == 2 * 200
+        from collections import Counter
+        eps = Counter((r["id"], r["epoch"]) for r in a_rows)
+        assert set(eps.values()) == {1}
+        assert {e for _, e in eps} == {0, 1}
+        # stratum b: a deterministic ~half subset, each exactly once
+        b_rows = by_s["b"]
+        assert 0.3 * 200 < len(b_rows) < 0.7 * 200
+        assert all(r["epoch"] == 0 for r in b_rows)
+        # stratum c: dropped entirely
+        assert "c" not in by_s
+
+    def test_fractional_upsample_mass(self, spark):
+        from json_spark.operators.curation import corpus_mix
+        df = self._docs(spark, 900)
+        out = corpus_mix(df, "id", "s", {}, default_rate=1.25)
+        n = out.count()
+        # every row at least once; about a quarter twice
+        assert 900 * 1.15 < n < 900 * 1.35
+        # determinism
+        assert out.count() == n
+
+    def test_no_shuffle_plan(self, spark):
+        from json_spark.operators.curation import corpus_mix
+        df = self._docs(spark)
+        plan = (corpus_mix(df, "id", "s", {"a": 2.25})
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "Generate" in plan      # the bounded explode fan-out

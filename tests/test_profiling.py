@@ -209,3 +209,28 @@ def test_wasserstein_properties(spark):
     # KS saturates at 1.0 for both shifts — W1 distinguishes them
     assert ks_statistic(p, q1).collect()[0]["ks"] == 1.0
     assert ks_statistic(p, q2).collect()[0]["ks"] == 1.0
+
+
+class TestFileProfile:
+    def test_known_layout(self, spark, tmp_path):
+        from json_spark.operators.profiling import file_profile
+        # three files with 10 / 20 / 70 rows via range-partitioned write
+        import pyspark.sql.functions as F
+        df = spark.range(100).withColumn(
+            "g", F.when(F.col("id") < 10, "a")
+                  .when(F.col("id") < 30, "b").otherwise("c"))
+        out = str(tmp_path / "layout")
+        df.repartition("g").write.partitionBy("g").parquet(out)
+        r = file_profile(spark.read.parquet(out)).collect()[0]
+        assert r["n_files"] == 3
+        assert r["n_rows"] == 100
+        assert r["min_file_rows"] == 10
+        assert r["max_file_rows"] == 70
+        assert r["skew"] == round(70.0 / (100.0 / 3.0), 6)
+
+    def test_single_file_skew_one(self, spark, tmp_path):
+        from json_spark.operators.profiling import file_profile
+        out = str(tmp_path / "one")
+        spark.range(42).coalesce(1).write.parquet(out)
+        r = file_profile(spark.read.parquet(out)).collect()[0]
+        assert (r["n_files"], r["n_rows"], r["skew"]) == (1, 42, 1.0)

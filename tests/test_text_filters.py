@@ -127,3 +127,57 @@ def test_tfidf_topk_vs_bruteforce(spark):
     # 'the' appears in every doc => idf 0 => never a top keyword despite
     # being the highest-tf term in docs 1 and 2
     assert all(v[0] != "the" for v in got.values())
+
+
+REPL = chr(0xFFFD)          # replacement char
+BEL, ESC = chr(0x07), chr(0x1B)
+MOJI = chr(0xC3) + chr(0xA9)     # 'A-tilde' + continuation = mojibake pair
+ZWSP, ZWNJ, BOM = chr(0x200B), chr(0x200C), chr(0xFEFF)
+
+
+class TestEncodingFeatures:
+    def _feat(self, spark, texts):
+        import pyspark.sql.functions as F
+        from json_spark.operators.text import encoding_features
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        f = encoding_features(F.col("t"))
+        return df.select(*[v.alias(k) for k, v in f.items()]).collect()
+
+    def test_clean_text_all_zero(self, spark):
+        rows = self._feat(spark, ["hello world", "tabs\tand\nnewlines ok",
+                                  "punct!? ok"])
+        for r in rows:
+            assert (r["n_replacement"], r["n_control"],
+                    r["n_mojibake"], r["n_zero_width"]) == (0, 0, 0, 0)
+
+    def test_each_detector_counts_occurrences(self, spark):
+        rows = self._feat(spark, [
+            f"bad {REPL} and {REPL} again",      # 2 replacement chars
+            f"bell {BEL} and {ESC} esc",         # 2 control chars
+            f"caf{MOJI} twice {MOJI}",           # 2 mojibake pairs
+            f"zero{ZWSP}width{ZWNJ} and{BOM}",   # 3 zero-width chars
+        ])
+        assert rows[0]["n_replacement"] == 2
+        assert rows[1]["n_control"] == 2
+        assert rows[2]["n_mojibake"] == 2
+        assert rows[3]["n_zero_width"] == 3
+        # detectors are independent: nothing else fires on each row
+        assert rows[0]["n_control"] == rows[0]["n_mojibake"] == 0
+        assert rows[2]["n_replacement"] == rows[2]["n_zero_width"] == 0
+
+    def test_legit_accents_not_mojibake(self, spark):
+        # real accented text (e-acute alone, no continuation pair after
+        # an A-tilde) must not flag
+        e_acute = chr(0xE9)
+        rows = self._feat(spark, [f"caf{e_acute} ok"])
+        assert rows[0]["n_mojibake"] == 0
+
+    def test_plan_is_pure_codegen(self, spark):
+        import pyspark.sql.functions as F
+        from json_spark.operators.text import encoding_features
+        df = spark.createDataFrame([("x",)], "t string")
+        f = encoding_features(F.col("t"))
+        plan = (df.select(*[v.alias(k) for k, v in f.items()])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan
+        assert "Exchange" not in plan
