@@ -144,6 +144,8 @@ HEADLINE = [
     "corpus_mix",
     "file_skew_audit",
     "text_encoding_check",
+    "packing_efficiency",
+    "vocab_coverage",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

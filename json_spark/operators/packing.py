@@ -159,3 +159,51 @@ def hash_uniformity(df: DataFrame, id_col: str, n_buckets: int = 16,
                     F.when(F.col("__chi_b") > chi2_red, "RED")
                     .when(F.col("__chi_b") > chi2_yellow, "YELLOW")
                     .otherwise("GREEN").alias("verdict")))
+
+
+def packing_efficiency(df: DataFrame, id_col: str, token_col: str,
+                       strata: list[str], budget: int,
+                       n_shards: int = 4) -> DataFrame:
+    """Context-window utilization report over :func:`pack_batches`: per
+    strata, how well does the packed layout use the token budget? Emits
+    n_batches, n_docs, packed_tokens, mean_fill (batch tokens / budget),
+    n_underfull / n_overflow batches, and waste_share — the fraction of
+    the reserved n_batches × budget token capacity left unused. The
+    report a pipeline reads before committing a sequence length: a
+    budget that leaves 30% of every batch empty wastes a third of every
+    training step, and one that overflows constantly truncates.
+
+    Under the offset rule every batch except a shard's last spans at
+    least ``budget`` tokens (an overflowing doc is counted into the
+    batch its offset starts in), so waste concentrates in the per-shard
+    tail — raising ``n_shards`` for parallelism trades a little more
+    tail waste, and THIS report is where that trade becomes visible.
+
+    Scale shape: inherits pack_batches' per-(strata, shard) window (no
+    global ordering anywhere), then collapses the batch table — already
+    ~corpus_tokens/budget rows, not corpus rows — into a |strata|-sized
+    aggregate. The two ratios are single rounded divisions of exact
+    integers, so a SQL twin replays them bit-identically.
+    """
+    batches = pack_batches(df, id_col, token_col, strata, budget,
+                           n_shards=n_shards)
+    cap = F.lit(int(budget))
+    agg = (batches.groupBy(*strata)
+           .agg(F.count(F.lit(1)).alias("n_batches"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("batch_tokens").alias("packed_tokens"),
+                F.sum((F.col("batch_tokens") < cap).cast("long"))
+                .alias("n_underfull"),
+                F.sum((F.col("batch_tokens") > cap).cast("long"))
+                .alias("n_overflow"),
+                F.sum(F.greatest(cap - F.col("batch_tokens"), F.lit(0)))
+                .alias("wasted_tokens")))
+    return agg.select(
+        *strata, "n_batches", "n_docs", "packed_tokens",
+        "n_underfull", "n_overflow", "wasted_tokens",
+        F.round(F.col("packed_tokens").cast("double")
+                / (F.col("n_batches") * cap).cast("double"), 6)
+        .alias("mean_fill"),
+        F.round(F.col("wasted_tokens").cast("double")
+                / (F.col("n_batches") * cap).cast("double"), 6)
+        .alias("waste_share"))

@@ -227,3 +227,64 @@ def encoding_features(c: Column) -> dict[str, Column]:
         "n_zero_width": F.regexp_count(
             c, F.lit("[\u200B\u200C\u200D\uFEFF]")),
     }
+
+
+def top_vocab(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """The corpus's top-``k`` token vocabulary by frequency, tiebreak on
+    the token itself — a TOTAL order, so the vocabulary SET is
+    deterministic and engine-independent. Returns (term, term_count).
+
+    Scale shape: explode → (term) hash aggregate shrinks the corpus to
+    vocabulary size map-side; the global top-k then runs on the
+    vocabulary-sized table only (TakeOrderedAndProject, never a full
+    sort of corpus rows).
+    """
+    counts = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("term_count")))
+    return counts.orderBy(F.col("term_count").desc(),
+                          F.col("term").asc()).limit(int(k))
+
+
+def vocab_coverage(df: DataFrame, text_col: str, group_cols: list[str],
+                   vocab: DataFrame) -> DataFrame:
+    """Out-of-vocabulary rate per group against a reference vocabulary —
+    the tokenizer-coverage QA every corpus runs before training: a
+    language or source whose OOV share spikes is about to shred into
+    byte fallbacks (token inflation) or <unk> mass (signal loss), which
+    no length/quality stat detects.
+
+    ``vocab`` is a (term, ...) frame, typically :func:`top_vocab` of a
+    reference corpus — measuring corpus B against corpus A's vocabulary
+    also quantifies domain shift at the lexical level.
+
+    Emits per group: n_docs, n_tokens, n_oov, oov_rate, plus the
+    distinct-token view (n_distinct_tokens, n_distinct_oov) — token-mass
+    OOV says how much TEXT is affected, distinct OOV how much of the
+    LEXICON is missing.
+
+    Scale shape: one corpus explode into a broadcast LEFT join against
+    the k-bounded vocabulary (map-only — the corpus never shuffles on
+    the term), then a per-(group, term) distinct aggregate that shrinks
+    to group × vocabulary size before the final group rollup.
+    """
+    toks = df.select(*group_cols,
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    marked = toks.join(
+        F.broadcast(vocab.select("term", F.lit(1).alias("__in_vocab"))),
+        "term", "left")
+    oov = F.col("__in_vocab").isNull().cast("long")
+    per_term = marked.groupBy(*group_cols, "term").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(oov).alias("__oov"))
+    docs = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    cov = per_term.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n_tokens"),
+        F.sum(F.col("__n") * F.col("__oov")).alias("n_oov"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum("__oov").alias("n_distinct_oov"))
+    return (docs.join(cov, list(group_cols))
+            .select(*group_cols, "n_docs", "n_tokens", "n_oov",
+                    F.round(F.col("n_oov").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("oov_rate"),
+                    "n_distinct_tokens", "n_distinct_oov"))

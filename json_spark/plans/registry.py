@@ -70,9 +70,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: key_comissingness, the consistency family snapshot_diff /
 #: approx_fd / transcript_conflicts, the batch-B trio
 #: label_agreement / key_set_overlap / weighted_sample,
-#: dup_content_conflicts, source_cap, and the batch-C quartet
+#: dup_content_conflicts, source_cap, the batch-C quartet
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
-#: text_encoding_check — all judge-replica green at
+#: text_encoding_check, and the batch-D pair packing_efficiency /
+#: vocab_coverage — all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6460,3 +6461,110 @@ def q_text_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("__z").cast("long")).alias("n_zero_width"),
         F.sum(((F.col("__r") + F.col("__c") + F.col("__m") + F.col("__z"))
                > 0).cast("long")).alias("n_flagged"))
+
+
+@register("packing_efficiency", oracle="""
+WITH d AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS tok,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 4 AS shard
+  FROM documents),
+c AS (
+  SELECT lang, shard, tok,
+         coalesce(CAST(sum(tok) OVER (PARTITION BY lang, shard
+                                      ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS BIGINT),
+                  0) AS before
+  FROM d),
+b AS (
+  SELECT lang, shard, before // 2048 AS batch_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS bt
+  FROM c GROUP BY lang, shard, batch_id),
+a AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(bt) AS BIGINT) AS packed_tokens,
+         CAST(count(*) FILTER (WHERE bt < 2048) AS BIGINT) AS n_underfull,
+         CAST(count(*) FILTER (WHERE bt > 2048) AS BIGINT) AS n_overflow,
+         CAST(sum(greatest(2048 - bt, 0)) AS BIGINT) AS wasted_tokens
+  FROM b GROUP BY lang)
+SELECT lang, n_batches, n_docs, packed_tokens, n_underfull, n_overflow,
+       wasted_tokens,
+       round(CAST(packed_tokens AS DOUBLE)
+             / CAST(n_batches * 2048 AS DOUBLE), 6) AS mean_fill,
+       round(CAST(wasted_tokens AS DOUBLE)
+             / CAST(n_batches * 2048 AS DOUBLE), 6) AS waste_share
+FROM a
+""")
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window utilization report
+    (operators/packing.py:packing_efficiency) over the 2048-token
+    offset-rule packing of documents per (lang, md5 shard): batches,
+    mean fill, underfull/overflow counts, and the waste share of the
+    reserved n_batches x budget capacity — the report that decides a
+    training sequence length (30% empty batches waste a third of every
+    step; constant overflow truncates). The oracle replays the same
+    prefix-sum window, batch cut, and the two rounded divisions of
+    exact integers.
+
+    Scale shape: inherits pack_batches' per-(lang, shard) window — no
+    global ordering — then aggregates the already batch-sized table to
+    |lang| rows.
+    """
+    from ..operators.packing import packing_efficiency
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tok"))
+    return packing_efficiency(d, "doc_id", "tok", ["lang"], budget=2048,
+                              n_shards=4)
+
+
+@register("vocab_coverage", oracle="""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+vc AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+v AS (SELECT term FROM vc ORDER BY n DESC, term ASC LIMIT 64),
+m AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n,
+         CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END AS oov
+  FROM t GROUP BY lang, term),
+docs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY lang),
+cov AS (
+  SELECT lang,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(n * oov) AS BIGINT) AS n_oov,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(oov) AS BIGINT) AS n_distinct_oov
+  FROM m GROUP BY lang)
+SELECT d.lang, d.n_docs, c.n_tokens, c.n_oov,
+       round(CAST(c.n_oov AS DOUBLE) / CAST(c.n_tokens AS DOUBLE), 6)
+         AS oov_rate,
+       c.n_distinct_tokens, c.n_distinct_oov
+FROM docs d JOIN cov c ON d.lang = c.lang
+""")
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language
+    (operators/text.py:top_vocab + vocab_coverage) against the corpus's
+    own top-64 token vocabulary — the tokenizer-coverage QA before
+    training: a language whose OOV share spikes is about to shred into
+    byte fallbacks (token inflation) or unk mass (signal loss),
+    invisible to every length/quality stat. The vocabulary is a TOTAL
+    order (count desc, term asc), so the top-64 SET — and with it every
+    OOV count — is engine-independent; the oracle rebuilds the
+    vocabulary and both OOV views (token mass + distinct lexicon)
+    independently in SQL.
+
+    Scale shape: the corpus explodes once into a k-bounded BROADCAST
+    left join (the corpus never shuffles on the term); the global top-k
+    runs on the vocabulary-sized count table only
+    (TakeOrderedAndProject, never a corpus sort); the distinct view
+    shrinks to group x vocabulary before the final rollup.
+    """
+    from ..operators.text import top_vocab, vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = top_vocab(docs, "text", 64)
+    return vocab_coverage(docs, "text", ["lang"], vocab)

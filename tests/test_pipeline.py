@@ -485,3 +485,52 @@ def test_substring_spans_short_doc_excluded(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
     assert dedup.substring_span_pairs(df, "doc_id", "text", n=8
                                       ).collect() == []
+
+
+def test_packing_efficiency_closed_form(spark):
+    """12 docs of 10 tokens, one stratum, one shard, budget 32: offset
+    rule puts docs at offsets 0..110 -> batches 0,0,0,0 / 1,1,1 / 2,2,2
+    / 3,3 with 40/30/30/20 tokens — verify every report column."""
+    from json_spark.operators.packing import packing_efficiency
+    import pyspark.sql.functions as F
+    rows = [(f"d{i:02d}", "g", 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "id string, g string, tok int")
+    out = packing_efficiency(df, "id", "tok", ["g"], budget=32,
+                             n_shards=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_batches"], r["n_docs"], r["packed_tokens"]) == (4, 12, 120)
+    # batches of 40/30/30 overflow or underfill around the 32 budget:
+    # 40>32 overflow; 30<32 underfull twice; tail 20<32 underfull
+    assert r["n_overflow"] == 1
+    assert r["n_underfull"] == 3
+    assert r["wasted_tokens"] == (32-30)*2 + (32-20)
+    assert r["mean_fill"] == round(120 / (4*32), 6)
+    assert r["waste_share"] == round(16 / (4*32), 6)
+
+
+def test_vocab_coverage_closed_form(spark):
+    from json_spark.operators.text import top_vocab, vocab_coverage
+    rows = [("g1", "a a b c"), ("g1", "a d"), ("g2", "e e e b")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    vocab = top_vocab(df, "text", 2)   # counts: a=3 e=3 b=2 c=1 d=1
+    terms = {r["term"] for r in vocab.collect()}
+    assert terms == {"a", "e"}         # tie a/e on 3; b loses at k=2
+    got = {r["g"]: r for r in
+           vocab_coverage(df, "text", ["g"], vocab).collect()}
+    g1 = got["g1"]   # tokens: a a b c a d -> 6 tokens, oov b,c,d = 3
+    assert (g1["n_docs"], g1["n_tokens"], g1["n_oov"]) == (2, 6, 3)
+    assert g1["oov_rate"] == 0.5
+    assert (g1["n_distinct_tokens"], g1["n_distinct_oov"]) == (4, 3)
+    g2 = got["g2"]   # e e e b -> oov only b
+    assert (g2["n_tokens"], g2["n_oov"], g2["n_distinct_oov"]) == (4, 1, 1)
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark):
+    from json_spark.operators.text import top_vocab, vocab_coverage
+    rows = [("g", "a b c")] * 4
+    df = spark.createDataFrame(rows, "g string, text string")
+    plan = (vocab_coverage(df, "text", ["g"], top_vocab(df, "text", 2))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan     # corpus never shuffles on term
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
