@@ -795,6 +795,68 @@ CHECKS = {
          lambda p: "BroadcastHashJoin" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "dup_transcript_distance": [
+        ("per-key distinct counts are the two-phase distinct aggregate "
+         "(partial + final), never collect_set state", True,
+         lambda p: p.count("HashAggregate") >= 2
+         and "collect_set" not in p),
+        ("no Window, never a cross join", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]
+         and "CartesianProduct" not in p),
+        ("levenshtein runs post-agg (appears above the aggregate, on "
+         "two bounded strings per key)", True,
+         lambda p: "levenshtein" in p.lower()),
+    ],
+    "corpus_mix": [
+        ("the mix itself is shuffle-free: every exchange in the plan "
+         "belongs to the report rollup, none feeds the Generate",
+         True,
+         lambda p: "Generate" in p.split("== CODEGEN ==")[0]
+         and not re.search(
+             r"Generate [^\n]*\n(\s*\+- )?[^\n]*Exchange",
+             p.split("== CODEGEN ==")[0])),
+        ("fan-out is a bounded explode (Generate explode)", True,
+         lambda p: "Generate explode" in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "file_skew_audit": [
+        ("per-file counting is a partial+final hash aggregate (the "
+         "shuffle carries one (path, count) pair per file per task)",
+         True, lambda p: p.count("HashAggregate") >= 2),
+        ("scan reads only the hidden metadata column (no data columns "
+         "for a pure layout audit)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         is not None and ("_metadata" in p)),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "text_encoding_check": [
+        ("map-only detectors into one per-language aggregate: exactly "
+         "ONE exchange", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange hashpartitioning",
+                                  p.split("== CODEGEN ==")[0])) <= 1),
+        ("regexp counters are JVM expressions (no Python stage; "
+         "regexp_count lowers to regexp_extract_all)", True,
+         lambda p: "Python" not in p and "regexp" in p.lower()),
+        ("whole-stage codegen covers the detectors", True,
+         lambda p: "WholeStageCodegen" in p.split("== CODEGEN ==")[-1]),
+    ],
+    "packing_efficiency": [
+        ("window runs per (strata, shard) — never a keyless "
+         "single-partition collapse", True,
+         lambda p: "Window" in p.split("== CODEGEN ==")[0]
+         and "SinglePartition" not in p.split("== CODEGEN ==")[0]),
+        ("batch table aggregates partial+final", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
+    "vocab_coverage": [
+        ("vocabulary join is a BROADCAST (the corpus never shuffles on "
+         "the term)", True, lambda p: "BroadcastHashJoin" in p),
+        ("global top-k runs as TakeOrderedAndProject on the "
+         "vocabulary-sized count table, not a corpus sort", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
 }
 
 
