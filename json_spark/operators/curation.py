@@ -317,6 +317,10 @@ def corpus_mix(df: DataFrame, id_col: str, stratum_col: str,
     n_copies = 0 are filtered BEFORE the sequence so the
     sequence(0, -1) step-direction trap never fires.
     """
+    bad = {s: r for s, r in {**rates, "<default>": default_rate}.items()
+           if r < 0}
+    if bad:
+        raise ValueError(f"corpus_mix rates must be >= 0, got {bad}")
     rate: Column = F.lit(float(default_rate))
     for stratum, r in rates.items():
         rate = F.when(F.col(stratum_col) == stratum,

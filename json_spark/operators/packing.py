@@ -185,6 +185,8 @@ def packing_efficiency(df: DataFrame, id_col: str, token_col: str,
     aggregate. The two ratios are single rounded divisions of exact
     integers, so a SQL twin replays them bit-identically.
     """
+    if int(budget) < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     batches = pack_batches(df, id_col, token_col, strata, budget,
                            n_shards=n_shards)
     cap = F.lit(int(budget))

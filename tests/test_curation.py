@@ -300,3 +300,13 @@ class TestCorpusMix:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
         assert "Generate" in plan      # the bounded explode fan-out
+
+
+def test_corpus_mix_rejects_negative_rate(spark):
+    import pytest as _pytest
+    from json_spark.operators.curation import corpus_mix
+    df = spark.createDataFrame([("d", "s")], "id string, s string")
+    with _pytest.raises(ValueError, match="must be >= 0"):
+        corpus_mix(df, "id", "s", {"s": -1.0})
+    with _pytest.raises(ValueError, match="must be >= 0"):
+        corpus_mix(df, "id", "s", {}, default_rate=-0.5)

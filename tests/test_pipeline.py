@@ -534,3 +534,11 @@ def test_vocab_coverage_plan_broadcasts_vocab(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan     # corpus never shuffles on term
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_packing_efficiency_rejects_bad_budget(spark):
+    import pytest as _pytest
+    from json_spark.operators.packing import packing_efficiency
+    df = spark.createDataFrame([("d", "g", 1)], "id string, g string, tok int")
+    with _pytest.raises(ValueError, match="budget"):
+        packing_efficiency(df, "id", "tok", ["g"], budget=0)
