@@ -288,3 +288,19 @@ def vocab_coverage(df: DataFrame, text_col: str, group_cols: list[str],
                             / F.col("n_tokens").cast("double"), 6)
                     .alias("oov_rate"),
                     "n_distinct_tokens", "n_distinct_oov"))
+
+
+def encoding_verdict(c: Column) -> Column:
+    """GREEN/YELLOW/RED verdict Column over :func:`encoding_features` —
+    the rule form the streaming validator consumes (a pure stateless
+    Column, so the SAME rule runs on batch frames and append-only
+    streams unchanged): RED on replacement chars, control chars, or
+    mojibake (the text is corrupted — re-extract), YELLOW on zero-width
+    characters only (tokenization hazard, content recoverable), GREEN
+    otherwise.
+    """
+    f = encoding_features(c)
+    hard = (f["n_replacement"] + f["n_control"] + f["n_mojibake"]) > 0
+    return (F.when(hard, F.lit("RED"))
+            .when(f["n_zero_width"] > 0, F.lit("YELLOW"))
+            .otherwise(F.lit("GREEN")))

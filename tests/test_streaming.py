@@ -608,3 +608,39 @@ def test_streaming_content_divergence(spark, tmp_path):
     # somewhere in occurrences 2..4
     assert {o for *_, o in new} <= {2, 3, 4}
     assert len({o for *_, o in new}) == 2
+
+
+def test_streaming_encoding_rule(spark, tmp_path):
+    """The encoding-health rule (operators/text.py:encoding_verdict) is a
+    pure stateless Column, so it validates an append-only transcript
+    stream unchanged — per-micro-batch verdicts equal the batch twin's
+    on the same rows (batch/streaming unification, zero re-compilation)."""
+    import pyspark.sql.functions as F
+    from json_spark.operators.text import encoding_verdict
+    from json_spark.streaming.validate import streaming_row_verdicts
+
+    repl, bel, zwsp = chr(0xFFFD), chr(0x07), chr(0x200B)
+    rows = [("c1", "clean text"),
+            ("c2", f"broken {repl} decode"),
+            ("c3", f"zero{zwsp}width only"),
+            ("c4", f"binary {bel} junk"),
+            ("c5", "caf" + chr(0xC3) + chr(0xA9) + " mojibake")]
+    src = str(tmp_path / "src"); chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(rows, "clip_id string, transcript string")
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "clip_id string, transcript string").parquet(src)
+    rules = {"transcript": encoding_verdict(F.col("transcript"))}
+    out = streaming_row_verdicts(stream, rules)
+    (out.writeStream.format("parquet")
+     .option("path", sink).option("checkpointLocation", chk)
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    got = {r["clip_id"]: r["row_verdict"]
+           for r in spark.read.parquet(sink).collect()}
+    batch = {r["clip_id"]: r["row_verdict"]
+             for r in streaming_row_verdicts(df, rules).collect()}
+    assert got == batch == {"c1": "GREEN", "c2": "RED", "c3": "YELLOW",
+                            "c4": "RED", "c5": "RED"}
