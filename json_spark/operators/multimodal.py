@@ -514,6 +514,80 @@ def container_header_verdicts() -> dict[str, Column]:
     }
 
 
+def metadata_consistency(clips: DataFrame,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Declared-metadata vs payload cross-field consistency — the two
+    checks :func:`wav_header_integrity` does NOT cover:
+
+    - ``payload:container_vs_codec``: the container the magic bytes
+      actually parse as (RIFF/WAVE → wav, fLaC STREAMINFO → flac) must be
+      the one the ``codec`` column declares. A parseable payload that
+      contradicts its declared codec is RED (the metadata lies about the
+      bytes); an unparseable payload is YELLOW (unverifiable, not proven
+      wrong) — the d3rty clean/dirty/fail ladder
+      (internal/dirtyjson/result.go:4-18) applied to cross-field claims.
+    - ``payload:dur_vs_header``: the duration implied by the header's own
+      sample count must agree with the ``dur_ms`` column within one
+      sample period at the header rate (the header quantizes duration to
+      whole samples, so a tighter tolerance would flag rounding, not
+      corruption). NULL ``dur_ms`` with a sound payload is YELLOW —
+      recoverable by trusting the header, mirroring the reference's
+      null-tolerant coercions (internal/dirtyjson/dirtytypes.go).
+
+    Everything is pure Column byte surgery (hex/conv, whole-stage
+    codegen): the payload never reaches Python and never shuffles — the
+    only exchange is the map-combined counter aggregation, |groups| ×
+    O(checks) rows. One scan serves both checks.
+    """
+    group_cols = group_cols if group_cols is not None else ["codec"]
+    wav = wav_header_columns(F.col("bytes"))
+    flc = flac_header_columns(F.col("bytes"))
+    container = (F.when(wav["riff_ok"], "wav")
+                 .when(flc["flac_ok"], "flac")
+                 .otherwise("unknown"))
+    hdr_sr = F.when(wav["riff_ok"], wav["hdr_sr_hz"]).otherwise(
+        F.when(flc["flac_ok"], flc["hdr_sr_hz"]))
+    n_samp = F.when(wav["riff_ok"],
+                    F.floor(wav["data_bytes"] / F.lit(2))).otherwise(
+        F.when(flc["flac_ok"], flc["n_samples"]))
+    hdr_dur_ms = F.when(hdr_sr > 0, F.lit(1000.0) * n_samp / hdr_sr)
+    expected_container = (F.when(F.col("codec") == "pcm_s16le", "wav")
+                          .when(F.col("codec") == "flac", "flac")
+                          .otherwise(F.lit("none")))
+    checks = {
+        "payload:container_vs_codec":
+            F.when(container == "unknown", "YELLOW")
+            .when(container == expected_container, "GREEN")
+            .otherwise("RED"),
+        "payload:dur_vs_header":
+            F.when(hdr_dur_ms.isNull(), "YELLOW")
+            .when(F.col("dur_ms").isNull(), "YELLOW")
+            .when(F.abs(hdr_dur_ms - F.col("dur_ms"))
+                  <= F.lit(1000.0) / hdr_sr, "GREEN")
+            .otherwise("RED"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, v in enumerate(checks.values()):
+        aggs.append(F.sum((v == "GREEN").cast("long")).alias(f"__g{i}"))
+        aggs.append(F.sum((v == "YELLOW").cast("long")).alias(f"__y{i}"))
+        aggs.append(F.sum((v == "RED").cast("long")).alias(f"__r{i}"))
+    rolled = clips.groupBy(*group_cols).agg(*aggs)
+    stack_args = ", ".join(f"'{name}', __g{i}, __y{i}, __r{i}"
+                           for i, name in enumerate(checks))
+    return rolled.selectExpr(
+        *group_cols, "n_rows",
+        f"stack({len(checks)}, {stack_args}) AS "
+        "(check_name, n_green, n_yellow, n_red)",
+    ).select(
+        *group_cols, "check_name", "n_rows",
+        "n_green", "n_yellow", "n_red",
+        F.when(F.col("n_red") > 0, "RED")
+        .when(F.col("n_yellow") > 0, "YELLOW")
+        .otherwise("GREEN")
+        .alias("verdict"),
+    )
+
+
 TRANSCODE_FLAC_SCHEMA = (
     "clip_id string, codec string, sr_hz int, dur_ms int, bytes binary"
 )

@@ -72,8 +72,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: label_agreement / key_set_overlap / weighted_sample,
 #: dup_content_conflicts, source_cap, the batch-C quartet
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
-#: text_encoding_check, and the batch-D pair packing_efficiency /
-#: vocab_coverage — all judge-replica green at
+#: text_encoding_check, the batch-D pair packing_efficiency /
+#: vocab_coverage, and metadata_consistency — all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6568,3 +6568,48 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = top_vocab(docs, "text", 64)
     return vocab_coverage(docs, "text", ["lang"], vocab)
+
+
+@register("metadata_consistency", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+v AS (
+  SELECT codec, 'payload:container_vs_codec' AS check_name,
+         CASE WHEN codec = 'pcm_s16le' THEN 'GREEN' ELSE 'RED' END AS verdict
+  FROM full_
+  UNION ALL
+  SELECT codec, 'payload:dur_vs_header',
+         CASE WHEN dur_ms IS NULL THEN 'YELLOW' ELSE 'GREEN' END
+  FROM full_)
+SELECT codec, check_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE verdict = 'GREEN') AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE verdict = 'YELLOW') AS BIGINT) AS n_yellow,
+       CAST(count(*) FILTER (WHERE verdict = 'RED') AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE verdict = 'RED') > 0 THEN 'RED'
+            WHEN count(*) FILTER (WHERE verdict = 'YELLOW') > 0 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM v GROUP BY codec, check_name
+""")
+def q_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-metadata vs payload cross-field consistency
+    (operators/multimodal.py:metadata_consistency): does the codec
+    column tell the truth about the container the magic bytes parse as,
+    and does dur_ms agree with the duration the header's own sample
+    count implies? These are the two cross-field claims
+    audio_header_integrity does not check. The fixture plants both
+    defects structurally: every payload is rendered as canonical WAV,
+    so the ~30% of rows whose codec column says flac/opus/mp3 carry a
+    payload that CONTRADICTS their declared codec (RED), and every
+    i%101==100 row has NULL dur_ms against a sound payload (YELLOW,
+    recoverable by trusting the header). The oracle re-derives each
+    row's codec and dur nullability from the generator contract (CRC-32
+    SQL fold) without reading a byte, so a match proves the pure-Column
+    byte surgery classifies exactly the planted rows. Cross-field
+    analogue of the reference's sibling-field tolerance
+    (Date.Timezone.Fields, internal/config/config.go:112-117): one
+    field's payload adjudicates another field's claim.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import metadata_consistency
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return metadata_consistency(clips, ["codec"])

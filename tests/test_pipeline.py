@@ -251,6 +251,42 @@ def test_wav_header_integrity_detects_planted_defects(spark):
     assert agg["n_null_dur"] == 1
 
 
+def test_metadata_consistency_edge_paths(spark):
+    # the registry oracle covers the fixture's planted defects; this
+    # exercises the paths it can't plant: an unparseable payload
+    # (YELLOW on both checks), a duration LIE (RED), a true flac
+    # declaration (GREEN container), and one-sample rounding tolerance
+    good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)  # 100ms
+    from json_spark.functions.flac import encode_flac
+    fl = encode_flac(np.zeros(800, dtype=np.float32), 8000)
+    rows = [
+        ("ok", bytearray(good), 8000, 100, "pcm_s16le"),     # all GREEN
+        ("garbage", bytearray(b"not-audio"), 8000, 100, "pcm_s16le"),
+        ("durlie", bytearray(good), 8000, 250, "pcm_s16le"),  # header says 100
+        ("nodur", bytearray(good), 8000, None, "pcm_s16le"),
+        ("realflac", bytearray(fl), 8000, 100, "flac"),       # honest flac
+        ("wavasflac", bytearray(good), 8000, 100, "flac"),    # codec lies
+        ("opuswav", bytearray(good), 8000, 100, "opus"),      # codec lies
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = {(r["codec"], r["check_name"]): r
+           for r in multimodal.metadata_consistency(df, ["codec"]).collect()}
+    cont = out[("pcm_s16le", "payload:container_vs_codec")]
+    assert (cont["n_green"], cont["n_yellow"], cont["n_red"]) == (3, 1, 0)
+    dur = out[("pcm_s16le", "payload:dur_vs_header")]
+    # ok GREEN; garbage YELLOW (unparseable); durlie RED; nodur YELLOW
+    assert (dur["n_green"], dur["n_yellow"], dur["n_red"]) == (1, 2, 1)
+    assert dur["verdict"] == "RED"
+    flc = out[("flac", "payload:container_vs_codec")]
+    # realflac GREEN (fLaC magic honors the declared codec); wavasflac RED
+    assert (flc["n_green"], flc["n_red"]) == (1, 1)
+    fdur = out[("flac", "payload:dur_vs_header")]
+    assert fdur["n_green"] == 2                    # both durations truthful
+    op = out[("opus", "payload:container_vs_codec")]
+    assert (op["n_green"], op["n_yellow"], op["n_red"]) == (0, 0, 1)
+
+
 def test_wav_header_integrity_matches_arrow_meta(spark):
     # the pure-Column parse and the Arrow header peek must agree
     clips = generate_clips(spark, 64, partitions=2)

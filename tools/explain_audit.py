@@ -527,6 +527,21 @@ CHECKS = {
         ("partial+final hash aggregate", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "metadata_consistency": [
+        # cross-field payload checks (container-vs-codec, dur-vs-header)
+        # are hex/conv byte surgery: only the fixture render is Python
+        ("exactly one Python stage (the fixture source)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 1),
+        ("single aggregate exchange (both checks' counters map-combined)",
+         True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("stack unpivot AFTER aggregation (one row per check per codec)",
+         True, lambda p: "Generate" in p and "stack(" in p),
+    ],
     "coercion_date_zoned": [
         # the whole zoned coercion (17-layout coalesce, offset arithmetic,
         # convert_timezone for both modes) must stay pure Column exprs
