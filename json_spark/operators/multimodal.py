@@ -514,6 +514,40 @@ def container_header_verdicts() -> dict[str, Column]:
     }
 
 
+def metadata_consistency_verdicts() -> dict[str, Column]:
+    """The cross-field checks of :func:`metadata_consistency` as bare
+    GREEN/YELLOW/RED verdict Columns, shaped for the streaming rule
+    surface (streaming_row_verdicts / streaming_windowed_verdicts) —
+    pure Column byte surgery, so the streaming plan gains no Python
+    stage and the batch and stream twins share one rule definition."""
+    wav = wav_header_columns(F.col("bytes"))
+    flc = flac_header_columns(F.col("bytes"))
+    container = (F.when(wav["riff_ok"], "wav")
+                 .when(flc["flac_ok"], "flac")
+                 .otherwise("unknown"))
+    hdr_sr = F.when(wav["riff_ok"], wav["hdr_sr_hz"]).otherwise(
+        F.when(flc["flac_ok"], flc["hdr_sr_hz"]))
+    n_samp = F.when(wav["riff_ok"],
+                    F.floor(wav["data_bytes"] / F.lit(2))).otherwise(
+        F.when(flc["flac_ok"], flc["n_samples"]))
+    hdr_dur_ms = F.when(hdr_sr > 0, F.lit(1000.0) * n_samp / hdr_sr)
+    expected_container = (F.when(F.col("codec") == "pcm_s16le", "wav")
+                          .when(F.col("codec") == "flac", "flac")
+                          .otherwise(F.lit("none")))
+    return {
+        "payload:container_vs_codec":
+            F.when(container == "unknown", "YELLOW")
+            .when(container == expected_container, "GREEN")
+            .otherwise("RED"),
+        "payload:dur_vs_header":
+            F.when(hdr_dur_ms.isNull(), "YELLOW")
+            .when(F.col("dur_ms").isNull(), "YELLOW")
+            .when(F.abs(hdr_dur_ms - F.col("dur_ms"))
+                  <= F.lit(1000.0) / hdr_sr, "GREEN")
+            .otherwise("RED"),
+    }
+
+
 def metadata_consistency(clips: DataFrame,
                          group_cols: list[str] | None = None) -> DataFrame:
     """Declared-metadata vs payload cross-field consistency — the two
@@ -540,32 +574,7 @@ def metadata_consistency(clips: DataFrame,
     O(checks) rows. One scan serves both checks.
     """
     group_cols = group_cols if group_cols is not None else ["codec"]
-    wav = wav_header_columns(F.col("bytes"))
-    flc = flac_header_columns(F.col("bytes"))
-    container = (F.when(wav["riff_ok"], "wav")
-                 .when(flc["flac_ok"], "flac")
-                 .otherwise("unknown"))
-    hdr_sr = F.when(wav["riff_ok"], wav["hdr_sr_hz"]).otherwise(
-        F.when(flc["flac_ok"], flc["hdr_sr_hz"]))
-    n_samp = F.when(wav["riff_ok"],
-                    F.floor(wav["data_bytes"] / F.lit(2))).otherwise(
-        F.when(flc["flac_ok"], flc["n_samples"]))
-    hdr_dur_ms = F.when(hdr_sr > 0, F.lit(1000.0) * n_samp / hdr_sr)
-    expected_container = (F.when(F.col("codec") == "pcm_s16le", "wav")
-                          .when(F.col("codec") == "flac", "flac")
-                          .otherwise(F.lit("none")))
-    checks = {
-        "payload:container_vs_codec":
-            F.when(container == "unknown", "YELLOW")
-            .when(container == expected_container, "GREEN")
-            .otherwise("RED"),
-        "payload:dur_vs_header":
-            F.when(hdr_dur_ms.isNull(), "YELLOW")
-            .when(F.col("dur_ms").isNull(), "YELLOW")
-            .when(F.abs(hdr_dur_ms - F.col("dur_ms"))
-                  <= F.lit(1000.0) / hdr_sr, "GREEN")
-            .otherwise("RED"),
-    }
+    checks = metadata_consistency_verdicts()
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, v in enumerate(checks.values()):
         aggs.append(F.sum((v == "GREEN").cast("long")).alias(f"__g{i}"))

@@ -180,6 +180,56 @@ def test_streaming_audio_header_verdicts(spark, tmp_path):
     assert w0["verdict"] == "RED"
 
 
+def test_streaming_metadata_consistency(spark, tmp_path):
+    """Cross-field metadata-vs-payload rules on a stream: the same pure
+    Column verdicts as the batch metadata_consistency query — a codec
+    column that lies about the container and a NULL dur_ms are flagged
+    in the micro-batch where the clip lands."""
+    import numpy as np
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.multimodal import metadata_consistency_verdicts
+
+    good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)  # 100ms
+    schema = "ts timestamp, codec string, bytes binary, sr_hz int, dur_ms int"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, codec string, bytes binary, sr_hz int, dur_ms int"
+        ).select(F.to_timestamp("ts").alias("ts"), "codec", "bytes",
+                 "sr_hz", "dur_ms").coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_windowed_verdicts(
+            stream, metadata_consistency_verdicts(), event_time_col="ts",
+            window_duration="1 minute", watermark="2 minutes",
+            partition_cols=["codec"])
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    src, sink, chk = (str(tmp_path / d) for d in ("msrc", "msink", "mchk"))
+    write([("2026-01-01 00:00:05", "pcm_s16le", bytearray(good), 8000, 100),
+           ("2026-01-01 00:00:15", "flac", bytearray(good), 8000, 100),
+           ("2026-01-01 00:00:25", "pcm_s16le", bytearray(good), 8000, None)])
+    run()
+    write([("2026-01-01 00:02:30", "pcm_s16le", bytearray(good), 8000, 100)])
+    run()
+    write([("2026-01-01 00:04:00", "pcm_s16le", bytearray(good), 8000, 100)])
+    run()
+    rows = {(r["codec"], r["window_start"].strftime("%H:%M")): r
+            for r in spark.read.parquet(sink).collect()}
+    pcm0 = rows[("pcm_s16le", "00:00")]
+    assert pcm0["n_rows"] == 2
+    assert pcm0["n_green"] == 1                  # truthful clip
+    assert pcm0["n_yellow"] == 1                 # NULL dur_ms: recoverable
+    assert pcm0["verdict"] == "YELLOW"
+    flac0 = rows[("flac", "00:00")]
+    assert flac0["n_red"] == 1                   # WAV payload declared flac
+    assert flac0["verdict"] == "RED"
+
+
 def test_streaming_first_seen_dedup(spark, tmp_path):
     """Stateful streaming dedup (applyInPandasWithState): the first
     occurrence of each key is emitted exactly once; duplicates inside one
