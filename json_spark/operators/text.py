@@ -199,6 +199,38 @@ def tfidf_topk(docs: DataFrame, text_col: str, id_col: str,
                     F.round("score", 6).alias("tfidf")))
 
 
+
+def lexical_diversity(df: DataFrame, text_col: str,
+                      group_cols: list[str],
+                      low_ttr: float = 0.6) -> DataFrame:
+    """Lexical-diversity QA per group: type-token ratio (distinct/total
+    tokens) and the Guiraud index (distinct/sqrt(total) — less
+    length-sensitive, so long docs aren't penalized for Zipfian reuse).
+    Repetitive/boilerplate text scores low on both; ``n_low_diversity``
+    counts docs whose TTR falls below ``low_ttr`` (template spam that
+    per-doc length/punct stats miss, complementing text_repetition's
+    adjacent-duplication view with a bag-of-words one).
+
+    Scale shape: both features are per-row array expressions (split +
+    array_distinct, whole-stage codegen, no explode — the token array
+    never leaves its row), then ONE map-combinable aggregation; shuffle
+    volume is |groups| x O(1) counters.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    ttr = n_dis.cast("double") / n_tok
+    guiraud = n_dis / F.sqrt(n_tok.cast("double"))
+    return df.select(*group_cols, ttr.alias("__ttr"),
+                     guiraud.alias("__gui")).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__ttr"), 6).alias("avg_ttr"),
+        F.round(F.min("__ttr"), 6).alias("min_ttr"),
+        F.round(F.avg("__gui"), 6).alias("avg_guiraud"),
+        F.sum((F.col("__ttr") < low_ttr).cast("long"))
+        .alias("n_low_diversity"),
+    )
+
 def encoding_features(c: Column) -> dict[str, Column]:
     """Encoding-health detectors: per-document counts of the four classic
     text-corpus encoding defects, each a JVM-side regexp count (no

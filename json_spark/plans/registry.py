@@ -73,7 +73,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_content_conflicts, source_cap, the batch-C quartet
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
-#: vocab_coverage, and metadata_consistency — all judge-replica green at
+#: vocab_coverage, metadata_consistency, and text_lexical_diversity —
+#: all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6613,3 +6614,38 @@ def q_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import metadata_consistency
     clips = generate_clips(spark, _SNR_N, partitions=8)
     return metadata_consistency(clips, ["codec"])
+
+
+@register("text_lexical_diversity", oracle="""
+WITH f AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dis
+  FROM documents),
+s AS (
+  SELECT source,
+         n_dis::DOUBLE / n_tok AS ttr,
+         n_dis / sqrt(n_tok::DOUBLE) AS gui
+  FROM f)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ttr), 6) AS avg_ttr,
+       round(min(ttr), 6) AS min_ttr,
+       round(avg(gui), 6) AS avg_guiraud,
+       CAST(count(*) FILTER (WHERE ttr < 0.6) AS BIGINT) AS n_low_diversity
+FROM s GROUP BY source
+""")
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source (operators/text.py:lexical_diversity):
+    type-token ratio + Guiraud index + count of low-TTR (template/spam)
+    docs — the bag-of-words repetitiveness view that complements
+    text_repetition's adjacent-duplication features. The oracle
+    recomputes both indices per doc in SQL (string_split +
+    list_distinct) and re-aggregates, so the match pins the tokenizer
+    contract AND the array math. Plan: split/array_distinct stay
+    row-local (no explode), one map-combinable agg.
+    """
+    from ..operators.text import lexical_diversity
+
+    d = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(d, "text", ["source"])

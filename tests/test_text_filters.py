@@ -181,3 +181,32 @@ class TestEncodingFeatures:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Python" not in plan
         assert "Exchange" not in plan
+
+
+class TestLexicalDiversity:
+    def test_exact_values_and_low_flag(self, spark):
+        from json_spark.operators.text import lexical_diversity
+        rows = [
+            ("a", "one two three four"),          # ttr 1.0
+            ("a", "spam spam spam spam"),         # ttr 0.25 -> low
+            ("b", "x y x y"),                     # ttr 0.5  -> low
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {r["source"]: r
+               for r in lexical_diversity(df, "text", ["source"]).collect()}
+        assert out["a"]["n_docs"] == 2
+        assert out["a"]["avg_ttr"] == 0.625       # (1.0 + 0.25) / 2
+        assert out["a"]["min_ttr"] == 0.25
+        assert out["a"]["n_low_diversity"] == 1
+        # guiraud: (4/sqrt(4) + 1/sqrt(4)) / 2 = (2 + 0.5) / 2
+        assert out["a"]["avg_guiraud"] == 1.25
+        assert out["b"]["n_low_diversity"] == 1
+        assert out["b"]["avg_guiraud"] == 1.0     # 2/sqrt(4)
+
+    def test_no_explode_no_python(self, spark):
+        from json_spark.operators.text import lexical_diversity
+        df = spark.createDataFrame([("a", "x y")], "source string, text string")
+        plan = (lexical_diversity(df, "text", ["source"])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan
+        assert "Generate" not in plan             # token array never explodes

@@ -542,6 +542,17 @@ CHECKS = {
         ("stack unpivot AFTER aggregation (one row per check per codec)",
          True, lambda p: "Generate" in p and "stack(" in p),
     ],
+    "text_lexical_diversity": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("token array never explodes (row-local split/array_distinct)",
+         True, lambda p: "Generate" not in p.split("== CODEGEN ==")[0]),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("scan pruned to (source, text)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
     "coercion_date_zoned": [
         # the whole zoned coercion (17-layout coalesce, offset arithmetic,
         # convert_timezone for both modes) must stay pure Column exprs
