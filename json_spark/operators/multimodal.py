@@ -40,7 +40,7 @@ MEDIA_META_SCHEMA = (
 
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, codec string, verdict string, decoded boolean, "
-    "n_samples long, sum_sq long, peak_i long, n_zc long, "
+    "n_samples long, sum_v long, sum_sq long, peak_i long, n_zc long, "
     "rms double, peak double, zcr double"
 )
 
@@ -157,7 +157,9 @@ def audio_features(clips: DataFrame,
     (codec library absent).
 
     Every feature is derived from EXACT integer digests of the recovered
-    int16 lattice — ``n_samples``, ``sum_sq`` (Σ v²), ``peak_i``
+    int16 lattice — ``n_samples``, ``sum_v`` (Σ v, the DC digest: a
+    healthy converter centres on 0, a biased one shifts every sample),
+    ``sum_sq`` (Σ v²), ``peak_i``
     (max |v|), ``n_zc`` (sign-change count) — with the float view
     (rms = sqrt(ss/n)/32767, peak = pk/32767, zcr = nzc/(n−1)) computed
     as single correctly-rounded IEEE ops, so an independent engine
@@ -185,7 +187,7 @@ def audio_features(clips: DataFrame,
                     else [None] * batch.num_rows)
             payloads = batch.column("bytes")
             out = {k: [] for k in ("verdict", "decoded", "n_samples",
-                                   "sum_sq", "peak_i", "n_zc",
+                                   "sum_v", "sum_sq", "peak_i", "n_zc",
                                    "rms", "peak", "zcr")}
             for j in range(batch.num_rows):
                 sig, ok, sr = None, True, 8000
@@ -224,6 +226,7 @@ def audio_features(clips: DataFrame,
                 out["verdict"].append(verd)
                 out["decoded"].append(ok)
                 out["n_samples"].append(n)
+                out["sum_v"].append(int(v.sum()))  # DC digest (Σv exact)
                 out["sum_sq"].append(ss)
                 out["peak_i"].append(pk)
                 out["n_zc"].append(nzc)
@@ -236,6 +239,7 @@ def audio_features(clips: DataFrame,
                  pa.array(out["verdict"], pa.string()),
                  pa.array(out["decoded"], pa.bool_()),
                  pa.array(out["n_samples"], pa.int64()),
+                 pa.array(out["sum_v"], pa.int64()),
                  pa.array(out["sum_sq"], pa.int64()),
                  pa.array(out["peak_i"], pa.int64()),
                  pa.array(out["n_zc"], pa.int64()),
@@ -243,7 +247,7 @@ def audio_features(clips: DataFrame,
                  pa.array(out["peak"], pa.float64()),
                  pa.array(out["zcr"], pa.float64())],
                 ["clip_id", "codec", "verdict", "decoded", "n_samples",
-                 "sum_sq", "peak_i", "n_zc", "rms", "peak", "zcr"])
+                 "sum_v", "sum_sq", "peak_i", "n_zc", "rms", "peak", "zcr"])
 
     return clips.select(*sel).mapInArrow(feats, AUDIO_FEATURES_SCHEMA)
 

@@ -2544,7 +2544,7 @@ sgn AS (
          lag(v) OVER (PARTITION BY i, clip_id ORDER BY j) AS pv
   FROM samples),
 per AS (
-  SELECT i, clip_id, codec, COUNT(*) AS n, SUM(v*v) AS ss,
+  SELECT i, clip_id, codec, COUNT(*) AS n, SUM(v) AS s, SUM(v*v) AS ss,
          MAX(abs(v)) AS pk,
          SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
                   THEN 1 ELSE 0 END) AS nzc
@@ -2553,6 +2553,7 @@ SELECT codec,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_decoded,
        CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sum_dc,
        CAST(SUM(ss) AS BIGINT) AS sum_sq,
        CAST(MAX(pk) AS BIGINT) AS max_peak_i,
        CAST(SUM(nzc) AS BIGINT) AS n_zero_cross,
@@ -2564,7 +2565,8 @@ FROM per GROUP BY codec
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded-content feature report, sample-exact cross-engine: Spark
     decodes the real WAV bytes and digests each clip's recovered int16
-    lattice (count, Σv², max|v|, sign-change count); the oracle NEVER
+    lattice (count, Σv — the DC-offset digest, Σv², max|v|, sign-change
+    count); the oracle NEVER
     reads a byte — it re-derives the same integers from the pure-SQL
     trigonometry samples, with zero crossings via a lag window over the
     sample index. Pooled rms/zcr are derived from the exact integer
@@ -2581,6 +2583,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
                  F.sum("n_samples").alias("n_samples"),
+                 F.sum("sum_v").alias("sum_dc"),
                  F.sum("sum_sq").alias("sum_sq"),
                  F.max("peak_i").alias("max_peak_i"),
                  F.sum("n_zc").alias("n_zero_cross"),

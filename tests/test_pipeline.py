@@ -228,6 +228,24 @@ def test_audio_features_and_decode_fallback(spark):
     assert again["rms"] == row["rms"]              # deterministic
 
 
+def test_audio_features_dc_offset_digest(spark):
+    # a biased converter shifts every sample: the exact Σv digest exposes
+    # it (clean tone sums near 0; +0.05 full-scale bias sums to ~1638/sample)
+    sr, n = 8000, 800
+    t = np.arange(n) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    biased = (tone + 0.05).astype(np.float32)
+    df = spark.createDataFrame(
+        [("clean", "pcm_s16le", bytearray(pcm16_wav_bytes(tone, sr))),
+         ("biased", "pcm_s16le", bytearray(pcm16_wav_bytes(biased, sr)))],
+        "clip_id string, codec string, bytes binary")
+    out = {r["clip_id"]: r for r in multimodal.audio_features(df).collect()}
+    dc_clean = out["clean"]["sum_v"] / out["clean"]["n_samples"]
+    dc_biased = out["biased"]["sum_v"] / out["biased"]["n_samples"]
+    assert abs(dc_clean) < 20                    # truncated-period residue only
+    assert abs(dc_biased - 0.05 * 32767) < 20    # the plant, in int16 units
+
+
 def test_wav_header_integrity_detects_planted_defects(spark):
     # three defects a header check must catch, one clean control row
     good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)  # 100ms
