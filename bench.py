@@ -69,6 +69,7 @@ HEADLINE = [
     "text_repetition",
     "text_surprisal",
     "text_tfidf",
+    "text_lexical_diversity",
     "truncation_report",
     "hash_uniformity",
     "pii_scan",
@@ -101,6 +102,7 @@ HEADLINE = [
     # audio path (2000-clip deterministic fixture, decode included)
     "snr_partition_verdicts",
     "audio_header_integrity",
+    "metadata_consistency",
     "pcm_content_exact",
     "audio_clipping_silence",
     "audio_amplitude_hist",
