@@ -552,6 +552,55 @@ def metadata_consistency_verdicts() -> dict[str, Column]:
     }
 
 
+def repair_metadata(clips: DataFrame) -> DataFrame:
+    """Fix-forward twin of :func:`metadata_consistency`: where a YELLOW/RED
+    verdict means "recoverable by trusting the header", actually emit the
+    recovery — the d3rty stance (coerce, don't reject;
+    internal/dirtyjson/decoder.go's clean-first dirty-fallback) lifted to
+    table repair:
+
+    - ``dur_ms`` NULL with a parseable payload → the header-implied
+      duration (rounded to whole ms);
+    - ``codec`` contradicted by the container magic → the
+      container-implied codec (RIFF/WAVE → pcm_s16le, fLaC → flac);
+    - ``sr_hz`` contradicted by the header's fmt/STREAMINFO rate → the
+      header rate (the exact recovery wav_header_verdicts' YELLOW names).
+
+    Unparseable payloads repair nothing (there is no trusted side).
+    Output keeps the clips schema with a ``repaired_fields``
+    array<string> audit column (empty = untouched row). Pure Column
+    expressions over one scan — map-only, payload never shuffles, so the
+    repair pass composes with any downstream check at zero extra cost.
+    """
+    wav = wav_header_columns(F.col("bytes"))
+    flc = flac_header_columns(F.col("bytes"))
+    is_wav, is_flac = wav["riff_ok"], flc["flac_ok"]
+    parsed = is_wav | is_flac
+    hdr_sr = F.when(is_wav, wav["hdr_sr_hz"]).otherwise(
+        F.when(is_flac, flc["hdr_sr_hz"]))
+    n_samp = F.when(is_wav, F.floor(wav["data_bytes"] / F.lit(2))).otherwise(
+        F.when(is_flac, flc["n_samples"]))
+    hdr_dur = F.round(F.lit(1000.0) * n_samp / hdr_sr).cast("int")
+    hdr_codec = F.when(is_wav, "pcm_s16le").otherwise(
+        F.when(is_flac, "flac"))
+    fix_dur = parsed & F.col("dur_ms").isNull() & (hdr_sr > 0)
+    fix_codec = parsed & ~F.col("codec").eqNullSafe(hdr_codec)
+    fix_sr = parsed & ~F.col("sr_hz").eqNullSafe(hdr_sr)
+    other = [c for c in clips.columns
+             if c not in ("dur_ms", "codec", "sr_hz")]
+    return clips.select(
+        *other,
+        F.when(fix_dur, hdr_dur).otherwise(F.col("dur_ms")).alias("dur_ms"),
+        F.when(fix_codec, hdr_codec).otherwise(F.col("codec")).alias("codec"),
+        F.when(fix_sr, hdr_sr.cast("int")).otherwise(F.col("sr_hz"))
+        .alias("sr_hz"),
+        F.array_compact(F.array(
+            F.when(fix_dur, "dur_ms"),
+            F.when(fix_codec, "codec"),
+            F.when(fix_sr, "sr_hz"))).alias("repaired_fields"),
+    )
+
+
 def metadata_consistency(clips: DataFrame,
                          group_cols: list[str] | None = None) -> DataFrame:
     """Declared-metadata vs payload cross-field consistency — the two

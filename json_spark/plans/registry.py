@@ -73,8 +73,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_content_conflicts, source_cap, the batch-C quartet
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
-#: vocab_coverage, metadata_consistency, and text_lexical_diversity —
-#: all judge-replica green at
+#: vocab_coverage, metadata_consistency, text_lexical_diversity, and
+#: metadata_repair — all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6652,3 +6652,49 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return lexical_diversity(d, "text", ["source"])
+
+
+@register("metadata_repair", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec AS codec_declared,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE dur_ms IS NULL) AS BIGINT)
+           AS n_dur_repaired,
+       CAST(CASE WHEN codec = 'pcm_s16le' THEN 0 ELSE count(*) END AS BIGINT)
+           AS n_codec_repaired,
+       CAST(0 AS BIGINT) AS n_sr_repaired,
+       CAST(0 AS BIGINT) AS n_dur_null_after,
+       CAST(count(*) AS BIGINT) AS n_pcm_after,
+       CAST(sum(coalesce(dur_ms, 100)) AS BIGINT) AS sum_dur_ms_after
+FROM full_ GROUP BY codec
+""")
+def q_metadata_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fix-forward metadata repair (operators/multimodal.py:
+    repair_metadata): NULL dur_ms filled from the header's own sample
+    count, codec columns that lie about the container corrected from
+    the magic bytes, header-contradicted sr_hz re-trusted — the d3rty
+    coerce-don't-reject stance lifted to table repair. The oracle
+    re-derives every repair from the generator contract: exactly the
+    i%101==100 rows get dur_ms=100 back (the render's default duration,
+    recovered bit-exact from data_bytes/2/sr), exactly the non-pcm
+    declared codecs flip to the container truth, zero sr repairs, zero
+    NULL dur survivors — and the post-repair dur_ms SUM pins the
+    repaired VALUES, not just the counts.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import repair_metadata
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    rep = repair_metadata(clips.withColumn("codec_declared", F.col("codec")))
+    return rep.groupBy("codec_declared").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.array_contains("repaired_fields", "dur_ms").cast("long"))
+        .alias("n_dur_repaired"),
+        F.sum(F.array_contains("repaired_fields", "codec").cast("long"))
+        .alias("n_codec_repaired"),
+        F.sum(F.array_contains("repaired_fields", "sr_hz").cast("long"))
+        .alias("n_sr_repaired"),
+        F.sum(F.col("dur_ms").isNull().cast("long")).alias("n_dur_null_after"),
+        F.sum((F.col("codec") == "pcm_s16le").cast("long"))
+        .alias("n_pcm_after"),
+        F.sum("dur_ms").alias("sum_dur_ms_after"),
+    )

@@ -228,6 +228,34 @@ def test_audio_features_and_decode_fallback(spark):
     assert again["rms"] == row["rms"]              # deterministic
 
 
+def test_repair_metadata_edge_paths(spark):
+    # paths the registry oracle can't plant: an sr lie repaired from the
+    # header, a garbage payload left untouched (no trusted side), an
+    # honest row left byte-identical
+    good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)  # 100ms
+    rows = [
+        ("ok", bytearray(good), 8000, 100, "pcm_s16le"),
+        ("srlie", bytearray(good), 16000, 100, "pcm_s16le"),
+        ("garbage", bytearray(b"not-audio"), None, None, None),
+        ("allnull", bytearray(good), None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = {r["clip_id"]: r
+           for r in multimodal.repair_metadata(df).collect()}
+    assert out["ok"]["repaired_fields"] == []
+    assert (out["ok"]["sr_hz"], out["ok"]["dur_ms"]) == (8000, 100)
+    assert out["srlie"]["repaired_fields"] == ["sr_hz"]
+    assert out["srlie"]["sr_hz"] == 8000          # header wins
+    assert out["garbage"]["repaired_fields"] == []
+    assert out["garbage"]["dur_ms"] is None       # nothing to trust
+    # a fully-null metadata row recovers everything from the payload
+    assert sorted(out["allnull"]["repaired_fields"]) == [
+        "codec", "dur_ms", "sr_hz"]
+    assert (out["allnull"]["sr_hz"], out["allnull"]["dur_ms"],
+            out["allnull"]["codec"]) == (8000, 100, "pcm_s16le")
+
+
 def test_audio_features_dc_offset_digest(spark):
     # a biased converter shifts every sample: the exact Σv digest exposes
     # it (clean tone sums near 0; +0.05 full-scale bias sums to ~1638/sample)

@@ -542,6 +542,19 @@ CHECKS = {
         ("stack unpivot AFTER aggregation (one row per check per codec)",
          True, lambda p: "Generate" in p and "stack(" in p),
     ],
+    "metadata_repair": [
+        # repair is a map-only projection (header byte surgery + when/
+        # otherwise); only the fixture render is Python, and the single
+        # exchange is the report's counter agg
+        ("exactly one Python stage (the fixture source)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 1),
+        ("single aggregate exchange (repairs counted map-side)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "text_lexical_diversity": [
         ("no Python stage", True, lambda p: "Python" not in p),
         ("token array never explodes (row-local split/array_distinct)",
