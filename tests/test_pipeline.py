@@ -256,6 +256,15 @@ def test_repair_metadata_edge_paths(spark):
             out["allnull"]["codec"]) == (8000, 100, "pcm_s16le")
 
 
+def test_repair_metadata_idempotent(spark):
+    # repair is a fixed point: a second pass finds nothing to touch
+    clips = generate_clips(spark, 256, partitions=2)
+    once = multimodal.repair_metadata(clips)
+    twice = multimodal.repair_metadata(once.drop("repaired_fields"))
+    assert once.filter(F.size("repaired_fields") > 0).count() > 0
+    assert twice.filter(F.size("repaired_fields") > 0).count() == 0
+
+
 def test_audio_features_dc_offset_digest(spark):
     # a biased converter shifts every sample: the exact Σv digest exposes
     # it (clean tone sums near 0; +0.05 full-scale bias sums to ~1638/sample)

@@ -230,6 +230,34 @@ def test_streaming_metadata_consistency(spark, tmp_path):
     assert flac0["verdict"] == "RED"
 
 
+def test_streaming_repair_at_ingest(spark, tmp_path):
+    """repair_metadata is a map-only projection, so it runs on a stream
+    unchanged (batch/streaming unification): clips land repaired —
+    NULL dur filled from the header, lying codec corrected — in the
+    micro-batch that carries them."""
+    import numpy as np
+    from json_spark.fixtures.signal import pcm16_wav_bytes
+    from json_spark.operators.multimodal import repair_metadata
+
+    good = pcm16_wav_bytes(np.zeros(800, dtype=np.float32), 8000)  # 100ms
+    schema = "clip_id string, codec string, bytes binary, sr_hz int, dur_ms int"
+    src, sink, chk = (str(tmp_path / d) for d in ("rsrc", "rsink", "rchk"))
+    spark.createDataFrame(
+        [("a", "pcm_s16le", bytearray(good), 8000, 100),
+         ("b", "flac", bytearray(good), 8000, None)],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (repair_metadata(stream)
+         .writeStream.format("parquet").option("path", sink)
+         .outputMode("append").option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r["clip_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert out["a"]["repaired_fields"] == []
+    assert sorted(out["b"]["repaired_fields"]) == ["codec", "dur_ms"]
+    assert (out["b"]["codec"], out["b"]["dur_ms"]) == ("pcm_s16le", 100)
+
+
 def test_streaming_first_seen_dedup(spark, tmp_path):
     """Stateful streaming dedup (applyInPandasWithState): the first
     occurrence of each key is emitted exactly once; duplicates inside one
