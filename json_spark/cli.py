@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="add the sample-exact PCM content + silence "
                          "curation checks (same single decode pass as "
                          "header + snr)")
+    ap.add_argument("--metadata-checks", action="store_true",
+                    help="cross-field metadata-vs-payload checks "
+                         "(container-vs-codec, dur-vs-header)")
     ap.add_argument("--max-silence-ratio", type=float, default=0.5,
                     help="per-clip YELLOW threshold for the silence check")
     ap.add_argument("--domain-rules", default=None, metavar="RULES_TOML",
@@ -92,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = SuiteConfig(partition_col=args.partition_col,
                       snr_threshold_db=args.snr_threshold_db,
                       content_checks=args.content_checks,
+                      metadata_checks=args.metadata_checks,
                       max_silence_ratio=args.max_silence_ratio,
                       domain_rules=domain_rules)
     if args.baseline == "self":

@@ -81,6 +81,10 @@ class SuiteConfig:
     #: declarative CHECK constraints (operators/domain.py) — opt-in;
     #: each rule contributes one check row per partition + violations
     domain_rules: tuple = ()
+    #: cross-field metadata-vs-payload checks (container-vs-codec,
+    #: dur-vs-header; operators/multimodal.py:metadata_consistency_verdicts)
+    #: — opt-in; two check rows per partition + violations
+    metadata_checks: bool = False
 
 
 @dataclass
@@ -216,6 +220,78 @@ class ValidationSuite:
         )
         viols = domain_violations(clips, c.domain_rules, c.key_col,
                                   c.partition_col)
+        return verdicts, viols
+
+    def check_metadata(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Cross-field metadata-vs-payload checks (cfg.metadata_checks):
+        does the codec column tell the truth about the container the
+        magic bytes parse as, and does dur_ms agree with the header's
+        own sample count? One verdict row per (partition, check) plus
+        violation rows for every non-GREEN clip.
+
+        Scale shape: the per-row verdicts are pure-Column byte surgery
+        evaluated ONCE — the narrow (ids + declared fields + verdicts)
+        frame is persisted, so the rollup and the violation filter both
+        read it without a second scan of ``bytes``; the only exchange is
+        the |partitions| × 2-check counter aggregation."""
+        from ..operators.multimodal import metadata_consistency_verdicts
+
+        c = self.cfg
+        checks = metadata_consistency_verdicts()
+        with_v = self._p(clips.select(
+            F.col(c.key_col).alias("clip_id"),
+            F.col(c.partition_col).cast("string").alias("partition_id"),
+            F.col("codec").cast("string").alias("__codec"),
+            F.col("dur_ms").cast("string").alias("__dur"),
+            *[v.alias(f"__v{i}") for i, v in enumerate(checks.values())],
+        ))
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i in range(len(checks)):
+            v = F.col(f"__v{i}")
+            aggs += [F.sum((v == "GREEN").cast("long")).alias(f"__g{i}"),
+                     F.sum((v == "YELLOW").cast("long")).alias(f"__y{i}"),
+                     F.sum((v == "RED").cast("long")).alias(f"__r{i}")]
+        rolled = with_v.groupBy("partition_id").agg(*aggs)
+        stack_args = ", ".join(f"'{name}', __g{i}, __y{i}, __r{i}"
+                               for i, name in enumerate(checks))
+        verdicts = rolled.selectExpr(
+            "partition_id", "n_rows",
+            f"stack({len(checks)}, {stack_args}) AS "
+            "(check_name, n_green, n_yellow, n_red)",
+        ).select(
+            "partition_id", "check_name",
+            F.when(F.col("n_red") > 0, "RED")
+            .when(F.col("n_yellow") > 0, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows", "n_green", "n_yellow", "n_red",
+            F.concat(
+                F.lit('{"n_violations":'),
+                (F.col("n_yellow") + F.col("n_red")).cast("string"),
+                F.lit("}"),
+            ).alias("metrics_json"),
+        )
+        reasons = {
+            "payload:container_vs_codec":
+                ("declared codec contradicts (or cannot be verified "
+                 "against) the container magic", "__codec"),
+            "payload:dur_vs_header":
+                ("dur_ms disagrees with (or is missing against) the "
+                 "header-implied duration", "__dur"),
+        }
+        viol_frames = []
+        for i, name in enumerate(checks):
+            reason, val_col = reasons[name]
+            viol_frames.append(
+                with_v.filter(F.col(f"__v{i}") != "GREEN").select(
+                    "clip_id", "partition_id",
+                    F.lit(name).alias("check_name"),
+                    F.lit(reason).alias("reason"),
+                    F.substring(F.coalesce(F.col(val_col), F.lit("<null>")),
+                                1, 50).alias("offending_value_trunc50"),
+                ))
+        viols = viol_frames[0]
+        for fdf in viol_frames[1:]:
+            viols = viols.unionByName(fdf)
         return verdicts, viols
 
     def check_uniqueness(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -769,6 +845,9 @@ class ValidationSuite:
             active_checks += ["pcm_content", "silence"]
         if c.domain_rules:
             active_checks += [r.check_name for r in c.domain_rules]
+        if c.metadata_checks:
+            active_checks += ["payload:container_vs_codec",
+                              "payload:dur_vs_header"]
         if manifest is not None:
             active_checks += ["referential", "transcript"]
         if baseline_shares is not None:
@@ -801,6 +880,10 @@ class ValidationSuite:
             dv, dviol = self.check_domain(work)
             verdict_frames.append(dv)
             violation_frames.append(dviol)
+        if c.metadata_checks:
+            mv, mviol = self.check_metadata(work)
+            verdict_frames.append(mv)
+            violation_frames.append(mviol)
         uv, uviol = self.check_uniqueness(work)
         verdict_frames.append(uv)
         violation_frames.append(uviol)

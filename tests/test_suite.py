@@ -311,3 +311,30 @@ def test_bandwidth_check_flags_drifted_codec(content_result):
     for r in rows.values():
         m = _json.loads(r["metrics_json"])
         assert m["hfc_sum"] >= 0 and m["pcm_sq_sum"] > 0
+
+
+def test_metadata_checks_family(spark, fixture_dir):
+    """cfg.metadata_checks: the cross-field family rides the suite —
+    every non-pcm codec column lies about the WAV container (RED) and
+    every i%101==100 row has NULL dur against a sound payload (YELLOW);
+    expected counts are closed-form from the generator arithmetic."""
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    res = ValidationSuite(SuiteConfig(metadata_checks=True)).run(
+        spark, clips)
+    v = {(r["partition_id"], r["check_name"]): r
+         for r in res.partition_verdicts.collect()
+         if r["check_name"].startswith("payload:")}
+    assert len(v) == 8                                   # 4 codecs x 2 checks
+    assert v[("pcm_s16le", "payload:container_vs_codec")]["verdict"] == "GREEN"
+    for codec in ("flac", "opus", "mp3"):
+        row = v[(codec, "payload:container_vs_codec")]
+        assert row["verdict"] == "RED"
+        assert row["n_red"] == row["n_rows"]             # every row lies
+    n_null_dur = sum(v[(c, "payload:dur_vs_header")]["n_yellow"]
+                     for c in ("pcm_s16le", "flac", "opus", "mp3"))
+    assert n_null_dur == sum(1 for i in range(N) if i % 101 == 100)
+    viols = res.violations.filter(
+        F.col("check_name") == "payload:dur_vs_header").collect()
+    assert len(viols) == n_null_dur
+    assert all(r["offending_value_trunc50"] == "<null>" for r in viols)
+    res.unpersist()
