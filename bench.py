@@ -60,6 +60,7 @@ HEADLINE = [
     "drift_ks",
     "drift_rolling",
     "drift_wasserstein",
+    "drift_quantile_shift",
     "drift_changepoint",
     "class_balance",
     "dedup_incremental",

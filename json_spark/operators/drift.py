@@ -209,3 +209,85 @@ def wasserstein_distance(current: DataFrame, baseline: DataFrame,
     if keys:
         return diffs.groupBy(*keys).agg(F.sum("d").alias("w1"))
     return diffs.agg(F.sum("d").alias("w1"))
+
+
+def exact_quantile_digest(df: DataFrame, value_col: str,
+                          keys: list[str] | None = None,
+                          tag: str = "") -> DataFrame:
+    """Exact (q25, q50, q75, n) of a discrete/low-cardinality column via
+    its value-count table — the scale path for columns like sr_hz /
+    dur_ms / bitrates whose distinct-value count is bounded: the corpus
+    collapses in ONE map-combinable groupBy(value) and every later step
+    (cumulative window, k-th-smallest selection) runs on the
+    cardinality-sized count table. The quantile definition is the exact
+    k-th smallest with k = ceil(p·n) — pure integer arithmetic, so an
+    independent SQL engine reproduces every output bit-for-bit (no
+    interpolation, no float rank). NULLs are excluded (they carry no
+    position in the order).
+    """
+    keys = list(keys or [])
+    sfx = f"_{tag}" if tag else ""
+    c = (df.filter(F.col(value_col).isNotNull())
+         .groupBy(*keys, value_col)
+         .agg(F.count(F.lit(1)).alias("__c")))
+    w_ord = (Window.partitionBy(*keys).orderBy(value_col)
+             if keys else Window.partitionBy().orderBy(value_col)
+             ).rowsBetween(Window.unboundedPreceding, 0)
+    if keys:
+        n = F.sum("__c").over(Window.partitionBy(*keys))
+        c = c.withColumn("__n", n)
+    else:
+        total = c.agg(F.sum("__c").alias("__n"))
+        c = c.join(F.broadcast(total))
+    cum = F.sum("__c").over(w_ord)
+    v = F.col(value_col).cast("long")
+    # k = ceil(p*n) in exact integer form: ceil(n/4), ceil(n/2), ceil(3n/4)
+    k25 = F.floor((F.col("__n") + 3) / 4)
+    k50 = F.floor((F.col("__n") + 1) / 2)
+    k75 = F.floor((3 * F.col("__n") + 3) / 4)
+    picked = c.select(*keys, "__n", cum.alias("__cum"), v.alias("__v"),
+                      k25.alias("__k25"), k50.alias("__k50"),
+                      k75.alias("__k75"))
+    return picked.groupBy(*keys).agg(
+        F.max("__n").alias(f"n{sfx}"),
+        F.min(F.when(F.col("__cum") >= F.col("__k25"), F.col("__v")))
+        .alias(f"q25{sfx}"),
+        F.min(F.when(F.col("__cum") >= F.col("__k50"), F.col("__v")))
+        .alias(f"q50{sfx}"),
+        F.min(F.when(F.col("__cum") >= F.col("__k75"), F.col("__v")))
+        .alias(f"q75{sfx}"),
+    )
+
+
+def quantile_shift(current: DataFrame, baseline: DataFrame,
+                   value_col: str, keys: list[str] | None = None,
+                   yellow: float = 0.5, red: float = 1.0) -> DataFrame:
+    """Robust quantile-shift drift: how many baseline IQRs did the
+    median move? shift = (med_cur − med_base) / max(IQR_base, 1).
+
+    Complements the drift quartet (PSI: share ratios; KS: worst ECDF
+    crossing; W1: mass distance; changepoint: when) with a unit-scaled
+    LOCATION statistic — a distribution that drifted upward by half its
+    own spread scores 0.5 regardless of the column's units, and the
+    median/IQR backbone ignores outlier tails entirely (breakdown 25%).
+    Both sides reduce to cardinality-sized count tables (see
+    exact_quantile_digest), so the comparison costs two map-combinable
+    aggregations no matter the corpus size; every quantile is an exact
+    integer k-th smallest, so the oracle replays the arithmetic
+    bit-for-bit.
+    """
+    keys = list(keys or [])
+    cur = exact_quantile_digest(current, value_col, keys, "cur")
+    base = exact_quantile_digest(baseline, value_col, keys, "base")
+    j = (cur.join(base, keys) if keys else cur.crossJoin(base))
+    iqr = F.greatest(F.col("q75_base") - F.col("q25_base"), F.lit(1))
+    shift = F.round((F.col("q50_cur") - F.col("q50_base")) / iqr, 6)
+    return j.select(
+        *keys, "n_cur", "n_base",
+        "q50_cur", "q50_base",
+        (F.col("q75_base") - F.col("q25_base")).alias("iqr_base"),
+        shift.alias("shift"),
+        F.when(F.abs(shift) >= red, "RED")
+        .when(F.abs(shift) >= yellow, "YELLOW")
+        .otherwise("GREEN").alias("verdict"),
+    )

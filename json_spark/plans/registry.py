@@ -73,8 +73,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_content_conflicts, source_cap, the batch-C quartet
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
-#: vocab_coverage, metadata_consistency, text_lexical_diversity, and
-#: metadata_repair — all judge-replica green at
+#: vocab_coverage, metadata_consistency, text_lexical_diversity,
+#: metadata_repair, and drift_quantile_shift — all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6698,3 +6698,70 @@ def q_metadata_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pcm_after"),
         F.sum("dur_ms").alias("sum_dur_ms_after"),
     )
+
+
+@register("drift_quantile_shift", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+cnt AS (
+  SELECT 'sr_hz' AS col_name,
+         CASE WHEN codec = 'opus' THEN 'cur' ELSE 'base' END AS side,
+         CAST(sr_hz AS BIGINT) AS v, count(*) AS c
+  FROM full_ GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'dur_ms',
+         CASE WHEN codec = 'opus' THEN 'cur' ELSE 'base' END,
+         CAST(dur_ms AS BIGINT), count(*)
+  FROM full_ WHERE dur_ms IS NOT NULL GROUP BY 1, 2, 3),
+cum AS (
+  SELECT col_name, side, v, c,
+         sum(c) OVER (PARTITION BY col_name, side ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY col_name, side) AS n
+  FROM cnt),
+q AS (
+  SELECT col_name, side, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS BIGINT) AS q25,
+         CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS q50,
+         CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS BIGINT)
+             AS q75
+  FROM cum GROUP BY col_name, side),
+j AS (
+  SELECT c.col_name, c.n AS n_cur, b.n AS n_base,
+         c.q50 AS q50_cur, b.q50 AS q50_base,
+         b.q75 - b.q25 AS iqr_base,
+         round((c.q50 - b.q50) / CAST(greatest(b.q75 - b.q25, 1) AS DOUBLE),
+               6) AS shift
+  FROM q c JOIN q b
+    ON c.col_name = b.col_name AND c.side = 'cur' AND b.side = 'base')
+SELECT col_name, n_cur, n_base, q50_cur, q50_base, iqr_base, shift,
+       CASE WHEN abs(shift) >= 1.0 THEN 'RED'
+            WHEN abs(shift) >= 0.5 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM j
+""")
+def q_drift_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust quantile-shift drift (operators/drift.py:quantile_shift):
+    median displacement in baseline-IQR units, the unit-scaled LOCATION
+    statistic completing the PSI/KS/W1/changepoint drift family. The
+    fixture's own planted drift is the test: opus draws sr_hz from the
+    high end only (fixtures/gen.py SR_CHOICES_DRIFTED), so sr_hz scores
+    a ~0.78-IQR YELLOW shift while dur_ms (same law both populations)
+    scores GREEN ~0 — the statistic separates the planted drift from
+    the null case inside one query. Every quantile is an exact integer
+    k-th smallest (k = ceil(p·n)) over the value-count table, so the
+    oracle's window-function replay matches bit-for-bit, and the
+    corpus collapses in one map-combinable groupBy(value) per side.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.drift import quantile_shift
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    # stack both columns into one long frame so each side costs ONE scan
+    # (the keys= windows then partition per column on the count table)
+    long = clips.selectExpr(
+        "codec",
+        "stack(2, 'sr_hz', CAST(sr_hz AS BIGINT), "
+        "'dur_ms', CAST(dur_ms AS BIGINT)) AS (col_name, v)")
+    cur = long.filter(F.col("codec") == "opus")
+    base = long.filter(F.col("codec") != "opus")
+    return quantile_shift(cur, base, "v", keys=["col_name"]).select(
+        "col_name", "n_cur", "n_base", "q50_cur", "q50_base",
+        "iqr_base", "shift", "verdict")

@@ -91,3 +91,47 @@ def test_wasserstein_vs_bruteforce_sparse_buckets(spark):
     same = wasserstein_distance(cur, cur.select("bucket", "n", "share")
                                 ).collect()[0]["w1"]
     assert same == 0.0
+
+
+def test_quantile_shift_exact_and_verdict_bands(spark):
+    from json_spark.operators.drift import exact_quantile_digest, quantile_shift
+
+    # handcrafted multiset: values 1..10 once each => k-th smallest is k
+    base = spark.createDataFrame([(v,) for v in range(1, 11)], "x int")
+    d = exact_quantile_digest(base, "x").collect()[0]
+    # n=10: k25=ceil(2.5)=3, k50=5, k75=ceil(7.5)=8
+    assert (d["n"], d["q25"], d["q50"], d["q75"]) == (10, 3, 5, 8)
+
+    # duplicates + a null: null excluded; k75 = ceil(0.75*4) = 3, and the
+    # 3rd smallest of {1,1,1,9} is still 1 (ties resolved by cumulative count)
+    dup = spark.createDataFrame([(1,), (1,), (1,), (9,), (None,)], "x int")
+    d2 = exact_quantile_digest(dup, "x").collect()[0]
+    assert (d2["n"], d2["q25"], d2["q50"], d2["q75"]) == (4, 1, 1, 1)
+
+    # shift bands: median moved by exactly 1.0 IQR => RED boundary
+    cur = spark.createDataFrame([(v + 5,) for v in range(1, 11)], "x int")
+    row = quantile_shift(cur, base, "x").collect()[0]
+    assert row["q50_cur"] == 10 and row["q50_base"] == 5
+    assert row["iqr_base"] == 5
+    assert row["shift"] == 1.0 and row["verdict"] == "RED"
+    # identical populations => exact zero, GREEN
+    same = quantile_shift(base, base, "x").collect()[0]
+    assert same["shift"] == 0.0 and same["verdict"] == "GREEN"
+    # downward drift is symmetric (abs on the verdict bands)
+    down = quantile_shift(base, cur, "x").collect()[0]
+    assert down["shift"] == -1.0 and down["verdict"] == "RED"
+
+
+def test_quantile_shift_grouped_keys(spark):
+    from json_spark.operators.drift import quantile_shift
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in (1, 1, 1, 1)]
+    base = spark.createDataFrame(rows, "g string, x int")
+    cur = spark.createDataFrame(
+        [("a", v + 10) for v in range(1, 11)] + [("b", v) for v in (1, 1)],
+        "g string, x int")
+    out = {r["g"]: r for r in
+           quantile_shift(cur, base, "x", keys=["g"]).collect()}
+    assert out["a"]["verdict"] == "RED"           # moved 2 IQRs
+    assert out["b"]["shift"] == 0.0               # constant column, iqr->1 guard
+    assert out["b"]["verdict"] == "GREEN"

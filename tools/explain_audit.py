@@ -542,6 +542,19 @@ CHECKS = {
         ("stack unpivot AFTER aggregation (one row per check per codec)",
          True, lambda p: "Generate" in p and "stack(" in p),
     ],
+    "drift_quantile_shift": [
+        # the corpus must collapse in groupBy(col, value) per side (both
+        # columns stacked into one scan per side); windows + k-th-smallest
+        # selection then run on cardinality-sized count tables, and the
+        # cur×base combine broadcasts the per-column digest rows
+        ("at most two Python stages (one fixture scan per side)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) <= 2),
+        ("partial+final hash aggregate (map-side value counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("digest rows broadcast, never shuffled for the join", True,
+         lambda p: "BroadcastHashJoin" in p),
+    ],
     "metadata_repair": [
         # repair is a map-only projection (header byte surgery + when/
         # otherwise); only the fixture render is Python, and the single
