@@ -47,6 +47,7 @@ HEADLINE = [
     "stats_quantiles",
     "uniqueness_summary",
     "incremental_stats_merge",
+    "incremental_quantile_merge",
     "fd_profile",
     "column_profile",
     "duplicate_keys",

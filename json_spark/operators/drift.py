@@ -225,11 +225,42 @@ def exact_quantile_digest(df: DataFrame, value_col: str,
     interpolation, no float rank). NULLs are excluded (they carry no
     position in the order).
     """
+    return quantiles_from_counts(
+        quantile_digest_counts(df, value_col, keys), value_col, keys, tag)
+
+
+def quantile_digest_counts(df: DataFrame, value_col: str,
+                           keys: list[str] | None = None) -> DataFrame:
+    """The mergeable state behind :func:`exact_quantile_digest`: the
+    (keys, value, __c) count table. Counts merge by ADDITION, so two
+    batches' digests combine exactly (merge_quantile_counts) without
+    rescanning either — the same algebraic-state contract as
+    operators/incremental.py, extended to exact quantiles."""
+    keys = list(keys or [])
+    return (df.filter(F.col(value_col).isNotNull())
+            .groupBy(*keys, value_col)
+            .agg(F.count(F.lit(1)).alias("__c")))
+
+
+def merge_quantile_counts(a: DataFrame, b: DataFrame, value_col: str,
+                          keys: list[str] | None = None) -> DataFrame:
+    """Merge two quantile count-table states: union + re-sum. Exact —
+    no sketch error — because the state is the full (bounded) value
+    histogram; the merged table feeds quantiles_from_counts unchanged."""
+    keys = list(keys or [])
+    return (a.unionByName(b)
+            .groupBy(*keys, value_col)
+            .agg(F.sum("__c").alias("__c")))
+
+
+def quantiles_from_counts(c: DataFrame, value_col: str,
+                          keys: list[str] | None = None,
+                          tag: str = "") -> DataFrame:
+    """Exact k-th-smallest quantiles (k = ceil(p·n)) from a (keys,
+    value, __c) count table — all windows run on the cardinality-sized
+    state, never the corpus."""
     keys = list(keys or [])
     sfx = f"_{tag}" if tag else ""
-    c = (df.filter(F.col(value_col).isNotNull())
-         .groupBy(*keys, value_col)
-         .agg(F.count(F.lit(1)).alias("__c")))
     w_ord = (Window.partitionBy(*keys).orderBy(value_col)
              if keys else Window.partitionBy().orderBy(value_col)
              ).rowsBetween(Window.unboundedPreceding, 0)

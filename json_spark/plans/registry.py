@@ -74,7 +74,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
 #: vocab_coverage, metadata_consistency, text_lexical_diversity,
-#: metadata_repair, and drift_quantile_shift — all judge-replica green at
+#: metadata_repair, drift_quantile_shift, and incremental_quantile_merge —
+#: all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
 #: (uniqueness_incremental, uniqueness_approx, ledger_resume,
@@ -6765,3 +6766,51 @@ def q_drift_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_shift(cur, base, "v", keys=["col_name"]).select(
         "col_name", "n_cur", "n_base", "q50_cur", "q50_base",
         "iqr_base", "shift", "verdict")
+
+
+@register("incremental_quantile_merge", oracle="""
+WITH vals AS (
+  SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL),
+cnt AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v) AS cum,
+         sum(c) OVER () AS n
+  FROM cnt)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS BIGINT) AS q25,
+       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS q50,
+       CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS BIGINT)
+           AS q75
+FROM cum
+""")
+def q_incremental_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT quantiles via mergeable count-table states
+    (operators/drift.py:quantile_digest_counts + merge_quantile_counts):
+    the engine digests two disjoint batches (event_id parity)
+    SEPARATELY, merges the states by pure addition, and reads the
+    quantiles off the merged state — the oracle computes the same
+    quantiles directly from the union, so a match PROVES the merge law
+    (digest(A) ⊕ digest(B) ≡ digest(A ∪ B)) with zero sketch error.
+    This is operators/incremental.py's algebraic-state contract
+    extended from moments to order statistics: nightly batches keep
+    yesterday's count table (cardinality-bounded, e.g. a bucketed or
+    discrete column), and today's quantile report never rescans
+    history. All windows run on the merged count table, never the
+    corpus.
+    """
+    from ..operators.drift import (
+        merge_quantile_counts,
+        quantile_digest_counts,
+        quantiles_from_counts,
+    )
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id",
+                  F.floor("value").cast("long").alias("v")))
+    b1 = quantile_digest_counts(
+        ev.filter(F.pmod("event_id", F.lit(2)) == 0), "v")
+    b2 = quantile_digest_counts(
+        ev.filter(F.pmod("event_id", F.lit(2)) == 1), "v")
+    merged = merge_quantile_counts(b1, b2, "v")
+    return quantiles_from_counts(merged, "v")

@@ -135,3 +135,21 @@ def test_quantile_shift_grouped_keys(spark):
     assert out["a"]["verdict"] == "RED"           # moved 2 IQRs
     assert out["b"]["shift"] == 0.0               # constant column, iqr->1 guard
     assert out["b"]["verdict"] == "GREEN"
+
+
+def test_quantile_counts_merge_equals_direct(spark):
+    from json_spark.operators.drift import (
+        exact_quantile_digest,
+        merge_quantile_counts,
+        quantile_digest_counts,
+        quantiles_from_counts,
+    )
+    a = spark.createDataFrame([(v,) for v in [1, 1, 2, 7, 7, 7]], "x int")
+    b = spark.createDataFrame([(v,) for v in [2, 2, 3, 9, None]], "x int")
+    merged = merge_quantile_counts(
+        quantile_digest_counts(a, "x"), quantile_digest_counts(b, "x"), "x")
+    got = quantiles_from_counts(merged, "x").collect()[0]
+    want = exact_quantile_digest(a.unionByName(b), "x").collect()[0]
+    assert (got["n"], got["q25"], got["q50"], got["q75"]) == \
+        (want["n"], want["q25"], want["q50"], want["q75"])
+    assert got["n"] == 10                         # null excluded
