@@ -151,6 +151,78 @@ def streaming_window_drift(
         (psi > alert_threshold).alias("drifted"))
 
 
+def streaming_window_quantile_shift(
+    stream: DataFrame,
+    value_col: str,
+    event_time_col: str,
+    domain: list[int],
+    q50_base: float,
+    iqr_base: float,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    yellow: float = 0.5,
+    red: float = 1.0,
+) -> DataFrame:
+    """Per-event-time-window EXACT median shift of a discrete column
+    against a precomputed baseline digest — the streaming twin of the
+    batch quantile-shift drift (operators/drift.py:quantile_shift).
+
+    Streaming-specific design, same discipline as
+    :func:`streaming_window_drift`: append mode allows ONE stateful
+    aggregation, so the per-window value histogram reduces as one
+    conditional-sum column per domain value, and the exact median
+    (k-th smallest, k = ceil(n/2) — the identical integer definition
+    the batch operator and its DuckDB oracle share) is a closed-form
+    cumulative CASE chain over those literal columns. This requires the
+    column's value DOMAIN to be enumerable (sample-rate ladders, bitrate
+    ladders, codec-implied rates — exactly the columns a validation
+    suite watches); values outside the domain are counted in ``n_out``
+    and excluded from the order statistic rather than silently binned.
+    The baseline (median, IQR) is a small static artifact built
+    batch-side by exact_quantile_digest, baked in as literals — nothing
+    is joined per micro-batch, state is O(windows).
+
+    Emits (window_start, window_end, n_rows, n_out, q50, shift,
+    verdict) per finalized window; |shift| ≥ yellow/red in baseline-IQR
+    units grades the window.
+    """
+    dom = sorted(int(d) for d in domain)
+    v = F.col(value_col)
+    agged = (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration))
+        .agg(F.count(F.lit(1)).alias("n_all"),
+             F.sum((~v.isin(dom)).cast("long")).alias("n_out"),
+             *[F.sum((v == d).cast("long")).alias(f"__c{i}")
+               for i, d in enumerate(dom)]))
+    n = F.col("n_all") - F.col("n_out")
+    k = F.floor((n + 1) / 2)
+    med = F.lit(None).cast("long")
+    cum = F.lit(0)
+    # cumulative CASE chain, first domain value whose running count
+    # reaches k — evaluated left to right so the FIRST hit wins
+    expr = None
+    for i, d in enumerate(dom):
+        cum = cum + F.col(f"__c{i}")
+        branch = (cum >= k) & (n > 0)
+        expr = F.when(branch, F.lit(d)) if expr is None \
+            else expr.when(branch, F.lit(d))
+    med = expr.otherwise(F.lit(None).cast("long"))
+    shift = F.round((med - F.lit(float(q50_base)))
+                    / F.lit(max(float(iqr_base), 1.0)), 6)
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("n_all").alias("n_rows"),
+        "n_out",
+        med.alias("q50"),
+        shift.alias("shift"),
+        F.when(med.isNull(), "YELLOW")
+        .when(F.abs(shift) >= red, "RED")
+        .when(F.abs(shift) >= yellow, "YELLOW")
+        .otherwise("GREEN").alias("verdict"))
+
+
 def streaming_session_verdicts(
     stream: DataFrame,
     rules: dict[str, Column],
