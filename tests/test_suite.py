@@ -338,3 +338,17 @@ def test_metadata_checks_family(spark, fixture_dir):
     assert len(viols) == n_null_dur
     assert all(r["offending_value_trunc50"] == "<null>" for r in viols)
     res.unpersist()
+
+
+def test_suite_empty_input_degrades_gracefully(spark):
+    """A freshly-created (or fully-pruned) table must yield zero verdict
+    and violation rows from every check family — no division-by-zero
+    verdicts, no exceptions — so a scheduler can run the suite
+    unconditionally before data lands."""
+    from json_spark.fixtures.gen import CLIPS_SCHEMA
+    empty = spark.createDataFrame([], CLIPS_SCHEMA)
+    res = ValidationSuite(SuiteConfig(metadata_checks=True,
+                                      content_checks=True)).run(spark, empty)
+    assert res.partition_verdicts.count() == 0
+    assert res.violations.count() == 0
+    res.unpersist()

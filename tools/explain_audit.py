@@ -555,6 +555,16 @@ CHECKS = {
         ("digest rows broadcast, never shuffled for the join", True,
          lambda p: "BroadcastHashJoin" in p),
     ],
+    "incremental_quantile_merge": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("map-side value counting per batch (partial+final agg)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("scan pruned to (event_id, value)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+        ("1-row total broadcast for the n join, not shuffled", True,
+         lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+    ],
     "metadata_repair": [
         # repair is a map-only projection (header byte surgery + when/
         # otherwise); only the fixture render is Python, and the single
