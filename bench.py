@@ -105,6 +105,7 @@ HEADLINE = [
     "snr_partition_verdicts",
     "audio_header_integrity",
     "metadata_consistency",
+    "metadata_repair",
     "pcm_content_exact",
     "audio_clipping_silence",
     "audio_amplitude_hist",
