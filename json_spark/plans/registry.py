@@ -73,8 +73,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_content_conflicts, source_cap, the batch-C quartet
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
-#: vocab_coverage, metadata_consistency, text_lexical_diversity,
-#: metadata_repair, drift_quantile_shift, and incremental_quantile_merge —
+#: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
+#: and the trio displaced from the r3 window by the late-r3 families
+#: (temperature_sample, audio_content_dedup, ledger_trend) —
 #: all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
@@ -119,7 +120,12 @@ GATE_FRONT: list[str] = [
     # identical), so they cycle behind.
     "audio_chunks", "audio_resample", "audio_dominant_freq",
     "flac_header_integrity", "contamination_ngram_exact",
-    "temperature_sample", "audio_content_dedup", "ledger_trend",
+    # brand-new late-r3 families (never any driver row, newest code =
+    # highest residual risk): they take the last three slots, displacing
+    # temperature_sample / audio_content_dedup / ledger_trend
+    # (oracle-backed, replica-green, code unchanged — rotate to the r4
+    # front alongside the other waiters).
+    "metadata_consistency", "metadata_repair", "drift_quantile_shift",
 ]
 
 
