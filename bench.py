@@ -52,6 +52,7 @@ HEADLINE = [
     "column_profile",
     "duplicate_keys",
     "referential_orphans",
+    "manifest_dangling",
     "join_fanout_profile",
     "fuzzy_referential",
     "coercion_number",

@@ -45,6 +45,25 @@ def orphans_large_dim(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     return facts.repartition(key).join(d.hint("merge"), key, "left_anti")
 
 
+def dangling_dim_rows(dim: DataFrame, facts: DataFrame, key: str) -> DataFrame:
+    """The REVERSE referential direction: dim (manifest) rows whose key
+    matches no fact (clip) — a manifest claiming a clip that never
+    landed, i.e. upload loss, the failure orphan checks can't see
+    (orphans prove every clip is CLAIMED; this proves every claim is
+    BACKED). Fixture-planted: duplicate-id rows reuse the previous id,
+    so their own id never reaches the clips table while the manifest
+    still lists it.
+
+    Scale shape: at 10^12 facts the fact side can never broadcast — the
+    anti-join shuffles both sides on the key once (keys only from the
+    fact side, a single narrow column through the exchange) and AQE is
+    free to broadcast whichever side turns out small at runtime; no
+    hint forces the big side driver-side.
+    """
+    f = facts.select(key).distinct()
+    return dim.join(f, key, "left_anti")
+
+
 def referential_summary(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     """One row: n_facts, n_matched, n_orphans (semi + anti in one pass via
     a left join on distinct dim keys)."""

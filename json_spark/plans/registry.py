@@ -74,6 +74,7 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
+#: manifest_dangling,
 #: and the trio displaced from the r3 window by the late-r3 families
 #: (temperature_sample, audio_content_dedup, ledger_trend) —
 #: all judge-replica green at
@@ -6820,3 +6821,31 @@ def q_incremental_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.pmod("event_id", F.lit(2)) == 1), "v")
     merged = merge_quantile_counts(b1, b2, "v")
     return quantiles_from_counts(merged, "v")
+
+
+@register("manifest_dangling", oracle=f"""
+WITH ids AS (SELECT i FROM range(0, {_SNR_N}) t(i))
+SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id
+FROM ids
+WHERE i % 1000 = 999 AND i > 0          -- dup rows reuse the PREVIOUS id,
+                                         -- so this id never reaches clips
+  AND i % 991 <> 990                     -- unless the manifest row is an
+                                         -- orphan plant and absent too
+""")
+def q_manifest_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse referential integrity (operators/referential.py:
+    dangling_dim_rows): manifest entries whose clip never landed —
+    upload-loss detection, the direction referential_orphans cannot
+    see. The generator plants these implicitly: every DUP_EVERY-th clip
+    row reuses the PREVIOUS row's id (fixtures/gen.py:_row), so its own
+    id exists in the manifest but never in the clips table. The oracle
+    derives the exact dangling id set from that arithmetic alone —
+    i % 1000 == 999 (and not itself an orphan-skip) — so a match proves
+    the anti-join surfaces precisely the planted upload losses, no more
+    and no fewer.
+    """
+    from ..fixtures.gen import generate_clips, generate_manifest
+    from ..operators.referential import dangling_dim_rows
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    manifest = generate_manifest(spark, _SNR_N, partitions=4)
+    return dangling_dim_rows(manifest, clips, "clip_id").select("clip_id")

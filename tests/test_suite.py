@@ -352,3 +352,16 @@ def test_suite_empty_input_degrades_gracefully(spark):
     assert res.partition_verdicts.count() == 0
     assert res.violations.count() == 0
     res.unpersist()
+
+
+def test_manifest_dangling_reverse_referential(spark, fixture_dir):
+    """Reverse referential: manifest rows whose clip never landed are
+    exactly the duplicate-id plants (their own id never reaches clips)."""
+    from json_spark.operators.referential import dangling_dim_rows
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    manifest = spark.read.parquet(f"{fixture_dir}/manifest")
+    got = {r["clip_id"] for r in
+           dangling_dim_rows(manifest, clips, "clip_id").collect()}
+    want = {f"clip-{i:012d}" for i in range(N)
+            if i % 1000 == 999 and i > 0 and i % 991 != 990}
+    assert got == want and len(got) == 3

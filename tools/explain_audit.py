@@ -555,6 +555,17 @@ CHECKS = {
         ("digest rows broadcast, never shuffled for the join", True,
          lambda p: "BroadcastHashJoin" in p),
     ],
+    "manifest_dangling": [
+        # reverse referential: anti-join with the FACT side reduced to
+        # distinct keys; no hint may force the 10^12-row side broadcast
+        # (AQE picking it at test scale is a runtime choice, fine)
+        ("left anti join present", True, lambda p: "LeftAnti" in p),
+        ("at most two Python stages (the two fixture renders)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) <= 2),
+        ("fact side reduced to distinct keys before the join", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "incremental_quantile_merge": [
         ("no Python stage", True, lambda p: "Python" not in p),
         ("map-side value counting per batch (partial+final agg)", True,
