@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.signal import decode_wav_pcm16
+from ..functions.au import parse_au_header
 from ..functions.flac import decode_flac, parse_flac_streaminfo
 
 MEDIA_META_SCHEMA = (
@@ -132,10 +133,25 @@ def extract_media_meta(clips: DataFrame) -> DataFrame:
                             1000.0 * si["n_samples"] / si["sr_hz"]
                             if si["sr_hz"] else None)
                     except (ValueError, struct.error):
-                        rows["container"].append("unknown")
-                        for k in ("sr_hz", "channels", "bits", "n_samples",
-                                  "meta_dur_ms"):
-                            rows[k].append(None)
+                        try:
+                            au = parse_au_header(buf)
+                            if au["encoding"] != 3:
+                                raise ValueError("non-PCM16 AU")
+                            n_samp = (au["data_size"]
+                                      // max(1, 2 * au["channels"]))
+                            rows["container"].append("au")
+                            rows["sr_hz"].append(au["sample_rate"])
+                            rows["channels"].append(au["channels"])
+                            rows["bits"].append(16)
+                            rows["n_samples"].append(n_samp)
+                            rows["meta_dur_ms"].append(
+                                1000.0 * n_samp / au["sample_rate"]
+                                if au["sample_rate"] else None)
+                        except (ValueError, struct.error):
+                            rows["container"].append("unknown")
+                            for k in ("sr_hz", "channels", "bits",
+                                      "n_samples", "meta_dur_ms"):
+                                rows[k].append(None)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.string()),
                  pa.array(rows["container"], pa.string()),
@@ -504,16 +520,19 @@ def flac_header_verdicts() -> dict[str, Column]:
 def container_header_verdicts() -> dict[str, Column]:
     """Mixed-container rule set: dispatch per row on the magic bytes —
     RIFF payloads validate under the WAV rules, fLaC payloads under the
-    FLAC rules, anything else is RED. One pure-Column CASE, so a stream
-    (or batch table) carrying both containers validates in a single rule
-    surface with no Python stage."""
+    FLAC rules, ``.snd`` payloads under the Sun AU rules, anything else
+    is RED. One pure-Column CASE, so a stream (or batch table) carrying
+    all three containers validates in a single rule surface with no
+    Python stage."""
     wav = wav_header_verdicts()
     fl = flac_header_verdicts()
+    au = au_header_verdicts()
     is_wav = F.substring(F.col("bytes"), 1, 4) == F.lit(b"RIFF")
     is_flac = F.substring(F.col("bytes"), 1, 4) == F.lit(b"fLaC")
+    is_au = F.substring(F.col("bytes"), 1, 4) == F.lit(b".snd")
     return {
-        col: F.when(is_wav, wav[col]).when(is_flac, fl[col])
-        .otherwise(F.lit("RED"))
+        col: (F.when(is_wav, wav[col]).when(is_flac, fl[col])
+              .when(is_au, au[col]).otherwise(F.lit("RED")))
         for col in ("bytes", "sr_hz")
     }
 
@@ -687,6 +706,93 @@ def transcode_flac(clips: DataFrame) -> DataFrame:
 
     return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
                         "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
+def transcode_au(clips: DataFrame) -> DataFrame:
+    """WAV→AU transcode keeping the clips-table shape: each payload's raw
+    int16 samples re-containered as big-endian Sun AU (functions/au.py).
+    Same scale shape as transcode_flac: map-only Arrow stage over the
+    source partitioning, undecodable payloads pass through as null bytes
+    (verdict surface decides), the payload never shuffles."""
+    from ..functions.au import encode_au
+
+    def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            out: list[bytes | None] = []
+            for j in range(batch.num_rows):
+                try:
+                    wav = memoryview(payloads[j].as_buffer())
+                    n_bytes = struct.unpack("<I", wav[40:44])[0]
+                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
+                    sr = struct.unpack("<I", wav[24:28])[0]
+                    out.append(encode_au(ints, sr))
+                except (ValueError, struct.error, AttributeError):
+                    out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),
+                 pa.array(out, pa.binary())],
+                ["clip_id", "codec", "sr_hz", "dur_ms", "bytes"])
+
+    return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
+                        "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
+def au_header_columns(bytes_col: Column) -> dict[str, Column]:
+    """Sun AU header fields as pure Column expressions — the zero-Python
+    header path for the THIRD container (functions/au.py holds the
+    Arrow-stage codec; this reads only the 24 leading bytes). AU is
+    big-endian, so the reads are straight ``be_uint`` calls with no
+    byte-swap string surgery — the mirror image of the WAV parse
+    (wav_header_columns / le32) that proves the byte-order half of the
+    pure-Column surgery toolkit.
+
+    Returned keys: ``au_ok`` (magic + offset/encoding/channel shape the
+    engine emits), ``data_offset``, ``data_bytes`` (payload length
+    declared in the header), ``encoding``, ``hdr_sr_hz``, ``channels``.
+    """
+    return {
+        "au_ok": (F.length(bytes_col) >= 28)
+        & (F.substring(bytes_col, 1, 4) == F.lit(b".snd"))
+        & (be_uint(bytes_col, 5, 4) >= 24)
+        & (be_uint(bytes_col, 13, 4) == 3)   # 16-bit linear PCM
+        & (be_uint(bytes_col, 21, 4) == 1),  # mono
+        "data_offset": be_uint(bytes_col, 5, 4),
+        "data_bytes": be_uint(bytes_col, 9, 4),
+        "encoding": be_uint(bytes_col, 13, 4),
+        "hdr_sr_hz": be_uint(bytes_col, 17, 4),
+        "channels": be_uint(bytes_col, 21, 4),
+    }
+
+
+def au_header_verdicts() -> dict[str, Column]:
+    """AU container checks as GREEN/YELLOW/RED verdict Columns for the
+    streaming/batch rule surface — the third-container twin of
+    wav_header_verdicts / flac_header_verdicts.
+
+    - ``bytes``: RED when the ``.snd`` magic / PCM16-mono shape is
+      missing or the payload is truncated relative to its own
+      data_offset + data_size declaration; GREEN otherwise.
+    - ``sr_hz``: YELLOW when the container is sound but the header's
+      sample rate contradicts the metadata column (recoverable by
+      trusting the header — the d3rty tolerance model applied to binary
+      media); RED when the header is unreadable; GREEN on agreement.
+    """
+    hdr = au_header_columns(F.col("bytes"))
+    container_ok = (hdr["au_ok"]
+                    & (F.length("bytes")
+                       == hdr["data_offset"] + hdr["data_bytes"]))
+    return {
+        "bytes": F.when(container_ok, "GREEN").otherwise("RED"),
+        "sr_hz": F.when(~hdr["au_ok"], "RED")
+        .when(hdr["hdr_sr_hz"] == F.col("sr_hz").cast("long"), "GREEN")
+        .otherwise("YELLOW"),
+    }
 
 
 def wav_header_columns(bytes_col: Column) -> dict[str, Column]:

@@ -3,8 +3,10 @@
 North-rule check (BASELINE.json input_hint): decoded PCM must match the
 reference signal with SNR >= 30 dB ("allclose"). Container-agnostic:
 WAV decodes first; non-RIFF payloads fall through to the real FLAC
-codec (functions/flac.py), so the same invariant runs over either
-container. This is the one operator that genuinely cannot be a Column
+codec (functions/flac.py), then to the big-endian Sun AU container
+(functions/au.py) — each rejects foreign payloads at its 4-byte magic,
+so per-row dispatch costs two byte comparisons and the same invariant
+runs over any of the three containers. This is the one operator that genuinely cannot be a Column
 expression (byte-level container decode + numpy math), so it is an
 Arrow-batched ``mapInArrow`` stage: Arrow moves
 binary batches to the Python worker, numpy does vectorized math per clip,
@@ -37,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.signal import decode_wav_pcm16, reference_signal, snr_db
+from ..functions.au import decode_au
 from ..functions.flac import decode_flac
 
 SNR_THRESHOLD_DB = 30.0
@@ -201,9 +204,14 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                     try:
                         decoded, sr = decode_wav_pcm16(buf)
                     except (ValueError, struct.error):
-                        # second container: real FLAC decode (checksums
-                        # enforced); rejects non-fLaC instantly at magic
-                        decoded, sr = decode_flac(bytes(buf))
+                        try:
+                            # second container: real FLAC decode (checksums
+                            # enforced); rejects non-fLaC instantly at magic
+                            decoded, sr = decode_flac(bytes(buf))
+                        except (ValueError, struct.error):
+                            # third container: big-endian Sun AU
+                            # (functions/au.py); rejects at magic too
+                            decoded, sr = decode_au(buf)
                     dur = int(durs[j]) if durs[j] is not None else 100
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)

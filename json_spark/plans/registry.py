@@ -75,8 +75,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: text_encoding_check, the batch-D pair packing_efficiency /
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling,
-#: and the trio displaced from the r3 window by the late-r3 families
-#: (temperature_sample, audio_content_dedup, ledger_trend) —
+#: and the entries displaced from the r3 window late in the round
+#: (temperature_sample, audio_content_dedup, ledger_trend, plus
+#: coercion_integer / coercion_string — r1 driver-green, code
+#: unchanged, displaced by the AU container queries) —
 #: all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
@@ -98,9 +100,14 @@ GATE_FRONT: list[str] = [
     "stratified_sample", "token_heavy_hitters",
     "outlier_mad", "curation_pipeline", "violation_samples",
     "transcript_integrity", "multimodal_frame_sample",
-    "coercion_integer", "coercion_string", "coercion_time",
+    "coercion_time",
     "case_detection", "key_style_stats", "unknown_keys",
     "referential_orphans_large",
+    # third container (Sun AU), brand-new this round — displaces
+    # coercion_integer / coercion_string (r1 driver-green, code
+    # bit-unchanged since that row, r3 judge-replica green: the only
+    # window members whose driver evidence is both real and current)
+    "au_header_integrity", "audio_au_snr",
     # added/changed late in r3, all oracle-backed — they displace the
     # four rows-only entries (uniqueness_incremental, uniqueness_approx,
     # ledger_resume, stats_quantiles_sketch: code unchanged, pytest
@@ -2870,6 +2877,98 @@ def q_flac_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ns_match").cast("long")).alias("n_nsamples_match"),
         F.sum(F.col("pcm16_mono").cast("long")).alias("n_pcm16_mono"),
         F.sum("n_samples").alias("sum_samples"))
+
+
+@register("au_header_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+g AS (
+  SELECT codec,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n
+  FROM full_)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_au_ok,
+       CAST(count(*) AS BIGINT) AS n_sr_match,
+       CAST(count(*) AS BIGINT) AS n_len_match,
+       CAST(sum(2 * n) AS BIGINT) AS sum_payload_bytes
+FROM g GROUP BY codec
+""")
+def q_au_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Python header integrity over the THIRD container, big-endian
+    Sun AU: clips transcode to AU in one Arrow stage
+    (multimodal.py:transcode_au; functions/au.py is the codec), then
+    every header field — magic/PCM16-mono shape, declared sample rate,
+    data-offset + data-size vs actual payload length — is read by pure
+    Column byte surgery (multimodal.py:au_header_columns: straight
+    ``be_uint`` reads, the byte-order mirror of the WAV/le32 parse; no
+    Python, no full decode). The oracle re-derives expected fields per
+    codec from the generator contract: AU layout is deterministic
+    (28-byte header + 2 bytes/sample), so sum_payload_bytes pins the
+    encoder's framing exactly.
+
+    Scale shape: two Python stages (fixture render + transcode) feeding
+    whole-stage-codegen header checks, then one map-combined aggregate
+    whose key cardinality is |codec| — the payload never shuffles.
+    Reference parity: one tolerant decode surface across container
+    shapes (internal/dirtyjson/decoder.go), realized here as the
+    wav/flac/au header-rule triple sharing a verdict vocabulary.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import au_header_columns, transcode_au
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    au = transcode_au(clips)
+    hdr = au_header_columns(F.col("bytes"))
+    parsed = au.select(
+        "codec",
+        hdr["au_ok"].alias("au_ok"),
+        (hdr["hdr_sr_hz"] == F.col("sr_hz").cast("long")).alias("sr_match"),
+        (F.length("bytes") == hdr["data_offset"] + hdr["data_bytes"])
+        .alias("len_match"),
+        hdr["data_bytes"].alias("data_bytes"))
+    return parsed.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("au_ok").cast("long")).alias("n_au_ok"),
+        F.sum(F.col("sr_match").cast("long")).alias("n_sr_match"),
+        F.sum(F.col("len_match").cast("long")).alias("n_len_match"),
+        F.sum("data_bytes").alias("sum_payload_bytes"))
+
+
+@register("audio_au_snr", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict
+FROM full_ GROUP BY codec
+""")
+def q_audio_au_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNR>=30dB invariant run end-to-end over AU containers: clips
+    transcode WAV→AU (multimodal.py:transcode_au), then the SAME fused
+    PCM kernel (operators/snr.py:pcm_scan — no caller-side dispatch, AU
+    is the third magic-gated fall-through after WAV and FLAC) decodes
+    the big-endian payload, regenerates the reference signal, and rolls
+    per-codec verdicts. The oracle is the identical closed form as
+    `snr_partition_verdicts` over WAV: a match proves the transcode
+    preserved every sample (planted corruption at i % 997 == 996 stays
+    RED, everything else stays GREEN at quantization-noise SNR) and the
+    kernel's container dispatch is lossless — byte order, header
+    framing, and PCM lattice all round-trip through the third container.
+
+    Scale shape: two map-only Arrow stages (render + transcode) fused in
+    one task pipeline, then the map-combined |codec|-key rollup; the AU
+    payload never shuffles and never reaches the driver.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import transcode_au
+    from ..operators.snr import snr_check, snr_partition_rollup
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    au = transcode_au(clips)
+    roll = snr_partition_rollup(snr_check(au, extra_cols=["codec"]),
+                                ["codec"])
+    return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
 
 
 @register("audio_content_dedup", oracle=f"""

@@ -667,6 +667,32 @@ CHECKS = {
          lambda p: all("bytes" not in seg.split("\n")[0]
                        for seg in p.split("Exchange hashpartitioning(")[1:])),
     ],
+    "au_header_integrity": [
+        # fixture source + WAV→AU transcode; the big-endian header reads
+        # on top must be pure Column byte surgery (no third Python stage)
+        ("exactly two Python stages (fixture source + transcode)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 2),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "audio_au_snr": [
+        # render + transcode + the fused SNR kernel: three map-only
+        # Python stages in one task pipeline, scalars-only shuffle
+        ("exactly three Python stages (render + transcode + SNR)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 3),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
     "audio_perceptual_dedup": [
         # one fingerprint pass: the (codec, fp) aggregate comes FIRST, so
         # the payload decodes once and only map-combined partials shuffle;
