@@ -119,6 +119,9 @@ HEADLINE = [
     "audio_resample",
     "audio_content_dedup",
     "dedup_audio_span",
+    # third container: WAV→AU transcode + header rules + fused-kernel SNR
+    "au_header_integrity",
+    "audio_au_snr",
     # fused suite: header+snr+content+silence off ONE scan of bytes
     "suite_content_verdicts",
     "audio_perceptual_dedup",
@@ -149,6 +152,7 @@ HEADLINE = [
     "dup_transcript_distance",
     "corpus_mix",
     "file_skew_audit",
+    "compaction_plan",
     "text_encoding_check",
     "packing_efficiency",
     "vocab_coverage",

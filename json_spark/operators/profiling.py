@@ -18,7 +18,7 @@ candidate pays for another's columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -253,3 +253,48 @@ def file_profile(df: DataFrame,
         F.round(F.max("__n").cast("double")
                 / (F.sum("__n").cast("double")
                    / F.count(F.lit(1)).cast("double")), 6).alias("skew"))
+
+
+def compaction_plan(df: DataFrame, target_rows: int,
+                    partition_cols: list[str],
+                    path_col: str = "_metadata.file_path") -> DataFrame:
+    """Small-file compaction PLAN for a partitioned file layout — the
+    action that follows :func:`file_profile`'s diagnosis. Within each
+    table partition, files are ordered largest-first and packed
+    greedily into bins of ~``target_rows`` by a running row-count
+    cumsum: ``bin = (cum_before_this_file) DIV target``. Each bin is
+    one rewrite task (a bin holding a single already-big file is a
+    no-op). The report row per table partition: files before/after,
+    total rows, how many bins actually merge (>1 source file), and the
+    largest planned output (straggler bound for the rewrite job).
+
+    Bin assignment is deterministic up to ties in the per-file row
+    count, and the REPORT is exactly deterministic: files with equal
+    counts are interchangeable under the cumsum, so the multiset of bin
+    sizes — and every aggregate over it — is order-invariant. That is
+    what lets an independent SQL twin replay the plan from the row
+    counts alone, with no knowledge of file names.
+
+    Scale shape: the groupBy(file) count is map-combinable with key
+    cardinality = file count; everything after runs on the
+    METADATA-sized per-file table — the window is partitioned by the
+    table-partition key (never global), so the plan for a million-file
+    table is a million-row problem regardless of data volume.
+    """
+    per_file = (df.groupBy(*partition_cols, F.col(path_col).alias("__file"))
+                .agg(F.count(F.lit(1)).alias("__n")))
+    w = (Window.partitionBy(*partition_cols).orderBy(F.desc("__n"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    assigned = (per_file
+                .withColumn("__cum", F.sum("__n").over(w))
+                .withColumn("__bin", F.expr(
+                    f"(__cum - __n) DIV {int(target_rows)}")))
+    bins = assigned.groupBy(*partition_cols, "__bin").agg(
+        F.count(F.lit(1)).alias("__nf"),
+        F.sum("__n").alias("__rows"))
+    return bins.groupBy(*partition_cols).agg(
+        F.sum("__nf").alias("n_files_before"),
+        F.sum("__rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_files_after"),
+        F.sum((F.col("__nf") > 1).cast("long")).alias("n_merge_tasks"),
+        F.max("__rows").alias("max_bin_rows"))

@@ -928,6 +928,14 @@ CHECKS = {
          is not None and ("_metadata" in p)),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "compaction_plan": [
+        ("per-file counting is a partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("packing window is partitioned by the table-partition key, "
+         "never global", True,
+         lambda p: "Window" in p and "Exchange SinglePartition" not in p),
+        ("no Python stage", True, lambda p: "Python" not in p),
+    ],
     "text_encoding_check": [
         ("map-only detectors into one per-language aggregate: exactly "
          "ONE exchange", True,
