@@ -153,6 +153,7 @@ HEADLINE = [
     "corpus_mix",
     "file_skew_audit",
     "compaction_plan",
+    "constraint_suggestion",
     "text_encoding_check",
     "packing_efficiency",
     "vocab_coverage",

@@ -77,9 +77,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: manifest_dangling,
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
-#: coercion_integer / coercion_string / coercion_time — r1
-#: driver-green, code unchanged, displaced by the AU container and
-#: compaction-plan queries) —
+#: coercion_integer / coercion_string / coercion_time /
+#: case_detection — r1 driver-green, code unchanged, displaced by
+#: the AU container, compaction-plan, and constraint-suggestion
+#: queries) —
 #: all judge-replica green at
 #: sf0.01, no driver row yet), then the four rows-only queries cycled out
 #: late in r3 to make room for oracle-backed ones
@@ -101,14 +102,16 @@ GATE_FRONT: list[str] = [
     "stratified_sample", "token_heavy_hitters",
     "outlier_mad", "curation_pipeline", "violation_samples",
     "transcript_integrity", "multimodal_frame_sample",
-    "case_detection", "key_style_stats", "unknown_keys",
+    "key_style_stats", "unknown_keys",
     "referential_orphans_large",
-    # third container (Sun AU) + compaction planning, brand-new this
-    # round — they displace coercion_integer / coercion_string /
-    # coercion_time (r1 driver-green, code bit-unchanged since that
-    # row, r3 judge-replica green: the only window members whose
-    # driver evidence is both real and current)
+    # third container (Sun AU), compaction planning, and constraint
+    # suggestion, brand-new this round — they displace coercion_integer
+    # / coercion_string / coercion_time / case_detection (all r1
+    # driver-green, code bit-unchanged since that row, r3 judge-replica
+    # green: the only window members whose driver evidence is both real
+    # and current)
     "au_header_integrity", "audio_au_snr", "compaction_plan",
+    "constraint_suggestion",
     # added/changed late in r3, all oracle-backed — they displace the
     # four rows-only entries (uniqueness_incremental, uniqueness_approx,
     # ledger_resume, stats_quantiles_sketch: code unchanged, pytest
@@ -6568,6 +6571,140 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
      .partitionBy("lang", "bucket").parquet(scratch))
     files = spark.read.parquet(scratch)
     return compaction_plan(files, target_rows=400, partition_cols=["lang"])
+
+
+@register("constraint_suggestion", oracle="""
+WITH p AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN doc_id  IS NULL THEN 1 ELSE 0 END) AS nn_doc_id,
+    count(DISTINCT doc_id)  AS nd_doc_id,
+    CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+    CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+    sum(CASE WHEN text    IS NULL THEN 1 ELSE 0 END) AS nn_text,
+    count(DISTINCT text)    AS nd_text,
+    max(length(text))       AS ml_text,
+    sum(CASE WHEN lang    IS NULL THEN 1 ELSE 0 END) AS nn_lang,
+    count(DISTINCT lang)    AS nd_lang,
+    max(length(lang))       AS ml_lang,
+    sum(CASE WHEN source  IS NULL THEN 1 ELSE 0 END) AS nn_source,
+    count(DISTINCT source)  AS nd_source,
+    max(length(source))     AS ml_source,
+    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nn_n_chars,
+    count(DISTINCT n_chars) AS nd_n_chars,
+    CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+    CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+  FROM documents)
+SELECT column_, rule_type, rule FROM (
+  SELECT 'doc_id' AS column_, 'not_null' AS rule_type,
+         'doc_id IS NOT NULL' AS rule FROM p WHERE nn_doc_id = 0
+  UNION ALL
+  SELECT 'doc_id', 'null_rate_max',
+         printf('%.4f', least(ceil(nn_doc_id * 1.25 / n * 10000)
+                              / 10000, 1.0))
+  FROM p WHERE nn_doc_id > 0
+  UNION ALL
+  SELECT 'doc_id', 'unique', 'doc_id is unique' FROM p
+  WHERE nd_doc_id = n - nn_doc_id AND nd_doc_id > 0
+  UNION ALL
+  SELECT 'doc_id', 'range',
+         'doc_id BETWEEN ' || mn_doc_id || ' AND ' || mx_doc_id
+  FROM p WHERE nd_doc_id > 0
+  UNION ALL
+  SELECT 'doc_id', 'in_set', 'doc_id IN (' || (
+    SELECT string_agg(CAST(doc_id AS VARCHAR), ', ' ORDER BY doc_id)
+    FROM (SELECT DISTINCT doc_id FROM documents
+          WHERE doc_id IS NOT NULL)) || ')'
+  FROM p WHERE nd_doc_id BETWEEN 1 AND 10
+  UNION ALL
+  SELECT 'text', 'not_null', 'text IS NOT NULL' FROM p WHERE nn_text = 0
+  UNION ALL
+  SELECT 'text', 'null_rate_max',
+         printf('%.4f', least(ceil(nn_text * 1.25 / n * 10000)
+                              / 10000, 1.0))
+  FROM p WHERE nn_text > 0
+  UNION ALL
+  SELECT 'text', 'unique', 'text is unique' FROM p
+  WHERE nd_text = n - nn_text AND nd_text > 0
+  UNION ALL
+  SELECT 'text', 'max_length',
+         'length(text) <= ' || CAST(ml_text AS VARCHAR)
+  FROM p WHERE nd_text > 0
+  UNION ALL
+  SELECT 'lang', 'not_null', 'lang IS NOT NULL' FROM p WHERE nn_lang = 0
+  UNION ALL
+  SELECT 'lang', 'max_length',
+         'length(lang) <= ' || CAST(ml_lang AS VARCHAR)
+  FROM p WHERE nd_lang > 0
+  UNION ALL
+  SELECT 'lang', 'in_set', 'lang IN (' || (
+    SELECT string_agg('''' || lang || '''', ', ' ORDER BY lang)
+    FROM (SELECT DISTINCT lang FROM documents
+          WHERE lang IS NOT NULL)) || ')'
+  FROM p WHERE nd_lang BETWEEN 1 AND 10
+  UNION ALL
+  SELECT 'source', 'not_null', 'source IS NOT NULL' FROM p
+  WHERE nn_source = 0
+  UNION ALL
+  SELECT 'source', 'max_length',
+         'length(source) <= ' || CAST(ml_source AS VARCHAR)
+  FROM p WHERE nd_source > 0
+  UNION ALL
+  SELECT 'source', 'in_set', 'source IN (' || (
+    SELECT string_agg('''' || source || '''', ', ' ORDER BY source)
+    FROM (SELECT DISTINCT source FROM documents
+          WHERE source IS NOT NULL)) || ')'
+  FROM p WHERE nd_source BETWEEN 1 AND 10
+  UNION ALL
+  SELECT 'n_chars', 'not_null', 'n_chars IS NOT NULL' FROM p
+  WHERE nn_n_chars = 0
+  UNION ALL
+  SELECT 'n_chars', 'null_rate_max',
+         printf('%.4f', least(ceil(nn_n_chars * 1.25 / n * 10000)
+                              / 10000, 1.0))
+  FROM p WHERE nn_n_chars > 0
+  UNION ALL
+  SELECT 'n_chars', 'unique', 'n_chars is unique' FROM p
+  WHERE nd_n_chars = n - nn_n_chars AND nd_n_chars > 0
+  UNION ALL
+  SELECT 'n_chars', 'range',
+         'n_chars BETWEEN ' || mn_n_chars || ' AND ' || mx_n_chars
+  FROM p WHERE nd_n_chars > 0
+  UNION ALL
+  SELECT 'n_chars', 'in_set', 'n_chars IN (' || (
+    SELECT string_agg(CAST(n_chars AS VARCHAR), ', ' ORDER BY n_chars)
+    FROM (SELECT DISTINCT n_chars FROM documents
+          WHERE n_chars IS NOT NULL)) || ')'
+  FROM p WHERE nd_n_chars BETWEEN 1 AND 10
+) t(column_, rule_type, rule)
+""")
+def q_constraint_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (operators/suggest.py): profile the
+    documents table once and emit the declarative rules it already
+    satisfies — NOT NULL / null-rate headroom, uniqueness, numeric
+    BETWEEN ranges, low-cardinality member sets, string length caps.
+    The validation engine's onboarding path (Deequ's
+    ConstraintSuggestionRunner re-expressed declaratively): the emitted
+    rules are ANSI-SQL predicates that feed straight into the
+    domain/CHECK family (operators/domain.py). The oracle re-derives
+    every suggestion — conditions, bounds, sorted member lists, the
+    rounded null-rate headroom — from the same table in DuckDB, so a
+    match pins both the profile arithmetic and the rule rendering.
+
+    Scale shape: pass 1 is ONE map-combinable aggregate producing a
+    single |cols|-bounded row (countDistinct runs as Spark's two-phase
+    partial-distinct — the shuffle carries deduplicated values per
+    task, never rows); pass 2 enumerates members ONLY for columns pass
+    1 measured at <= 10 distinct (enumerating before measuring is how
+    collect_set OOMs on an id column at 10^12 rows). Driver state is
+    bounded by |cols| + 10 values per qualifying column.
+    """
+    from ..operators.suggest import constraint_suggestions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (constraint_suggestions(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"],
+        categorical_max=10)
+        .withColumnRenamed("column", "column_"))
 
 
 @register("text_encoding_check", oracle="""
