@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="print the config form-model JSON schema and exit")
     ap.add_argument("--clips", required=True,
                     help="clips table path (parquet dir or Iceberg identifier)")
+    ap.add_argument("--suggest-rules", default=None, metavar="COLS",
+                    help="comma-separated columns: profile the clips "
+                         "table, print suggested domain-rule TOML to "
+                         "stdout, and exit (feed it back via "
+                         "--domain-rules)")
     ap.add_argument("--manifest", default=None,
                     help="transcript manifest path (enables referential + "
                          "transcript checks)")
@@ -56,7 +61,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --baseline self: partition value to exclude "
                          "from the self-baseline (a known-drifted "
                          "population); default excludes nothing")
-    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--out", default=None,
+                    help="output directory (required unless "
+                         "--suggest-rules)")
     ap.add_argument("--ledger", default=None,
                     help="checkpoint ledger path (enables resume)")
     ap.add_argument("--no-resume", action="store_true",
@@ -80,12 +87,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="local-mode cores (ignored under spark-submit on a "
                          "cluster)")
     args = ap.parse_args(argv)
+    if args.out is None and args.suggest_rules is None:
+        ap.error("--out is required (unless --suggest-rules)")
 
     from .plans.suite import SuiteConfig, ValidationSuite, build_baseline_shares
     from .session import get_spark
 
     spark = get_spark("json_spark-suite", cores=args.cores)
     clips = spark.read.parquet(args.clips)
+    if args.suggest_rules is not None:
+        # onboarding mode: derive a reviewable domain-rule config from
+        # the data itself (operators/suggest.py), printed as the same
+        # [[rule]] TOML --domain-rules consumes — config is data, and
+        # now data can draft the config
+        from .operators.domain import domain_rules_to_toml
+        from .operators.suggest import suggest_domain_rules
+        cols = [c.strip() for c in args.suggest_rules.split(",") if c.strip()]
+        rules = suggest_domain_rules(clips, cols)
+        print(domain_rules_to_toml(rules), end="")
+        spark.stop()
+        return 0
     manifest = spark.read.parquet(args.manifest) if args.manifest else None
     domain_rules = ()
     if args.domain_rules:

@@ -210,3 +210,43 @@ def domain_violations(df: DataFrame, rules: tuple, key_col: str,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _toml_value(v) -> str:
+    """Render one TOML value: strings as basic strings (backslash and
+    quote escaped), bools lowercase, ints/floats as-is, tuples inline."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    return repr(v)
+
+
+def domain_rules_to_toml(rules: tuple) -> str:
+    """The inverse of :func:`domain_rules_from_toml`: render DomainRule
+    objects back to ``[[rule]]`` TOML — the serialization half of the
+    suggestion→config loop (a profiled table's suggested rules become a
+    reviewable, versionable config the next run consumes via
+    ``--domain-rules``, the same data-not-code contract as the
+    reference's default.toml). Round-trip equality is pinned in pytest:
+    ``domain_rules_from_toml(domain_rules_to_toml(rules)) == rules``.
+    """
+    field_to_key = {v: k for k, v in _TOML_KEYS.items()}
+    blocks = []
+    for r in rules:
+        lines = ["[[rule]]"]
+        for field in ("column", "in_set", "min_value", "max_value",
+                      "pattern", "required", "severity", "when_sql",
+                      "name"):
+            v = getattr(r, field)
+            if v is None:
+                continue
+            if field == "required" and v is False:
+                continue
+            if field == "severity" and v == "RED":
+                continue  # the loader's default
+            lines.append(f"{field_to_key[field]} = {_toml_value(v)}")
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks) + ("\n" if blocks else "")

@@ -93,3 +93,49 @@ def test_cli_domain_rules_toml(spark, tmp_path):
     reds = (verdicts.filter(F.col("check_name") == "required:dur_ms")
             .agg(F.sum("n_red")).collect()[0][0])
     assert reds == len([i for i in range(1200) if i % 101 == 100])
+
+
+def test_cli_suggest_rules_roundtrip(spark, tmp_path):
+    """--suggest-rules prints domain-rule TOML derived from the data;
+    feeding it straight back via --domain-rules yields all-green rows
+    for the suggested checks (the closure property, end to end)."""
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    write_fixtures(spark, fixture, 600, partitions=4)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "json_spark",
+         "--clips", f"{fixture}/clips",
+         "--suggest-rules", "codec,sr_hz", "--cores", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    toml_text = proc.stdout[proc.stdout.index("[[rule]]"):]
+    assert "suggested:in_set:codec" in toml_text
+
+    # round-trip: parse → render → parse is a fixed point
+    from json_spark.operators.domain import (
+        domain_rules_from_toml,
+        domain_rules_to_toml,
+    )
+    rules = domain_rules_from_toml(toml_text)
+    assert domain_rules_from_toml(domain_rules_to_toml(rules)) == rules
+
+    rules_toml = tmp_path / "suggested.toml"
+    rules_toml.write_text(toml_text)
+    out = str(tmp_path / "out")
+    _cli(["--clips", f"{fixture}/clips", "--out", out,
+          "--domain-rules", str(rules_toml), "--cores", "4"])
+    verdicts = spark.read.parquet(f"{out}/partition_verdicts")
+    from pyspark.sql import functions as F
+    sugg = verdicts.filter(F.col("check_name").startswith("suggested:"))
+    assert sugg.count() > 0
+    assert sugg.filter((F.col("n_red") > 0)
+                       | (F.col("n_yellow") > 0)).count() == 0
+
+
+def test_cli_out_still_required_without_suggest(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "json_spark", "--clips", "/nonexistent"],
+        capture_output=True, text=True, cwd=REPO, timeout=60)
+    assert proc.returncode != 0
+    assert "--out is required" in proc.stderr

@@ -209,3 +209,22 @@ def test_domain_rules_from_toml():
             '[[rule]]\ncolumn = "x"\nseverity = "ORANGE"\n')
     with pytest.raises(ValueError, match="top-level"):
         domain_rules_from_toml('[other]\nx = 1\n')
+
+
+def test_toml_roundtrip_edge_cases():
+    """to_toml ∘ from_toml is the identity over escaping-hostile rules."""
+    from json_spark.operators.domain import (
+        DomainRule,
+        domain_rules_from_toml,
+        domain_rules_to_toml,
+    )
+    rules = (
+        DomainRule(column="p", pattern=r'(?s)"\d{1,3}\\x"', name="esc"),
+        DomainRule(column="c", in_set=("a'b", 'say "hi"', "back\\slash")),
+        DomainRule(column="v", min_value=-1.5, max_value=2.0,
+                   severity="YELLOW", when_sql="codec = 'pcm_s16le'"),
+        DomainRule(column="r", required=True),
+        DomainRule(column="n", in_set=(1, 2, 3)),
+    )
+    assert domain_rules_from_toml(domain_rules_to_toml(rules)) == rules
+    assert domain_rules_to_toml(()) == ""
