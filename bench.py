@@ -154,6 +154,7 @@ HEADLINE = [
     "file_skew_audit",
     "compaction_plan",
     "constraint_suggestion",
+    "drift_incremental",
     "text_encoding_check",
     "packing_efficiency",
     "vocab_coverage",

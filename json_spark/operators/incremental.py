@@ -84,3 +84,37 @@ def merge_distinct_sketches(partials: DataFrame) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.hll_sketch_estimate(
             F.hll_union_agg(F.col("sketch"))).alias("distinct_estimate"))
+
+
+def partial_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                      nbins: int, batch_col: str) -> DataFrame:
+    """Per-ingest-batch histogram state: (batch, bucket, n) with the
+    SAME fixed bucket edges as operators/drift.py:histogram (clamped
+    edge buckets), so states from any number of batches merge into
+    exactly the histogram a single pass over the union would build —
+    counts are associative, the one kind of state that merges exactly.
+    Constant size per batch: ≤ nbins rows however many rows the batch
+    carries."""
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0),
+                   F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
+    ).cast("int").alias("bucket")
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(batch_col, bucket)
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def merge_histogram_states(partials: DataFrame) -> DataFrame:
+    """Fold per-batch histogram states into the corpus share table
+    (bucket, n, share) — the drop-in `current` side for
+    operators/drift.py:psi / ks_statistic. The merge is a sum over
+    |batches| × nbins tiny rows; PSI over the merged states is EXACTLY
+    the PSI a full rescan would produce (pinned by the driver oracle
+    of `drift_incremental`), so incremental drift costs zero error —
+    the drift twin of the moments/HLL/quantile merge laws above."""
+    from .drift import _with_share
+
+    counts = partials.groupBy("bucket").agg(F.sum("n").alias("n"))
+    return _with_share(counts, [])

@@ -111,7 +111,7 @@ GATE_FRONT: list[str] = [
     # green: the only window members whose driver evidence is both real
     # and current)
     "au_header_integrity", "audio_au_snr", "compaction_plan",
-    "constraint_suggestion",
+    "constraint_suggestion", "drift_incremental",
     # added/changed late in r3, all oracle-backed — they displace the
     # four rows-only entries (uniqueness_incremental, uniqueness_approx,
     # ledger_resume, stats_quantiles_sketch: code unchanged, pytest
@@ -123,7 +123,10 @@ GATE_FRONT: list[str] = [
     "pcm_content_exact", "audio_clipping_silence", "audio_amplitude_hist",
     "audio_chunk_content", "suite_content_verdicts",
     "snr_partition_verdicts", "suite_partition_verdicts",
-    "coercion_date", "coercion_date_zoned", "ann_recall_report",
+    # (ann_recall_report — rows-only by nature, recall floors pinned in
+    # pytest — rotates out: a no_oracle driver row adds the least
+    # evidence; it queues for r4 with the other waiters)
+    "coercion_date", "coercion_date_zoned",
     "audio_flac_roundtrip", "multimodal_meta", "config_schema",
     # ADVICE edge-case fixes changed these operators' behavior (null
     # payloads, zero-length data chunks) after their r2 green row; the
@@ -663,6 +666,59 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = histogram(ev.filter(F.pmod("event_id", F.lit(2)) == 1),
                      "value", 0.0, 500.0, 10)
     return psi(cur, base, on=["bucket"]).select(F.round("psi", 6).alias("psi"))
+
+
+@register("drift_incremental", oracle=f"""
+WITH {_DRIFT_BASE_SQL},
+states AS (
+  SELECT (event_id // 2) % 4 AS batch, bucket
+  FROM (SELECT event_id,
+               least(9, greatest(0, CAST(floor(value / 50.0) AS INT)))
+                 AS bucket
+        FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL) t
+  GROUP BY batch, bucket)
+SELECT CAST((SELECT count(DISTINCT batch) FROM states) AS BIGINT)
+         AS n_batches,
+       CAST((SELECT count(*) FROM states) AS BIGINT) AS n_state_rows,
+       round(sum((greatest(ps, 1e-6) - greatest(qs, 1e-6))
+                 * ln(greatest(ps, 1e-6) / greatest(qs, 1e-6))), 6) AS psi
+FROM j
+""")
+def q_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental drift (operators/incremental.py:partial_histogram /
+    merge_histogram_states): the current population arrives as FOUR
+    ingest batches, each contributing only a ≤nbins-row histogram state;
+    the corpus share table is a fold over states and PSI runs on the
+    fold. The oracle computes PSI directly from raw — equality proves
+    the merge law exactly (counts are associative), completing the
+    incremental family's ledger: moments (exact), HLL distinct
+    (byte-identical union), quantiles (value-count states), and now
+    drift. At 10^12 rows this is the only affordable drift cadence:
+    each new ingest batch adds O(nbins) state, never a rescan.
+
+    Scale shape: one partial+final count aggregate per batch population
+    (map-side combine), the merge folds |batches| × nbins tiny rows,
+    and the PSI join is bucket-sized on both sides.
+    """
+    from ..operators.incremental import (
+        merge_histogram_states,
+        partial_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cur = (ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+           .withColumn("batch",
+                       F.pmod(F.expr("event_id DIV 2"), F.lit(4))))
+    states = partial_histogram(cur, "value", 0.0, 500.0, 10, "batch")
+    merged = merge_histogram_states(states)
+    base = histogram(ev.filter(F.pmod("event_id", F.lit(2)) == 1),
+                     "value", 0.0, 500.0, 10)
+    meta = states.agg(
+        F.countDistinct("batch").alias("n_batches"),
+        F.count(F.lit(1)).alias("n_state_rows"))
+    score = psi(merged, base, on=["bucket"]).select(
+        F.round("psi", 6).alias("psi"))
+    return meta.join(score)
 
 
 @register("drift_psi_categorical", oracle="""

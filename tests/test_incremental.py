@@ -61,3 +61,28 @@ def test_sketch_union_equals_single_pass_and_bounds_exact(spark):
     assert merged["n_rows"] == df.count()
     # and the HLL estimate itself is within the lg_k=12 error bound
     assert abs(merged["distinct_estimate"] - exact) / exact < 0.05
+
+
+def test_merged_histogram_psi_equals_direct(spark):
+    """Drift merge law: PSI over the fold of per-batch histogram states
+    equals PSI over a single-pass histogram, for ANY batching."""
+    from json_spark.operators.drift import histogram, psi
+    from json_spark.operators.incremental import (
+        merge_histogram_states,
+        partial_histogram,
+    )
+
+    df = _events(spark)
+    base = histogram(df.filter(F.col("rid") % 2 == 1), "v", 0.0, 100.0, 10)
+    cur = df.filter(F.col("rid") % 2 == 0)
+    direct = psi(histogram(cur, "v", 0.0, 100.0, 10), base,
+                 on=["bucket"]).collect()[0]["psi"]
+    for nb in (1, 4, 17):
+        states = partial_histogram(
+            cur.withColumn("batch", F.pmod("rid", F.lit(nb))),
+            "v", 0.0, 100.0, 10, "batch")
+        merged = merge_histogram_states(states)
+        got = psi(merged, base, on=["bucket"]).collect()[0]["psi"]
+        assert got == direct, (nb, got, direct)
+        # state volume is bounded by batches x bins, not rows
+        assert states.count() <= nb * 10

@@ -474,6 +474,21 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 2),
     ],
+    "drift_incremental": [
+        # per-batch states + merge + PSI: every aggregate is
+        # partial+final; all joins are bucket/1-row sized
+        ("partial+final hash aggregates (map-side combine for the "
+         "batch states)", True,
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("no windows; any SinglePartition exchange is fed by partial "
+         "aggregates (1-row totals only)", True,
+         lambda p: " Window " not in p.split("== CODEGEN ==")[0]
+         and _singlepart_fed_by_partial(p)),
+        ("scan pruned to event_id, value", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+    ],
     "stratified_sample": [
         ("map-only: sampling is a filter, NO exchange in the plan", True,
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
