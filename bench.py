@@ -98,6 +98,7 @@ HEADLINE = [
     "curation_pipeline",
     "embedding_dim_stats",
     "embedding_norms",
+    "embedding_isotropy",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_topk",

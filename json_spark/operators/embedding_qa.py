@@ -142,3 +142,47 @@ def quantization_check(df: DataFrame, vec_col: str,
         F.round(frac, 6).alias("lattice_frac"),
         F.when(frac >= frac_threshold, "QUANTIZED")
          .otherwise("OK").alias("verdict"))
+
+
+def isotropy_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Anisotropy of an embedding column in ONE row, exactly: the mean
+    pairwise cosine over all n(n-1) ordered pairs of unit-normalized
+    vectors, via the identity ||Σ x̂||² = n + Σ_{i≠j} x̂_i·x̂_j — so
+    mean_pairwise_cos = (||S||² − n) / (n(n−1)) with S the per-dimension
+    sum of unit vectors. No pair is ever materialized: one normalize +
+    posexplode pass, ONE partial+final per-dimension sum (≤ dim rows per
+    task after map-side combine), then a 1-row fold of dim squares.
+
+    Why a validation engine cares (public result — Ethayarajh 2019, Mu &
+    Viswanath 2018): anisotropic embeddings ("cone" geometry, mean
+    cosine ≫ 0) silently break every cosine-threshold downstream —
+    near-dup detection over-fires and ANN recall-vs-threshold curves
+    shift. An encoder change that collapses geometry shows up here as a
+    jump in mean_pairwise_cos long before dedup metrics degrade.
+
+    Zero-norm vectors are excluded from both S and n (their unit form is
+    undefined; `norm_stats` reports them separately).
+    """
+    v = F.col(vec_col)
+    nrm = F.sqrt(dot_fold(v, v))
+    # divisor nulled when 0 (not just filtered): ConvertToLocalRelation
+    # can evaluate the projection before the filter on literal inputs,
+    # and ANSI mode turns x/0 into a task-killing error there
+    safe = F.when(F.col("__nrm") > 0.0, F.col("__nrm"))
+    unit = (df.select(v.alias("__v"), nrm.alias("__nrm"))
+            .where(F.col("__nrm") > 0.0)
+            .select(F.transform(
+                "__v", lambda x: x.cast("double") / safe).alias("u")))
+    dims = (unit.select(F.posexplode("u").alias("pos", "x"))
+            .groupBy("pos").agg(F.sum("x").alias("s")))
+    folded = dims.agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        F.count(F.lit(1)).alias("dim"))
+    counts = unit.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (counts.join(folded)  # 1-row × 1-row
+            .select(
+                "n_vecs", "dim",
+                F.round((F.col("s2") - F.col("n_vecs"))
+                        / (F.col("n_vecs")
+                           * (F.col("n_vecs") - F.lit(1))), 6)
+                .alias("mean_pairwise_cos")))

@@ -127,7 +127,11 @@ GATE_FRONT: list[str] = [
     # pytest — rotates out: a no_oracle driver row adds the least
     # evidence; it queues for r4 with the other waiters)
     "coercion_date", "coercion_date_zoned",
-    "audio_flac_roundtrip", "multimodal_meta", "config_schema",
+    # (config_schema — Spark-free static introspection, oracle is a
+    # constant-table compare, fully pytest-pinned, code unchanged since
+    # its judge-green replica run — rotates out for the new
+    # embedding-geometry query; queues for r4)
+    "audio_flac_roundtrip", "multimodal_meta", "embedding_isotropy",
     # ADVICE edge-case fixes changed these operators' behavior (null
     # payloads, zero-length data chunks) after their r2 green row; the
     # drift queries that previously held these slots changed plan-shape
@@ -3986,6 +3990,50 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = e.select(F.transform(
         "embedding", lambda x: x.cast("double") * s).alias("embedding"))
     return norm_stats(scaled, "embedding")
+
+
+@register("embedding_isotropy", oracle="""
+WITH nv AS (
+  SELECT embedding,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              [ x::DOUBLE * x::DOUBLE for x in embedding ]),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+u AS (
+  SELECT [ x::DOUBLE / nrm for x in embedding ] AS uvec
+  FROM nv WHERE nrm > 0),
+dims AS (
+  SELECT pos, sum(x) AS s
+  FROM (SELECT unnest(uvec) AS x,
+               generate_subscripts(uvec, 1) AS pos
+        FROM u) t
+  GROUP BY pos),
+folded AS (
+  SELECT sum(s * s) AS s2, CAST(count(*) AS BIGINT) AS dim FROM dims),
+counts AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM u)
+SELECT n_vecs, dim,
+       round((s2 - n_vecs) / (n_vecs * (n_vecs - 1)), 6)
+         AS mean_pairwise_cos
+FROM counts, folded
+""")
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry QA (operators/embedding_qa.py:isotropy_stats):
+    the EXACT mean pairwise cosine over all n(n−1) ordered pairs of
+    unit vectors, computed without materializing a single pair via
+    ||Σ x̂||² = n + Σ_{i≠j} x̂_i·x̂_j. Anisotropic ("cone") geometry is
+    the failure mode that silently shifts every cosine threshold the
+    dedup/ANN families rely on — an encoder change shows up here first.
+    The oracle replays the same algebra (per-dimension sums of
+    normalized lists, squared-sum fold) in DuckDB.
+
+    Scale shape: normalize map-side, posexplode collapsed by map-side
+    combine to ≤ dim rows per task before the ONE per-dimension
+    exchange, then a dim-row fold and a pair of 1-row joins. The n²
+    pair space never exists anywhere.
+    """
+    from ..operators.embedding_qa import isotropy_stats
+    e = load_table(spark, sf_dir, "embeddings")
+    return isotropy_stats(e, "embedding")
 
 
 @register("incremental_stats_merge", oracle="""

@@ -50,3 +50,40 @@ def test_dimension_stats_pos_is_long_and_zero_based(spark):
     out = dimension_stats(_df(spark, np.ones((3, 4))), "embedding")
     assert dict(out.dtypes)["pos"] == "bigint"
     assert {r["pos"] for r in out.collect()} == {0, 1, 2, 3}
+
+
+def test_isotropy_matches_brute_force(spark):
+    import numpy as np
+
+    from json_spark.operators.embedding_qa import isotropy_stats
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[5] = 0.0  # zero-norm row: must be excluded, not NaN the stat
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    row = isotropy_stats(df, "embedding").collect()[0]
+
+    keep = vecs[np.linalg.norm(vecs, axis=1) > 0].astype(np.float64)
+    unit = keep / np.linalg.norm(keep, axis=1, keepdims=True)
+    g = unit @ unit.T
+    n = len(unit)
+    brute = (g.sum() - np.trace(g)) / (n * (n - 1))
+    assert row["n_vecs"] == n and row["dim"] == 8
+    assert abs(row["mean_pairwise_cos"] - brute) < 1e-6
+
+
+def test_isotropy_extremes(spark):
+    from json_spark.operators.embedding_qa import isotropy_stats
+
+    # identical vectors: every pairwise cosine is exactly 1
+    same = spark.createDataFrame([(i, [3.0, 4.0]) for i in range(6)],
+                                 "vec_id long, embedding array<float>")
+    assert isotropy_stats(same, "embedding").collect()[0][
+        "mean_pairwise_cos"] == 1.0
+    # antipodal pair: the two ordered pairs average to -1
+    anti = spark.createDataFrame([(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+                                 "vec_id long, embedding array<float>")
+    assert isotropy_stats(anti, "embedding").collect()[0][
+        "mean_pairwise_cos"] == -1.0

@@ -443,6 +443,21 @@ CHECKS = {
          and len(m.group(1).split("embedding")) == 2
          and m.group(1).count(",") == 0),
     ],
+    "embedding_isotropy": [
+        ("posexplode fan-out collapses in a partial+final hash aggregate "
+         "(map-side combine to <=dim rows per task)", True,
+         lambda p: "Generate" in p.split("\n\n")[0]
+         and p.split("\n\n")[0].count("HashAggregate") >= 2),
+        ("no cross join beyond the 1-row meta joins (never the pair "
+         "space)", True,
+         lambda p: p.split("\n\n")[0].count("Cartesian")
+         + p.split("\n\n")[0].count("BroadcastNestedLoopJoin") <= 2),
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to embedding only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split("embedding")) == 2
+         and m.group(1).count(",") == 0),
+    ],
     "embedding_norms": [
         ("map-only fold to a single-row reduction (one exchange)", True,
          lambda p: len(re.findall(r"\n\s*\+- Exchange ",
