@@ -173,16 +173,15 @@ def isotropy_stats(df: DataFrame, vec_col: str) -> DataFrame:
             .where(F.col("__nrm") > 0.0)
             .select(F.transform(
                 "__v", lambda x: x.cast("double") / safe).alias("u")))
+    # every surviving vector contributes exactly one value per pos, so
+    # the per-pos row count IS n_vecs — ONE scan answers everything (no
+    # second count branch, no 1-row join)
     dims = (unit.select(F.posexplode("u").alias("pos", "x"))
-            .groupBy("pos").agg(F.sum("x").alias("s")))
-    folded = dims.agg(
-        F.sum(F.col("s") * F.col("s")).alias("s2"),
-        F.count(F.lit(1)).alias("dim"))
-    counts = unit.agg(F.count(F.lit(1)).alias("n_vecs"))
-    return (counts.join(folded)  # 1-row × 1-row
-            .select(
-                "n_vecs", "dim",
-                F.round((F.col("s2") - F.col("n_vecs"))
-                        / (F.col("n_vecs")
-                           * (F.col("n_vecs") - F.lit(1))), 6)
-                .alias("mean_pairwise_cos")))
+            .groupBy("pos").agg(F.sum("x").alias("s"),
+                                F.count(F.lit(1)).alias("n")))
+    return dims.agg(
+        F.max("n").alias("n_vecs"),
+        F.count(F.lit(1)).alias("dim"),
+        F.round((F.sum(F.col("s") * F.col("s")) - F.max("n"))
+                / (F.max("n") * (F.max("n") - F.lit(1))), 6)
+        .alias("mean_pairwise_cos"))

@@ -4026,10 +4026,12 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the same algebra (per-dimension sums of
     normalized lists, squared-sum fold) in DuckDB.
 
-    Scale shape: normalize map-side, posexplode collapsed by map-side
-    combine to ≤ dim rows per task before the ONE per-dimension
-    exchange, then a dim-row fold and a pair of 1-row joins. The n²
-    pair space never exists anywhere.
+    Scale shape: ONE scan — normalize map-side, posexplode collapsed by
+    map-side combine to ≤ dim rows per task before the single
+    per-dimension exchange, then a dim-row fold in which the per-pos
+    row count doubles as n_vecs (every surviving vector contributes
+    exactly one value per pos), so no second count branch or 1-row join
+    exists. The n² pair space never exists anywhere.
     """
     from ..operators.embedding_qa import isotropy_stats
     e = load_table(spark, sf_dir, "embeddings")

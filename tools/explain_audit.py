@@ -448,10 +448,10 @@ CHECKS = {
          "(map-side combine to <=dim rows per task)", True,
          lambda p: "Generate" in p.split("\n\n")[0]
          and p.split("\n\n")[0].count("HashAggregate") >= 2),
-        ("no cross join beyond the 1-row meta joins (never the pair "
-         "space)", True,
-         lambda p: p.split("\n\n")[0].count("Cartesian")
-         + p.split("\n\n")[0].count("BroadcastNestedLoopJoin") <= 2),
+        ("ONE scan, zero joins of any kind (the pair space never "
+         "exists)", True,
+         lambda p: p.split("\n\n")[0].count("Scan parquet") == 1
+         and "Join" not in p.split("\n\n")[0]),
         ("no Python stage", True, lambda p: "Python" not in p),
         ("scan pruned to embedding only", True,
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
