@@ -218,3 +218,64 @@ def test_property_roundtrip_any_signal(n):
             np.round(sig * 32767.0).astype(np.int16), ints)
 
     prop()
+
+
+def test_streaming_mixed_three_containers(spark, tmp_path):
+    """One streaming rule surface for a WAV+FLAC+AU ingest: the
+    magic-dispatched container_header_verdicts dict drops into
+    streaming_windowed_verdicts unchanged, and each container's
+    GREEN/YELLOW/RED semantics survive the stream."""
+    from pyspark.sql import functions as F
+
+    from json_spark.functions.flac import encode_flac
+    from json_spark.operators.multimodal import container_header_verdicts
+    from json_spark.streaming.validate import streaming_windowed_verdicts
+
+    ints = _ints("s3-clip", 8000, 100)
+    wav = pcm16_wav_bytes(ints.astype(np.float32) / 32767.0, 8000)
+    flac = bytes(encode_flac(ints, 8000))
+    au = encode_au(ints, 8000)
+    au_lie = encode_au(ints, 16000)
+    au_trunc = au[:-4]
+    schema = "ts timestamp, codec string, bytes binary, sr_hz int"
+    src, sink, chk = (str(tmp_path / d) for d in ("3src", "3sink", "3chk"))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, codec string, bytes binary, sr_hz int"
+        ).select(F.to_timestamp("ts").alias("ts"), "codec", "bytes",
+                 "sr_hz").coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_windowed_verdicts(
+            stream, container_header_verdicts(), event_time_col="ts",
+            window_duration="1 minute", watermark="2 minutes",
+            partition_cols=["codec"])
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write([("2026-01-01 00:00:05", "mix", bytearray(wav), 8000),
+           ("2026-01-01 00:00:10", "mix", bytearray(flac), 8000),
+           ("2026-01-01 00:00:15", "mix", bytearray(au), 8000),
+           ("2026-01-01 00:00:20", "mix", bytearray(au_lie), 8000),
+           ("2026-01-01 00:00:25", "mix", bytearray(au_trunc), 8000),
+           ("2026-01-01 00:00:30", "mix", bytearray(b"\x00" * 64), 8000)])
+    run()
+    write([("2026-01-01 00:02:30", "mix", bytearray(wav), 8000)])
+    run()
+    write([("2026-01-01 00:04:00", "mix", bytearray(wav), 8000)])
+    run()
+
+    rows = {r["window_start"].strftime("%H:%M"): r
+            for r in spark.read.parquet(sink).collect()}
+    w0 = rows["00:00"]
+    assert w0["n_rows"] == 6
+    # wav + flac + au GREEN; au sample-rate lie YELLOW;
+    # truncated au + garbage RED
+    assert w0["n_green"] == 3
+    assert w0["n_yellow"] == 1
+    assert w0["n_red"] == 2
+    assert w0["verdict"] == "RED"
