@@ -45,6 +45,7 @@ HEADLINE = [
     "stats_lineitem",
     "stats_cube",
     "stats_quantiles",
+    "stats_quantiles_kll",
     "uniqueness_summary",
     "incremental_stats_merge",
     "incremental_quantile_merge",

@@ -79,3 +79,75 @@ def null_rates(df: DataFrame, cols: list[str], partition_cols: list[str]) -> Dat
     if partition_cols:
         return df.groupBy(*partition_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+KLL_STATE_SCHEMA = "state binary, n long"
+
+
+def kll_partition_states(df: DataFrame, value_col: str,
+                         k: int = 200) -> DataFrame:
+    """One KLL sketch per scan partition (functions/kll.py), emitted as
+    a serialized state row — the quantile analogue of the per-batch
+    moment/HLL/histogram states (operators/incremental.py), sized
+    O(k·log(n/k)) bytes per partition however many rows it holds.
+    The sketch seed is the partition id, so a rebuild over the same
+    partitioning is bit-identical (fixtures/signal.py's
+    generator-equals-checker determinism trick, applied to sketching).
+    Map-only: raw values never shuffle; only sketch states do."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    from ..functions.kll import KLL
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        seed = ctx.partitionId() if ctx is not None else 0
+        sk = KLL(k=k, seed=seed)
+        for batch in batches:
+            # nulls surface as NaN in the float view; KLL.update drops
+            # NaNs, which is exactly the stats-family null contract
+            sk.update(batch.column(0).to_numpy(zero_copy_only=False))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([sk.to_bytes()], pa.binary()),
+             pa.array([sk.n], pa.int64())],
+            ["state", "n"])
+
+    return (df.select(F.col(value_col).cast("double").alias("v"))
+            .mapInArrow(build, KLL_STATE_SCHEMA))
+
+
+def kll_merge_quantiles(states: DataFrame, probs: list[float],
+                        k: int = 200) -> DataFrame:
+    """Fold serialized KLL states into corpus quantiles: (p, value, n)
+    rows. The fold is ONE task over |partitions| state rows (KBs each)
+    — metadata-sized at any corpus scale, the same bounded-merge shape
+    as the PQ codebook and suite-resume folds."""
+    import pandas as pd
+
+    from ..functions.kll import KLL
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = KLL(k=k, seed=0)
+        # fold in byte order: shuffle arrival order is nondeterministic
+        # and KLL merge is order-sensitive (different compaction
+        # sequences) — sorting makes the whole pipeline rebuildable
+        for blob in sorted(bytes(b) for b in pdf["state"]):
+            acc.merge(KLL.from_bytes(blob))
+        return pd.DataFrame({
+            "p": [float(p) for p in probs],
+            "value": acc.quantiles(probs),
+            "n": [acc.n] * len(probs),
+        })
+
+    return (states.withColumn("__g", F.lit(1)).groupBy("__g")
+            .applyInPandas(merge, "p double, value double, n long"))
+
+
+def kll_quantiles(df: DataFrame, value_col: str, probs: list[float],
+                  k: int = 200) -> DataFrame:
+    """End-to-end KLL quantiles over a column: per-partition sketch →
+    one bounded merge → (p, value, n)."""
+    return kll_merge_quantiles(
+        kll_partition_states(df, value_col, k=k), probs, k=k)

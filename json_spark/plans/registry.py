@@ -5154,6 +5154,31 @@ def q_stats_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stats_quantiles_kll")
+def q_stats_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles via the engine's OWN KLL sketch (functions/kll.py —
+    the Karnin–Lang–Liberty structure the north star names; Spark
+    ships GK approx_percentile and DataSketches HLL but no KLL): one
+    O(k·log(n/k))-byte sketch per scan partition, deterministic
+    compaction offsets (seed = partition id, the generator-vs-checker
+    trick), then a single bounded merge task folds |partitions| states
+    into corpus quantiles. rows-only by nature (probabilistic sketch);
+    pytest pins rank error < 2% across six distributions, the merge
+    law under arbitrary batching, bit-identical rebuilds, and the
+    serialization round-trip; the Spark path is asserted against a
+    local same-seed fold exactly.
+
+    Scale shape: raw values NEVER shuffle — only the KB-sized states
+    do; the merge is one task over |partitions| rows, the same
+    bounded-fold shape as the PQ codebook and suite-resume paths.
+    """
+    from ..operators.stats import kll_quantiles
+    li = load_table(spark, sf_dir, "lineitem")
+    return kll_quantiles(li, "l_extendedprice",
+                         [0.25, 0.5, 0.75], k=200).select(
+        "p", F.round("value", 6).alias("value"), "n")
+
+
 @register("config_schema", oracle="""
 SELECT * FROM (VALUES
   ('Bool.Disabled', 'Disabled', 'checkbox', 'false'),

@@ -489,6 +489,20 @@ CHECKS = {
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and len(m.group(1).split(",")) <= 2),
     ],
+    "stats_quantiles_kll": [
+        # per-partition sketch states + ONE bounded merge task: raw
+        # values never shuffle, only KB-sized states do
+        ("exactly two Python stages (state build + merge fold)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython|"
+                                  r"FlatMapGroupsInPandas",
+                                  p.split("\n\n")[0])) == 2),
+        ("scan pruned to the value column only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and m.group(1).count(",") == 0),
+        ("the only exchange carries sketch states, not values", True,
+         lambda p: all("l_extendedprice" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
     "drift_incremental": [
         # per-batch states + merge + PSI: every aggregate is
         # partial+final; all joins are bucket/1-row sized
