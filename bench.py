@@ -160,6 +160,11 @@ HEADLINE = [
     "text_encoding_check",
     "packing_efficiency",
     "vocab_coverage",
+    # sentinel / periodicity / type-drift / bit-depth family
+    "sentinel_scan",
+    "event_autocorr",
+    "key_type_drift",
+    "audio_bit_depth",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

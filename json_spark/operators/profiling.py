@@ -298,3 +298,64 @@ def compaction_plan(df: DataFrame, target_rows: int,
         F.count(F.lit(1)).alias("n_files_after"),
         F.sum((F.col("__nf") > 1).cast("long")).alias("n_merge_tasks"),
         F.max("__rows").alias("max_bin_rows"))
+
+
+#: schema_of_variant renders integers at the smallest fitting width and
+#: decimal literals as DECIMAL(p,s) — normalize every spelling to the
+#: seven JSON type names so the profile is engine-neutral.
+def json_value_type(val_col: Column) -> Column:
+    """JSON type of a raw JSON value string, classified by Spark's
+    VARIANT engine (``schema_of_variant(parse_json(...))``) — a genuine
+    second implementation against any SQL twin's ``json_type()``:
+    different parser, different type lattice, normalized to the same
+    seven names (integer, double, string, boolean, null, array,
+    object). Malformed input yields null (try_parse_json)."""
+    t = F.schema_of_variant(F.try_parse_json(val_col))
+    return (F.when(t.startswith("OBJECT") | t.startswith("STRUCT"),
+                   "object")
+            .when(t.startswith("ARRAY"), "array")
+            .when(t == "STRING", "string")
+            .when(t == "BOOLEAN", "boolean")
+            .when(t.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+                  "integer")
+            .when(t.startswith("DECIMAL") | t.isin("DOUBLE", "FLOAT"),
+                  "double")
+            .when(t == "VOID", "null"))
+
+
+def dominant_type_drift(df: DataFrame, key_col: str, type_col: str,
+                        seg_col: str, early: str = "early",
+                        late: str = "late") -> DataFrame:
+    """Schema-drift detection over embedded JSON VALUES — the type-level
+    complement of :func:`key_emergence` (which sees keys appear/retire):
+    per key, the dominant JSON value type in the ``early`` segment vs
+    the ``late`` segment, flagging keys whose producer silently changed
+    representation (ints that became strings, scalars that became
+    objects). Every individual document still parses — only the
+    cross-time comparison sees it; it is d3rty's coercion tolerance
+    turned into a monitor for WHEN tolerance starts being needed.
+
+    Emits one row per key: dominant_early, dominant_late, the dominant
+    counts, and ``drifted``. Dominance ties break lexicographically so
+    both engines pick the same winner.
+
+    Scale shape: the corpus collapses in ONE map-combinable
+    (key, segment, type) hash aggregate; the rank window runs on that
+    |keys|x2x7 count table (partitioned by key+segment, never global).
+    """
+    counts = (df.groupBy(F.col(key_col).alias("key"),
+                         F.col(seg_col).alias("__seg"),
+                         F.col(type_col).alias("__t"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.partitionBy("key", "__seg").orderBy(
+        F.desc("__n"), F.asc("__t"))
+    dom = (counts.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1))
+    e, l = F.col("__seg") == early, F.col("__seg") == late
+    out = dom.groupBy("key").agg(
+        F.max(F.when(e, F.col("__t"))).alias("dominant_early"),
+        F.max(F.when(l, F.col("__t"))).alias("dominant_late"),
+        F.max(F.when(e, F.col("__n"))).alias("n_dom_early"),
+        F.max(F.when(l, F.col("__n"))).alias("n_dom_late"))
+    return out.withColumn(
+        "drifted", F.col("dominant_early") != F.col("dominant_late"))

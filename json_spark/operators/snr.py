@@ -80,7 +80,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
              emit_energy: bool = False,
              emit_runs: bool = False,
              emit_zcr: bool = False,
-             emit_hfc: bool = False) -> DataFrame:
+             emit_hfc: bool = False,
+             emit_bits: bool = False) -> DataFrame:
     """The ONE decode pass over the audio payload — every content-level
     check family is a column group off this single Arrow kernel, so a
     caller wanting SNR + header + sample-exact digests + amplitude
@@ -119,6 +120,10 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
       below the declared Nyquist — upsampled/re-encoded ingest — shows
       a tiny ratio. Exact int64 (|diff| <= 65534, so the sum overflows
       only past 2^31 samples/clip). Null unless GREEN.
+    - ``emit_bits``    : or_abs = bitwise OR of |v_j| over the clip —
+      the order/chunk-invariant fold behind effective-bit-depth QA
+      (16-bit storage carrying 8-bit content has 8 trailing zero bits
+      in every sample, hence in the OR). Null unless GREEN.
     - ``emit_runs``    : silent-run structure over the active mask
       |v| > SILENCE_THR — lead_sil / trail_sil (leading/trailing silent
       sample counts; = n_samples when the whole clip is silent),
@@ -131,7 +136,7 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
     """
     extra = list(extra_cols or [])
     emit_nsamp = (emit_digest or emit_profile or emit_energy or emit_runs
-                  or emit_zcr or emit_hfc)
+                  or emit_zcr or emit_hfc or emit_bits)
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
     schema_parts = (
         ["clip_id string"]
@@ -158,6 +163,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
         schema_parts.append("zcr long, n_zero long")
     if emit_hfc:
         schema_parts.append("hfc long")
+    if emit_bits:
+        schema_parts.append("or_abs long")
     out_schema = ", ".join(schema_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -183,6 +190,7 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             zcrs = np.zeros(n, dtype=np.int64)
             nzeros = np.zeros(n, dtype=np.int64)
             hfcs = np.zeros(n, dtype=np.int64)
+            orabs = np.zeros(n, dtype=np.int64)
             hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
@@ -248,6 +256,9 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                     if emit_hfc:
                         d = np.diff(v)
                         hfcs[j] = int((d * d).sum()) if len(v) > 1 else 0
+                    if emit_bits:
+                        orabs[j] = (int(np.bitwise_or.reduce(np.abs(v)))
+                                    if len(v) else 0)
                     if emit_runs:
                         act = np.abs(v) > SILENCE_THR
                         idx = np.flatnonzero(act)
@@ -316,6 +327,9 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             if emit_hfc:
                 arrays.append(pa.array(hfcs, pa.int64(), mask=~mask))
                 names.append("hfc")
+            if emit_bits:
+                arrays.append(pa.array(orabs, pa.int64(), mask=~mask))
+                names.append("or_abs")
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return clips.select(*in_cols).mapInArrow(scan, out_schema)
@@ -522,3 +536,32 @@ def pcm_bandwidth_profile(clips: DataFrame,
     return pcm_scan(clips, threshold_db, extra,
                     emit_energy=True, emit_hfc=True).select(
         "clip_id", *extra, "verdict", "n_samples", "pcm_sq_sum", "hfc")
+
+
+def pcm_bit_depth(clips: DataFrame,
+                  extra_cols: list[str] | None = None,
+                  threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Effective-bit-depth profile of every clip's decoded PCM stream —
+    the fake-bit-depth detector: audio quantized at 8 bits upstream and
+    re-encoded as 16-bit PCM leaves the low 8 bits of every sample
+    zero, so a corpus paying 16-bit storage for 8-bit content is
+    flagged before training (the audio twin of d3rty's
+    "declared type wider than the information" coercion family,
+    internal/decoder/decoder.go's number narrowing).
+
+    Emits per clip: n_samples and or_abs = bitwise-OR of |v_j| over the
+    recovered int16 lattice (same inversion as ``pcm_digest``). The OR
+    fold is order- and chunk-invariant, so a DuckDB oracle reproduces
+    it bit-for-bit with ``bit_or(abs(v))`` over the analytic per-sample
+    twin; effective bit depth = 16 − ctz(or_abs) then stays in pure
+    integer Column arithmetic on both sides (ctz via
+    bit_count((x & −x) − 1)). RED clips carry nulls.
+
+    Facade over :func:`pcm_scan` (one decode pass, map-only Arrow; ~20
+    bytes/clip travel onward, the payload never shuffles). At 10^12
+    clips the downstream roll-up ORs map-side into |codec| rows.
+    """
+    extra = list(extra_cols or [])
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_bits=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "or_abs")

@@ -213,3 +213,59 @@ def sequence_inversions(df: DataFrame, key_col: str, order_col: str,
         F.round(F.sum("__inv") / F.sum("__pair"), 6)
         .alias("inversion_rate"),
     )
+
+
+def autocorrelation(df: DataFrame, ts_col: str,
+                    lags: tuple[int, ...] = (1, 2, 3),
+                    bucket_s: int = 60) -> DataFrame:
+    """Lag-k autocorrelation of per-bucket event counts — the
+    periodicity/seasonality profile of an ingest feed. A healthy
+    continuous feed decorrelates smoothly; a batch-loaded feed shows
+    spikes at the batch period, and a duplicated-window incident shows
+    as an anomalous positive lobe. Complements coverage_gaps (which
+    sees silence) by seeing *rhythm*.
+
+    Counts are taken on the DENSE bucket grid over the table's span
+    (missing buckets count 0 — dropping them would bias r toward the
+    busy regime), buckets are session-TZ-proof integer ids
+    (:func:`epoch_us` DIV bucket). Per lag k the output row carries the
+    exact integer sums (n_pairs, Σx, Σy, Σxy) plus Pearson r computed
+    from those sums in one closed-form expression — integer-exact
+    inputs, so an independent SQL twin reproduces r to the rounded
+    digit with no summation-order sensitivity.
+
+    Scale shape: the corpus collapses in ONE map-combinable bucket
+    count aggregate; the dense grid (explode(sequence) over the 1-row
+    span) and the per-lag self-join are |buckets|-sized metadata work,
+    never corpus-sized. No windows, no corpus re-scan.
+    """
+    us = bucket_s * 1_000_000
+    obs = (df.select(F.floor(epoch_us(ts_col) / F.lit(us)).cast("long")
+                     .alias("__m"))
+           .groupBy("__m").agg(F.count(F.lit(1)).alias("__c")))
+    span = obs.agg(F.min("__m").alias("__lo"), F.max("__m").alias("__hi"))
+    grid = (span.select(F.explode(
+        F.sequence(F.col("__lo"), F.col("__hi"))).alias("__m"))
+        .join(obs, "__m", "left")
+        .select("__m", F.coalesce("__c", F.lit(0)).alias("__c")))
+    lagdf = (grid.sparkSession.range(1)
+             .select(F.explode(F.array(
+                 *[F.lit(int(k)) for k in lags])).alias("lag")))
+    a = grid.select(F.col("__m").alias("__ma"), F.col("__c").alias("__x"))
+    b = grid.select(F.col("__m").alias("__mb"), F.col("__c").alias("__y"))
+    pairs = (a.join(F.broadcast(lagdf))
+             .join(b, F.col("__mb") == F.col("__ma") + F.col("lag")))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("sum_x"),
+        F.sum("__y").alias("sum_y"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sum_xy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"))
+    n, sx, sy = F.col("n_pairs"), F.col("sum_x"), F.col("sum_y")
+    num = n * F.col("sum_xy") - sx * sy
+    den = (F.sqrt((n * F.col("__sxx") - sx * sx).cast("double"))
+           * F.sqrt((n * F.col("__syy") - sy * sy).cast("double")))
+    return agg.select("lag", "n_pairs", "sum_x", "sum_y", "sum_xy",
+                      F.round(num.cast("double") / den, 6)
+                      .alias("autocorr"))

@@ -74,7 +74,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: dup_transcript_distance / corpus_mix / file_skew_audit /
 #: text_encoding_check, the batch-D pair packing_efficiency /
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
-#: manifest_dangling,
+#: manifest_dangling, the late session-2 family sentinel_scan /
+#: event_autocorr / key_type_drift (oracle-backed, replica-green,
+#: never driver-checked) plus multimodal_meta (rows-only, displaced
+#: by audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
 #: coercion_integer / coercion_string / coercion_time /
@@ -131,7 +134,15 @@ GATE_FRONT: list[str] = [
     # constant-table compare, fully pytest-pinned, code unchanged since
     # its judge-green replica run — rotates out for the new
     # embedding-geometry query; queues for r4)
-    "audio_flac_roundtrip", "multimodal_meta", "embedding_isotropy",
+    # audio_bit_depth is brand-new (new emit_bits kernel group in
+    # snr.py = newest content-path code, highest residual risk); it
+    # displaces multimodal_meta (rows-only by nature — a no_oracle
+    # driver row adds the least evidence; queues for r4). The other
+    # three queries added alongside it (sentinel_scan, event_autocorr,
+    # key_type_drift — oracle-backed, replica-green at sf0.01,
+    # pytest-pinned) queue for the r4 front with the other waiters
+    # rather than displace never-driver-checked r2 entries.
+    "audio_flac_roundtrip", "audio_bit_depth", "embedding_isotropy",
     # ADVICE edge-case fixes changed these operators' behavior (null
     # payloads, zero-length data chunks) after their r2 green row; the
     # drift queries that previously held these slots changed plan-shape
@@ -7285,3 +7296,257 @@ def q_manifest_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, _SNR_N, partitions=8)
     manifest = generate_manifest(spark, _SNR_N, partitions=4)
     return dangling_dim_rows(manifest, clips, "clip_id").select("clip_id")
+
+
+# =========================================================================
+# sentinel / periodicity / type-drift / bit-depth family
+# =========================================================================
+
+@register("sentinel_scan", oracle="""
+WITH dirty AS (
+  SELECT CASE (o_orderkey % 37) WHEN 0 THEN -1 WHEN 1 THEN 99999999
+              ELSE o_custkey END AS custkey_d,
+         CASE (o_orderkey % 41) WHEN 0 THEN 0.0 WHEN 1 THEN -999.0
+              ELSE o_totalprice END AS price_d,
+         CASE (o_orderkey % 43) WHEN 0 THEN '' WHEN 1 THEN 'N/A'
+              WHEN 2 THEN 'null' ELSE o_orderpriority END AS prio_d,
+         CASE (o_orderkey % 47) WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+              ELSE o_orderdate END AS date_d
+  FROM orders),
+agg AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (WHERE custkey_d IN (-1, 0, 99999999)) AS s_cust,
+         count(*) FILTER (WHERE price_d <= 0.0) AS s_price,
+         count(*) FILTER (WHERE trim(prio_d) = '' OR upper(prio_d) IN
+                ('N/A','NULL','NONE','UNKNOWN','--')) AS s_prio,
+         count(*) FILTER (WHERE date_d < TIMESTAMP '1971-01-01') AS s_date
+  FROM dirty)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_sentinel AS BIGINT) AS n_sentinel,
+       round(n_sentinel * 1.0 / n_rows, 6) AS sentinel_rate,
+       CASE WHEN n_sentinel * 1.0 / n_rows > 0.01 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM (
+  SELECT 'o_custkey' AS col_name, n_rows, s_cust AS n_sentinel FROM agg
+  UNION ALL SELECT 'o_totalprice', n_rows, s_price FROM agg
+  UNION ALL SELECT 'o_orderpriority', n_rows, s_prio FROM agg
+  UNION ALL SELECT 'o_orderdate', n_rows, s_date FROM agg)
+""")
+def q_sentinel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel / placeholder-value detection (operators/sentinel.py):
+    in-band "missing" conventions — -1/0/all-9s ids, non-positive
+    amounts, ''/'N/A'/'null' strings, epoch timestamps — that parse
+    cleanly and are invisible to null-rate stats. The semantic
+    complement of d3rty's syntactic null coercions (bool_from_null /
+    number_from_null, internal/decoder/decoder.go): those normalize the
+    SPELLINGS of null, this finds the values producers use INSTEAD of
+    null. Dirty rows are derived deterministically from orders
+    (o_orderkey residue classes) by both engines; each side then runs
+    its own classifier. ONE scan however many columns: every predicate
+    is a conditional count inside a single 1-row map-combinable
+    aggregate, unpivoted by a literal stack — at 10^12 rows the
+    exchange carries one partial row per task.
+    """
+    from ..operators.sentinel import (
+        id_sentinels, numeric_sentinels, sentinel_scan,
+        string_sentinels, timestamp_sentinels)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = o.select(
+        F.when(F.pmod(k, 37) == 0, F.lit(-1).cast("long"))
+        .when(F.pmod(k, 37) == 1, F.lit(99999999).cast("long"))
+        .otherwise(F.col("o_custkey")).alias("custkey_d"),
+        F.when(F.pmod(k, 41) == 0, F.lit(0.0))
+        .when(F.pmod(k, 41) == 1, F.lit(-999.0))
+        .otherwise(F.col("o_totalprice")).alias("price_d"),
+        F.when(F.pmod(k, 43) == 0, F.lit(""))
+        .when(F.pmod(k, 43) == 1, F.lit("N/A"))
+        .when(F.pmod(k, 43) == 2, F.lit("null"))
+        .otherwise(F.col("o_orderpriority")).alias("prio_d"),
+        F.when(F.pmod(k, 47) == 0,
+               F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+        .otherwise(F.col("o_orderdate")).alias("date_d"))
+    return sentinel_scan(dirty, [
+        ("o_custkey", id_sentinels(F.col("custkey_d"))),
+        ("o_totalprice", numeric_sentinels(F.col("price_d"))),
+        ("o_orderpriority", string_sentinels(F.col("prio_d"))),
+        ("o_orderdate", timestamp_sentinels(F.col("date_d"))),
+    ])
+
+
+@register("event_autocorr", oracle="""
+WITH c AS (
+  SELECT epoch_us(ts) // 60000000 AS m, count(*) AS cnt
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM c),
+grid AS (
+  SELECT g.m, COALESCE(c.cnt, 0) AS cnt
+  FROM (SELECT unnest(range((SELECT lo FROM bounds),
+                            (SELECT hi FROM bounds) + 1)) AS m) g
+  LEFT JOIN c USING (m)),
+lags AS (SELECT unnest([1, 2, 3]) AS lag),
+pairs AS (
+  SELECT l.lag, a.cnt AS x, b.cnt AS y
+  FROM lags l
+  JOIN grid a ON TRUE
+  JOIN grid b ON b.m = a.m + l.lag)
+SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x*y) AS BIGINT) AS sum_xy,
+       round(CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS DOUBLE) /
+             (sqrt(CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS DOUBLE)) *
+              sqrt(CAST(count(*)*sum(y*y) - sum(y)*sum(y) AS DOUBLE))),
+             6) AS autocorr
+FROM pairs GROUP BY lag
+""")
+def q_event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rhythm periodicity profile (operators/temporal.py:
+    autocorrelation): lag-k Pearson autocorrelation of per-minute event
+    counts on the DENSE minute grid (missing minutes count 0 — dropping
+    them would bias r toward the busy regime). Sees what coverage_gaps
+    (silence) and drift_changepoint (level shifts) can't: batch-period
+    spikes and duplicated-window lobes in an otherwise-complete feed.
+    Exact integer sums travel with r so the report is auditable; r is
+    one closed-form IEEE expression over them (identical cross-engine).
+    Corpus collapses in ONE map-combinable bucket-count aggregate; the
+    grid (explode(sequence) over a 1-row span) and per-lag self-join
+    are |buckets|-sized metadata work. Minute ids via epoch-µs integer
+    division (session-TZ-proof, same idiom as coverage_gaps).
+    """
+    from ..operators.temporal import autocorrelation
+    ev = load_table(spark, sf_dir, "events")
+    return autocorrelation(ev, "ts", lags=(1, 2, 3), bucket_s=60)
+
+
+@register("key_type_drift", oracle="""
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+d AS (
+  SELECT 'k' || CAST(event_id % 5 AS VARCHAR) AS key,
+         CASE WHEN event_id <= (SELECT m FROM mx) // 2
+              THEN 'early' ELSE 'late' END AS half,
+         CASE CASE WHEN event_id % 11 = 0 THEN event_id % 7
+                   WHEN event_id <= (SELECT m FROM mx) // 2
+                        THEN event_id % 5
+                   ELSE (event_id % 5 + 2) % 7 END
+              WHEN 0 THEN '123' WHEN 1 THEN '"s7"' WHEN 2 THEN 'true'
+              WHEN 3 THEN '1.5' WHEN 4 THEN 'null' WHEN 5 THEN '[1,2]'
+              ELSE '{"a":1}' END AS val
+  FROM events),
+typed AS (
+  SELECT key, half,
+         CASE json_type(val::JSON)
+              WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+              WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+              WHEN 'DOUBLE' THEN 'double' WHEN 'NULL' THEN 'null'
+              WHEN 'ARRAY' THEN 'array' ELSE 'object' END AS jtype
+  FROM d),
+counts AS (
+  SELECT key, half, jtype, count(*) AS cnt
+  FROM typed GROUP BY key, half, jtype),
+ranked AS (
+  SELECT key, half, jtype, cnt,
+         row_number() OVER (PARTITION BY key, half
+                            ORDER BY cnt DESC, jtype ASC) AS rn
+  FROM counts),
+dom AS (
+  SELECT key,
+         max(CASE WHEN half='early' THEN jtype END) AS dominant_early,
+         max(CASE WHEN half='late' THEN jtype END) AS dominant_late,
+         CAST(max(CASE WHEN half='early' THEN cnt END) AS BIGINT)
+             AS n_dom_early,
+         CAST(max(CASE WHEN half='late' THEN cnt END) AS BIGINT)
+             AS n_dom_late
+  FROM ranked WHERE rn = 1 GROUP BY key)
+SELECT key, dominant_early, dominant_late, n_dom_early, n_dom_late,
+       CAST(dominant_early <> dominant_late AS BOOLEAN) AS drifted
+FROM dom
+""")
+def q_key_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-JSON value-TYPE drift (operators/profiling.py:
+    json_value_type + dominant_type_drift): per key, the dominant JSON
+    value type in the early half of the id space vs the late half —
+    the producer that silently turned ints into strings or scalars into
+    objects. Every individual document still parses (d3rty would coerce
+    each row without complaint; decoder.go's tolerance is exactly why
+    nobody notices); only the cross-time comparison sees the change.
+    Completes the schema-evolution pair with key_emergence (keys
+    appearing/retiring vs types changing). Dirty JSON values are
+    derived deterministically from events (event_id residue classes +
+    a planted dominant-type rotation between halves, ~9% noise rows);
+    Spark classifies them with its VARIANT engine
+    (schema_of_variant(try_parse_json)), the oracle with DuckDB's
+    json_type() — two genuinely different JSON parsers and type
+    lattices normalized to the same seven names. Corpus collapses in
+    ONE map-combinable (key, half, type) aggregate; the rank window
+    runs on the |keys|x2x7 count table.
+    """
+    from ..operators.profiling import dominant_type_drift, json_value_type
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    mx = ev.agg(F.max("event_id").alias("__mx"))
+    early = eid <= F.expr("__mx DIV 2")
+    ti = (F.when(F.pmod(eid, 11) == 0, F.pmod(eid, 7))
+          .when(early, F.pmod(eid, 5))
+          .otherwise(F.pmod(F.pmod(eid, 5) + 2, 7)))
+    val = (F.when(ti == 0, "123").when(ti == 1, '"s7"')
+           .when(ti == 2, "true").when(ti == 3, "1.5")
+           .when(ti == 4, "null").when(ti == 5, "[1,2]")
+           .otherwise('{"a":1}'))
+    d = (ev.join(F.broadcast(mx))
+         .select(F.concat(F.lit("k"), F.pmod(eid, 5)).alias("key"),
+                 F.when(early, "early").otherwise("late").alias("half"),
+                 val.alias("val")))
+    typed = d.select("key", "half",
+                     json_value_type(F.col("val")).alias("jtype"))
+    return dominant_type_drift(typed, "key", "jtype", "half")
+
+
+@register("audio_bit_depth", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+per_clip AS (
+  SELECT i, codec, bit_or(abs(v)) AS or_abs
+  FROM samples GROUP BY i, codec),
+eff AS (
+  SELECT codec, or_abs,
+         CASE WHEN or_abs = 0 THEN CAST(0 AS BIGINT)
+              ELSE 16 - bit_count(CAST((or_abs & (-or_abs)) - 1 AS BIGINT))
+         END AS eff_bits
+  FROM per_clip)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(bit_or(or_abs) AS BIGINT) AS codec_or,
+       CAST(min(eff_bits) AS BIGINT) AS min_eff_bits,
+       CAST(max(eff_bits) AS BIGINT) AS max_eff_bits,
+       CAST(count(*) FILTER (WHERE eff_bits <= 8) AS BIGINT) AS n_low_bits
+FROM eff GROUP BY codec
+""")
+def q_audio_bit_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bit-depth QA on decoded CONTENT (operators/snr.py:
+    pcm_bit_depth): per-codec roll-up of the bitwise-OR-of-|v| fold
+    over every clean clip's recovered int16 lattice; effective depth =
+    16 − ctz(or_abs), ctz in pure integer Column arithmetic via
+    bit_count((x & −x) − 1). Flags corpora whose 16-bit storage carries
+    8-bit content (upstream requantization) — the audio twin of d3rty's
+    declared-type-wider-than-the-information coercions. The OR fold is
+    order/chunk-invariant, so the oracle reproduces it bit-for-bit from
+    the analytic per-sample SQL twin (bit_or over the replayed samples)
+    without reading a byte. One decode pass, map-only Arrow; the
+    roll-up ORs map-side into |codec| rows; payload never shuffles.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_bit_depth
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    prof = pcm_bit_depth(clips, extra_cols=["codec"])
+    eff = (F.when(F.col("or_abs") == 0, F.lit(0))
+           .otherwise(F.lit(16) - F.bit_count(
+               F.col("or_abs").bitwiseAND(-F.col("or_abs")) - F.lit(1)))
+           .cast("long"))
+    return (prof.filter(F.col("verdict") == "GREEN")
+            .withColumn("eff_bits", eff)
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.expr("bit_or(or_abs)").alias("codec_or"),
+                 F.min("eff_bits").alias("min_eff_bits"),
+                 F.max("eff_bits").alias("max_eff_bits"),
+                 F.sum((F.col("eff_bits") <= 8).cast("long"))
+                 .alias("n_low_bits")))

@@ -234,3 +234,41 @@ class TestFileProfile:
         spark.range(42).coalesce(1).write.parquet(out)
         r = file_profile(spark.read.parquet(out)).collect()[0]
         assert (r["n_files"], r["n_rows"], r["skew"]) == (1, 42, 1.0)
+
+
+def test_json_value_type_seven_shapes(spark):
+    from json_spark.operators.profiling import json_value_type
+    df = spark.createDataFrame(
+        [("123",), ('"s7"',), ("true",), ("1.5",), ("null",),
+         ("[1,2]",), ('{"a":1}',), ("not json",)], "v string")
+    got = [r[0] for r in df.select(json_value_type(F.col("v"))).collect()]
+    assert got == ["integer", "string", "boolean", "double", "null",
+                   "array", "object", None]
+
+
+def test_dominant_type_drift_planted(spark):
+    from json_spark.operators.profiling import dominant_type_drift
+    rows = []
+    # key a: early mostly integer, late mostly string (drifts)
+    rows += [("a", "early", "integer")] * 9 + [("a", "early", "string")]
+    rows += [("a", "late", "string")] * 8 + [("a", "late", "integer")] * 2
+    # key b: stable boolean both halves
+    rows += [("b", "early", "boolean")] * 5
+    rows += [("b", "late", "boolean")] * 6
+    df = spark.createDataFrame(rows, "key string, seg string, t string")
+    out = {r["key"]: r.asDict() for r in
+           dominant_type_drift(df, "key", "t", "seg").collect()}
+    assert out["a"]["dominant_early"] == "integer"
+    assert out["a"]["dominant_late"] == "string"
+    assert out["a"]["drifted"] is True
+    assert out["a"]["n_dom_early"] == 9 and out["a"]["n_dom_late"] == 8
+    assert out["b"]["drifted"] is False
+
+
+def test_dominant_type_drift_tie_breaks_lexicographically(spark):
+    from json_spark.operators.profiling import dominant_type_drift
+    rows = ([("k", "early", "double")] * 3 + [("k", "early", "array")] * 3
+            + [("k", "late", "double")] * 2)
+    df = spark.createDataFrame(rows, "key string, seg string, t string")
+    out = dominant_type_drift(df, "key", "t", "seg").collect()[0]
+    assert out["dominant_early"] == "array"  # tie -> lexicographic

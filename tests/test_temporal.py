@@ -234,3 +234,35 @@ def test_hash_uniformity_detects_skew(spark):
     assert all(r.verdict == "RED" for r in red)
     # chi2/B for all mass in one bucket = (16-1)*n/16 /16 * ... >> 4
     assert red[0].chi2_per_bucket > 4.0
+
+
+def test_autocorrelation_periodic_signal(spark):
+    """A strictly period-2 count sequence (buckets alternate 10/0
+    events) has autocorr ~ +1 at lag 2 and ~ -1 at lag 1."""
+    from json_spark.operators.temporal import autocorrelation
+    rows = []
+    for m in range(0, 40):
+        n = 10 if m % 2 == 0 else 0
+        for i in range(n):
+            rows.append((m * 60 + i,))  # i < 60 keeps events in minute m
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"))
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "ts", lags=(1, 2)).collect()}
+    assert out[2]["autocorr"] == 1.0
+    assert out[1]["autocorr"] == -1.0
+    # span is OBSERVED min..max: minute 39 has no events, so the grid
+    # is 0..38 = 39 buckets -> 38 / 37 pairs
+    assert out[1]["n_pairs"] == 38
+    assert out[2]["n_pairs"] == 37
+
+
+def test_autocorrelation_dense_grid_counts_missing_buckets(spark):
+    """Buckets with no events participate as zeros: two events 10
+    minutes apart give an 11-bucket grid, not a 2-bucket one."""
+    from json_spark.operators.temporal import autocorrelation
+    df = spark.createDataFrame([(0,), (600,)], "sec long").select(
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"))
+    out = autocorrelation(df, "ts", lags=(1,)).collect()
+    assert out[0]["n_pairs"] == 10
+    assert out[0]["sum_x"] == 1  # bucket 0 contributes x=1 once

@@ -610,6 +610,64 @@ CHECKS = {
         ("fact side reduced to distinct keys before the join", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "sentinel_scan": [
+        # every column's sentinel predicate is a conditional count in
+        # ONE single-row aggregate; the per-column report is a literal
+        # stack unpivot of that row — one scan, no per-column union
+        ("no Python stage (pure Column classifiers)", True,
+         lambda p: "Python" not in p and "Arrow" not in p),
+        ("single scan, no per-column union", True,
+         lambda p: "Union" not in p.split("== CODEGEN ==")[0]),
+        ("partial+final hash aggregate (map-side combine)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("stack unpivot AFTER aggregation (one row per column)", True,
+         lambda p: "Generate" in p and "stack(" in p),
+        ("single exchange (the 1-row final agg)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
+    "event_autocorr": [
+        # the corpus collapses in ONE map-combinable minute-count agg;
+        # the dense grid + per-lag self-join run on |buckets| rows
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to the timestamp column only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 1),
+        ("partial+final hash aggregate (map-side bucket counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("lag list broadcast, never shuffled", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+    ],
+    "key_type_drift": [
+        # VARIANT typing is JVM-side; corpus collapses in one
+        # (key, half, type) agg; the rank window runs on the count table
+        ("no Python stage (variant classifier is JVM)", True,
+         lambda p: "Python" not in p),
+        ("scan pruned to event_id only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 1),
+        ("partial+final hash aggregate (map-side type counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("max(event_id) side broadcast, never shuffled", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("rank window present and AFTER aggregation", True,
+         lambda p: "Window" in p),
+    ],
+    "audio_bit_depth": [
+        # one decode pass: fixture render + the fused Arrow kernel are
+        # the only Python stages; the OR fold aggregates map-side into
+        # |codec| rows and the payload never shuffles
+        ("at most two Python stages (fixture render + decode kernel)",
+         True, lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 2),
+        ("partial+final hash aggregate (map-side OR fold)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("single aggregate exchange (scalars only, payload never "
+         "shuffles)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
     "incremental_quantile_merge": [
         ("no Python stage", True, lambda p: "Python" not in p),
         ("map-side value counting per batch (partial+final agg)", True,
