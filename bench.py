@@ -165,6 +165,7 @@ HEADLINE = [
     "event_autocorr",
     "key_type_drift",
     "audio_bit_depth",
+    "size_model_conformance",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -72,3 +72,70 @@ def partition_anomaly(parts: DataFrame, partition_col: str,
         .otherwise("GREEN")
         .alias("verdict"),
     )
+
+
+def robust_line_conformance(df: DataFrame, x_col: str, y_col: str,
+                            group_cols: list[str],
+                            abs_threshold: int = 1000,
+                            yellow_rate: float = 0.005) -> DataFrame:
+    """Robust linear-model conformance: per group, learn the line
+    y ≈ a + b·x with MEDIAN-based coefficients and flag rows whose
+    residual exceeds ``abs_threshold`` — the "does this column obey the
+    size law the rest of the group obeys" check (payload bytes vs
+    declared samples, token counts vs char counts). Ordinary least
+    squares is useless here: the liars the check exists to find drag
+    the fit toward themselves (breakdown point 0%); the median slope
+    b = med(y/x) and median intercept a = med(y − b·x) ignore up to
+    50% contamination, so the planted liars land OUTSIDE the line
+    instead of bending it.
+
+    Everything runs in 1e-4 fixed point (the crest-factor idiom,
+    operators/snr.py): ratio_fp = 10000·y DIV x, residual
+    e = 10000·y − b_fp·x, both exact int64, and both medians are the
+    exact k-th smallest (k = ceil(n/2), drift.py:quantiles_from_counts)
+    — no float enters until the final report, so an independent SQL
+    twin reproduces every coefficient and count bit-for-bit.
+
+    Scale shape: the corpus collapses into (group, ratio_fp) /
+    (group, e) value-count tables whose cardinality is bounded by the
+    metadata domain (distinct (x, y) pairs), the quantile windows run
+    on those tables, and the |groups|-row coefficient frames broadcast
+    back — three metadata-only map passes, no corpus window, no
+    corpus-sized shuffle beyond the map-combinable aggregates.
+
+    Output per group: n_rows, slope (b_fp/10⁴), intercept (a_fp/10⁴),
+    n_outliers, outlier_rate, verdict (YELLOW above ``yellow_rate``).
+    """
+    from .drift import quantile_digest_counts, quantiles_from_counts
+    g = list(group_cols)
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    base = (df.filter(x.isNotNull() & y.isNotNull() & (x > 0))
+            .select(*g, x.alias("__x"), y.alias("__y")))
+    ratio = base.withColumn(
+        "__r", F.expr("(10000 * __y) DIV __x"))
+    b = (quantiles_from_counts(
+        quantile_digest_counts(ratio, "__r", g), "__r", g)
+        .select(*g, F.col("q50").alias("__bfp")))
+    with_b = base.join(F.broadcast(b), g)
+    resid0 = with_b.withColumn(
+        "__e", F.lit(10000) * F.col("__y") - F.col("__bfp") * F.col("__x"))
+    a = (quantiles_from_counts(
+        quantile_digest_counts(resid0, "__e", g), "__e", g)
+        .select(*g, F.col("q50").alias("__afp")))
+    scored = resid0.join(F.broadcast(a), g).withColumn(
+        "__out",
+        (F.abs(F.col("__e") - F.col("__afp"))
+         > F.lit(10000) * F.lit(int(abs_threshold))).cast("long"))
+    rate = F.col("n_outliers") / F.col("n_rows")
+    return (scored.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("__bfp").alias("__b"),
+        F.max("__afp").alias("__a"),
+        F.sum("__out").alias("n_outliers"))
+        .select(*g, "n_rows",
+                F.round(F.col("__b") / 1e4, 4).alias("slope"),
+                F.round(F.col("__a") / 1e4, 2).alias("intercept"),
+                "n_outliers",
+                F.round(rate, 6).alias("outlier_rate"),
+                F.when(rate > yellow_rate, "YELLOW")
+                .otherwise("GREEN").alias("verdict")))

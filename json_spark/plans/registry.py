@@ -75,9 +75,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: text_encoding_check, the batch-D pair packing_efficiency /
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling, the late session-2 family sentinel_scan /
-#: event_autocorr / key_type_drift (oracle-backed, replica-green,
-#: never driver-checked) plus multimodal_meta (rows-only, displaced
-#: by audio_bit_depth),
+#: event_autocorr / key_type_drift / size_model_conformance
+#: (oracle-backed, replica-green, never driver-checked) plus
+#: multimodal_meta (rows-only, displaced by audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
 #: coercion_integer / coercion_string / coercion_time /
@@ -7550,3 +7550,95 @@ def q_audio_bit_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("eff_bits").alias("max_eff_bits"),
                  F.sum((F.col("eff_bits") <= 8).cast("long"))
                  .alias("n_low_bits")))
+
+
+@register("size_model_conformance", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+meta AS (
+  SELECT f.i, f.codec,
+         CAST(substring(b.clip_id, 6) AS BIGINT) AS rid,
+         f.sr_hz, f.dur_ms
+  FROM full_ f JOIN base b USING (i)
+  WHERE f.dur_ms IS NOT NULL),
+obs AS (
+  SELECT codec,
+         CAST(greatest(1, floor(sr_hz * (dur_ms *
+              CASE WHEN rid % 53 = 0 THEN 3 ELSE 1 END) / 1000.0))
+              AS BIGINT) AS x,
+         44 + 2 * CAST(greatest(1, floor(sr_hz * dur_ms / 1000.0))
+                       AS BIGINT) AS y
+  FROM meta),
+r AS (SELECT codec, (10000 * y) // x AS v, x, y FROM obs),
+rcnt AS (SELECT codec, v, count(*) AS c FROM r GROUP BY codec, v),
+rcum AS (
+  SELECT codec, v, c,
+         sum(c) OVER (PARTITION BY codec ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY codec) AS n
+  FROM rcnt),
+bfit AS (
+  SELECT codec, CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                     AS BIGINT) AS bfp
+  FROM rcum GROUP BY codec),
+e AS (
+  SELECT r.codec, 10000 * y - bfp * x AS ev, x, y, bfp
+  FROM r JOIN bfit USING (codec)),
+ecnt AS (SELECT codec, ev, count(*) AS c FROM e GROUP BY codec, ev),
+ecum AS (
+  SELECT codec, ev, c,
+         sum(c) OVER (PARTITION BY codec ORDER BY ev) AS cum,
+         sum(c) OVER (PARTITION BY codec) AS n
+  FROM ecnt),
+afit AS (
+  SELECT codec, CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN ev END)
+                     AS BIGINT) AS afp
+  FROM ecum GROUP BY codec),
+scored AS (
+  SELECT e.codec, e.bfp, a.afp,
+         CASE WHEN abs(e.ev - a.afp) > 10000 * 1000 THEN 1 ELSE 0 END
+             AS is_out
+  FROM e JOIN afit a USING (codec))
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(max(bfp) / 10000.0, 4) AS slope,
+       round(max(afp) / 10000.0, 2) AS intercept,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       round(sum(is_out) * 1.0 / count(*), 6) AS outlier_rate,
+       CASE WHEN sum(is_out) * 1.0 / count(*) > 0.005 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM scored GROUP BY codec
+""")
+def q_size_model_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust size-law conformance (operators/anomaly.py:
+    robust_line_conformance): per codec, learn payload_bytes ≈
+    a + b·declared_samples with MEDIAN coefficients and flag rows whose
+    actual byte length contradicts their declared duration — the
+    metadata liar detector for OPAQUE codecs, where
+    metadata_consistency's exact header formula does not exist and the
+    law must be learned from the fleet. Planted liars (clip-id residue
+    % 53 declares 3× the true duration, ~2% of rows) would drag an OLS
+    fit toward themselves and flag honest rows (measured: slope 1.51,
+    485 false outliers); the median slope/intercept (breakdown 50%)
+    leave them outside the line — n_outliers equals the planted-liar
+    count exactly, per codec, with a 19× residual margin around the
+    1000-byte threshold. The whole fit runs in 1e-4 fixed point
+    (exact int64 ratios/residuals, k = ceil(n/2) k-th-smallest medians)
+    so the oracle replays every coefficient bit-for-bit; y is the REAL
+    payload length Column-side (length(bytes), no decode) while the
+    oracle derives it closed-form (44 + 2·samples, the WAV container
+    law). Corpus collapses into metadata-domain-bounded value-count
+    tables; coefficients broadcast back; no corpus window.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.anomaly import robust_line_conformance
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    rid = F.expr("CAST(substring(clip_id, 6) AS BIGINT)")
+    mult = F.when(F.pmod(rid, 53) == 0, F.lit(3)).otherwise(F.lit(1))
+    x = F.greatest(
+        F.lit(1),
+        F.floor(F.col("sr_hz") * (F.col("dur_ms") * mult) / F.lit(1000.0))
+    ).cast("long")
+    d = (clips.filter(F.col("dur_ms").isNotNull())
+         .select("codec", x.alias("x_declared"),
+                 F.length("bytes").cast("long").alias("y_bytes")))
+    return robust_line_conformance(d, "x_declared", "y_bytes", ["codec"],
+                                   abs_threshold=1000)

@@ -71,3 +71,44 @@ def test_multi_metric_independent(spark):
     out = _rows(partition_anomaly(parts, "shard", ["n", "m"]))
     assert out[("e", "n")]["verdict"] == "GREEN"
     assert out[("e", "m")]["verdict"] == "RED"
+
+
+def test_robust_line_conformance_flags_only_planted_liars(spark):
+    """y = 50 + 3x exactly, with 3 liar rows whose declared x is 3x the
+    truth: the median fit recovers slope 3 / intercept 50 and flags
+    exactly the liars (an OLS fit would bend toward them)."""
+    from json_spark.operators.anomaly import robust_line_conformance
+    rows = []
+    for i in range(200):
+        x_true = 1000 + 17 * i
+        y = 50 + 3 * x_true
+        x_decl = x_true * 3 if i % 67 == 0 else x_true  # i = 0, 67, 134
+        rows.append(("g", x_decl, y))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = robust_line_conformance(df, "x", "y", ["g"],
+                                  abs_threshold=500).collect()[0]
+    assert out["n_rows"] == 200
+    assert out["n_outliers"] == 3
+    assert abs(out["slope"] - 3.0) < 0.02
+    assert abs(out["intercept"]) < 200  # fixed-point floor keeps it near 50
+    assert out["verdict"] == "YELLOW"   # 1.5% > 0.5% default band
+
+
+def test_robust_line_conformance_clean_group_green(spark):
+    from json_spark.operators.anomaly import robust_line_conformance
+    rows = [("g", 100 + i, 7 * (100 + i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = robust_line_conformance(df, "x", "y", ["g"],
+                                  abs_threshold=100).collect()[0]
+    assert out["n_outliers"] == 0
+    assert out["slope"] == 7.0
+    assert out["verdict"] == "GREEN"
+
+
+def test_robust_line_conformance_ignores_null_and_nonpositive_x(spark):
+    from json_spark.operators.anomaly import robust_line_conformance
+    rows = [("g", 10, 20), ("g", 20, 40), ("g", 0, 99), ("g", None, 1)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = robust_line_conformance(df, "x", "y", ["g"],
+                                  abs_threshold=10).collect()[0]
+    assert out["n_rows"] == 2

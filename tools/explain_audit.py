@@ -610,6 +610,23 @@ CHECKS = {
         ("fact side reduced to distinct keys before the join", True,
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "size_model_conformance": [
+        # metadata-only robust fit: the only Python stages are the
+        # fixture render, which appears once per fit pass (ratio
+        # median, residual median, scoring — three pruned scans of the
+        # source; y = length(bytes) is pure Column, never a decode);
+        # the corpus collapses into value-count tables and the
+        # |groups|-row coefficient frames broadcast back
+        ("at most three Python stages (one fixture render per pass)",
+         True, lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 3),
+        ("coefficient joins broadcast, never shuffled", True,
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("partial+final hash aggregate (map-side value counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("quantile windows partitioned by group (no global window)", True,
+         lambda p: (ws := re.findall(r"windowspecdefinition\([^)]*", p))
+         and all("codec" in w for w in ws)),
+    ],
     "sentinel_scan": [
         # every column's sentinel predicate is a conditional count in
         # ONE single-row aggregate; the per-column report is a literal
