@@ -722,3 +722,84 @@ def test_streaming_encoding_rule(spark, tmp_path):
              for r in streaming_row_verdicts(df, rules).collect()}
     assert got == batch == {"c1": "GREEN", "c2": "RED", "c3": "YELLOW",
                             "c4": "RED", "c5": "RED"}
+
+
+# --- streaming twin of the sentinel/placeholder family ----------------------
+
+SENT_SCHEMA = "ts timestamp, uid long, amount double, label string"
+
+SENT_BATCH1 = [
+    ("2026-01-01 00:00:05", 7, 10.0, "ok"),
+    ("2026-01-01 00:00:15", -1, 5.0, "fine"),       # id sentinel
+    ("2026-01-01 00:00:25", 8, 0.0, "N/A"),         # amount + label sentinels
+    ("2026-01-01 00:01:10", 9, 3.0, "good"),        # minute-1 clean
+]
+
+SENT_BATCH2 = [("2026-01-01 00:02:30", 10, 1.0, "ok")]
+SENT_BATCH3 = [("2026-01-01 00:04:00", 11, 1.0, "ok")]
+
+
+def _sentinel_rules():
+    from json_spark.operators.sentinel import (
+        id_sentinels, numeric_sentinels, string_sentinels)
+    return {
+        "uid": F.when(id_sentinels(F.col("uid")), "YELLOW")
+        .otherwise("GREEN"),
+        "amount": F.when(numeric_sentinels(F.col("amount")), "YELLOW")
+        .otherwise("GREEN"),
+        "label": F.when(string_sentinels(F.col("label")), "YELLOW")
+        .otherwise("GREEN"),
+    }
+
+
+def _write_sent_batch(spark, rows, path):
+    raw = spark.createDataFrame(
+        rows, "ts string, uid long, amount double, label string")
+    raw.select(F.to_timestamp("ts").alias("ts"), "uid", "amount",
+               "label").coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_sentinel_rules(spark, tmp_path):
+    """The batch sentinel predicates (operators/sentinel.py) run
+    UNCHANGED as streaming window rules — in-band placeholder values
+    are flagged at ingest, per event-time window, instead of after the
+    corpus lands."""
+    src, chk, sink = (str(tmp_path / d) for d in ("src", "chk", "sink"))
+
+    def run():
+        stream = spark.readStream.schema(SENT_SCHEMA).parquet(src)
+        out = streaming_windowed_verdicts(
+            stream, _sentinel_rules(), event_time_col="ts",
+            window_duration="1 minute", watermark="2 minutes")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    for rows in (SENT_BATCH1, SENT_BATCH2, SENT_BATCH3):
+        _write_sent_batch(spark, rows, src)
+        run()
+    got = {r["window_start"].strftime("%H:%M"): r
+           for r in spark.read.parquet(sink).collect()}
+    m0 = got["00:00"]
+    assert m0["n_rows"] == 3
+    assert m0["n_yellow"] == 2          # rows 2 and 3 carry sentinels
+    assert m0["verdict"] == "YELLOW"
+    m1 = got["00:01"]
+    assert m1["n_rows"] == 1 and m1["verdict"] == "GREEN"
+
+
+def test_streaming_sentinel_rules_equal_batch(spark):
+    """Batch/streaming unification: the same rule Columns evaluate on a
+    plain frame with identical per-row verdicts."""
+    from json_spark.streaming.validate import streaming_row_verdicts
+    df = spark.createDataFrame(
+        [(7, 10.0, "ok"), (-1, 5.0, "fine"), (8, 0.0, "N/A"),
+         (99999999, -2.0, "null")],
+        "uid long, amount double, label string")
+    out = streaming_row_verdicts(df, _sentinel_rules()).collect()
+    assert [r["row_verdict"] for r in out] == [
+        "GREEN", "YELLOW", "YELLOW", "YELLOW"]
+    assert out[3]["uid__verdict"] == "YELLOW"
+    assert out[3]["amount__verdict"] == "YELLOW"
+    assert out[3]["label__verdict"] == "YELLOW"
