@@ -166,6 +166,7 @@ HEADLINE = [
     "key_type_drift",
     "audio_bit_depth",
     "size_model_conformance",
+    "schema_contract",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

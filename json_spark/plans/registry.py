@@ -75,9 +75,10 @@ ORACLE_SQL: dict[str, str] = {}
 #: text_encoding_check, the batch-D pair packing_efficiency /
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling, the late session-2 family sentinel_scan /
-#: event_autocorr / key_type_drift / size_model_conformance
-#: (oracle-backed, replica-green, never driver-checked) plus
-#: multimodal_meta (rows-only, displaced by audio_bit_depth),
+#: event_autocorr / key_type_drift / size_model_conformance /
+#: schema_contract (oracle-backed, replica-green, never
+#: driver-checked) plus multimodal_meta (rows-only, displaced by
+#: audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
 #: coercion_integer / coercion_string / coercion_time /
@@ -7642,3 +7643,109 @@ def q_size_model_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.length("bytes").cast("long").alias("y_bytes")))
     return robust_line_conformance(d, "x_declared", "y_bytes", ["codec"],
                                    abs_threshold=1000)
+
+
+@register("schema_contract", oracle=r"""
+WITH contract(ord, decl_name, decl_family, required) AS (
+  VALUES (1,'event_id','integer',true),
+         (2,'TS','timestamp',true),
+         (3,'User-Id','integer',true),
+         (4,'event_type','string',true),
+         (5,'value','integer',false),
+         (6,'Event-Type','boolean',false),
+         (7,'ingest_batch','string',true),
+         (8,'quality_score','fractional',false)),
+actual AS (
+  SELECT column_name AS aname,
+         CASE WHEN column_type LIKE 'DECIMAL%' THEN 'fractional'
+              WHEN column_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT',
+                   'HUGEINT','UTINYINT','USMALLINT','UINTEGER','UBIGINT')
+                   THEN 'integer'
+              WHEN column_type IN ('FLOAT','REAL','DOUBLE') THEN 'fractional'
+              WHEN column_type = 'VARCHAR' THEN 'string'
+              WHEN column_type = 'BOOLEAN' THEN 'boolean'
+              WHEN column_type = 'BLOB' THEN 'binary'
+              WHEN column_type = 'DATE' THEN 'date'
+              WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+              ELSE lower(column_type) END AS afam,
+         row_number() OVER () AS pos
+  FROM (DESCRIBE events)),
+norm AS (SELECT *, lower(replace(replace(replace(aname,'-',''),'_',''),' ',''))
+                AS anorm FROM actual),
+matched AS (
+  SELECT c.*,
+    (SELECT min(pos) FROM norm a WHERE a.aname = c.decl_name) AS p_exact,
+    (SELECT min(pos) FROM norm a
+     WHERE lower(a.aname) = lower(c.decl_name)) AS p_ci,
+    (SELECT min(pos) FROM norm a WHERE a.anorm =
+     lower(replace(replace(replace(c.decl_name,'-',''),'_',''),' ','')))
+        AS p_cham
+  FROM contract c),
+resolved AS (
+  SELECT m.*,
+    CASE WHEN p_exact IS NOT NULL THEN 'exact'
+         WHEN p_ci IS NOT NULL THEN 'case_insensitive'
+         WHEN p_cham IS NOT NULL THEN 'chameleon'
+         ELSE 'missing' END AS match_kind,
+    COALESCE(p_exact, p_ci, p_cham) AS pos
+  FROM matched m),
+joined AS (
+  SELECT r.*, a.aname, a.afam FROM resolved r LEFT JOIN norm a USING (pos)),
+verdicts AS (
+  SELECT decl_name AS field, aname AS matched_name, match_kind,
+         decl_family AS declared_family, afam AS actual_family, required,
+         CASE WHEN match_kind = 'missing'
+              THEN CASE WHEN required THEN 'RED' ELSE 'YELLOW' END
+              ELSE CASE greatest(
+                     CASE WHEN match_kind = 'exact' THEN 0 ELSE 1 END,
+                     CASE WHEN decl_family = afam THEN 0
+                          WHEN decl_family = 'fractional'
+                               AND afam = 'integer' THEN 0
+                          WHEN decl_family = 'integer'
+                               AND afam = 'fractional' THEN 1
+                          WHEN decl_family = 'string' THEN 1
+                          ELSE 2 END)
+                   WHEN 0 THEN 'GREEN' WHEN 1 THEN 'YELLOW'
+                   ELSE 'RED' END
+         END AS verdict
+  FROM joined),
+unknowns AS (
+  SELECT a.aname AS field, a.aname AS matched_name,
+         'unknown' AS match_kind, CAST(NULL AS VARCHAR) AS declared_family,
+         a.afam AS actual_family, false AS required, 'YELLOW' AS verdict
+  FROM norm a
+  WHERE NOT EXISTS (SELECT 1 FROM contract c
+     WHERE lower(replace(replace(replace(c.decl_name,'-',''),'_',''),' ',''))
+           = a.anorm))
+SELECT * FROM verdicts UNION ALL SELECT * FROM unknowns
+""")
+def q_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract validation with FlexKeys tolerance
+    (operators/schema.py): the reference's key-matching ladder (exact →
+    case-insensitive → chameleon, decoder.go:242-262) and coercion
+    stance applied to the events TABLE schema. Name matched only
+    tolerantly → YELLOW; type families compare with the coercion
+    direction baked in (fractional-over-integer widens GREEN,
+    integer-over-fractional needs rounding YELLOW, string tolerates
+    anything YELLOW, else RED); missing required RED / optional YELLOW;
+    unclaimed actual columns surface as UNKNOWN rows (the unknown-field
+    skip made visible). Both engines introspect the SAME parquet file
+    independently (Spark df.schema vs DuckDB DESCRIBE) and normalize
+    their OWN type spellings to shared family names — a genuine
+    cross-engine schema read, not a constant-table compare. Metadata
+    only: validating a 10^12-row table costs what an empty one costs
+    (no scan, no job).
+    """
+    from ..operators.schema import ContractField, schema_contract_report
+    ev = load_table(spark, sf_dir, "events")
+    contract = [
+        ContractField("event_id", "integer", True),
+        ContractField("TS", "timestamp", True),
+        ContractField("User-Id", "integer", True),
+        ContractField("event_type", "string", True),
+        ContractField("value", "integer", False),
+        ContractField("Event-Type", "boolean", False),
+        ContractField("ingest_batch", "string", True),
+        ContractField("quality_score", "fractional", False),
+    ]
+    return schema_contract_report(spark, ev, contract)
