@@ -167,6 +167,7 @@ HEADLINE = [
     "audio_bit_depth",
     "size_model_conformance",
     "schema_contract",
+    "audio_polarity",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

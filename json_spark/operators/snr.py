@@ -81,7 +81,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
              emit_runs: bool = False,
              emit_zcr: bool = False,
              emit_hfc: bool = False,
-             emit_bits: bool = False) -> DataFrame:
+             emit_bits: bool = False,
+             emit_cube: bool = False) -> DataFrame:
     """The ONE decode pass over the audio payload — every content-level
     check family is a column group off this single Arrow kernel, so a
     caller wanting SNR + header + sample-exact digests + amplitude
@@ -124,6 +125,11 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
       the order/chunk-invariant fold behind effective-bit-depth QA
       (16-bit storage carrying 8-bit content has 8 trailing zero bits
       in every sample, hence in the OR). Null unless GREEN.
+    - ``emit_cube``    : pcm_cube_sum = Σ v_j³ — the third-moment
+      (asymmetry) digest behind polarity-inversion detection: negating
+      the waveform negates it exactly while power/peak/ZCR features
+      cannot see the flip. Exact int64 (|v|³ ≤ 3.52e13, overflow needs
+      >2.6e5 full-scale samples/clip). Null unless GREEN.
     - ``emit_runs``    : silent-run structure over the active mask
       |v| > SILENCE_THR — lead_sil / trail_sil (leading/trailing silent
       sample counts; = n_samples when the whole clip is silent),
@@ -136,7 +142,7 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
     """
     extra = list(extra_cols or [])
     emit_nsamp = (emit_digest or emit_profile or emit_energy or emit_runs
-                  or emit_zcr or emit_hfc or emit_bits)
+                  or emit_zcr or emit_hfc or emit_bits or emit_cube)
     in_cols = ["clip_id", "bytes", "dur_ms", *extra]
     schema_parts = (
         ["clip_id string"]
@@ -165,6 +171,8 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
         schema_parts.append("hfc long")
     if emit_bits:
         schema_parts.append("or_abs long")
+    if emit_cube:
+        schema_parts.append("pcm_cube_sum long")
     out_schema = ", ".join(schema_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -191,6 +199,7 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             nzeros = np.zeros(n, dtype=np.int64)
             hfcs = np.zeros(n, dtype=np.int64)
             orabs = np.zeros(n, dtype=np.int64)
+            cubes = np.zeros(n, dtype=np.int64)
             hists: list[list[int] | None] = [] if emit_profile else None
             for j in range(n):
                 buf = None
@@ -259,6 +268,11 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                     if emit_bits:
                         orabs[j] = (int(np.bitwise_or.reduce(np.abs(v)))
                                     if len(v) else 0)
+                    if emit_cube:
+                        # exact int64: |v|^3 <= 3.52e13, so the sum
+                        # overflows only past ~2.6e5 samples/clip at
+                        # full scale (fixture max ~9.8e4)
+                        cubes[j] = int((v * v * v).sum())
                     if emit_runs:
                         act = np.abs(v) > SILENCE_THR
                         idx = np.flatnonzero(act)
@@ -330,6 +344,9 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
             if emit_bits:
                 arrays.append(pa.array(orabs, pa.int64(), mask=~mask))
                 names.append("or_abs")
+            if emit_cube:
+                arrays.append(pa.array(cubes, pa.int64(), mask=~mask))
+                names.append("pcm_cube_sum")
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return clips.select(*in_cols).mapInArrow(scan, out_schema)
@@ -565,3 +582,33 @@ def pcm_bit_depth(clips: DataFrame,
     return pcm_scan(clips, threshold_db, extra,
                     emit_bits=True).select(
         "clip_id", *extra, "verdict", "n_samples", "or_abs")
+
+
+def pcm_polarity(clips: DataFrame,
+                 extra_cols: list[str] | None = None,
+                 threshold_db: float = SNR_THRESHOLD_DB) -> DataFrame:
+    """Waveform-asymmetry (polarity) profile of every clip's decoded PCM
+    stream — the inverted-polarity ingest detector: flipping a signal's
+    sign (a miswired balanced cable, a resampler bug) negates the third
+    moment Σv³ exactly while leaving power, peak, RMS, ZCR, and
+    histogram-magnitude features untouched. Asymmetric sources (speech
+    is asymmetric; so is this fixture's phase-offset harmonic stack)
+    carry a stable per-clip skew sign, so a sub-population whose sign
+    disagrees with its codec's fleet is flagged before training.
+
+    Emits per clip: n_samples, pcm_sum (first moment, the DC tell) and
+    pcm_cube_sum = Σv³ — exact int64 over the recovered int16 lattice
+    (|v|³ ≤ 3.52e13 ⇒ overflow needs >2.6e5 full-scale samples/clip;
+    the fixture peaks at 9.8e4), so a DuckDB oracle reproduces every
+    value from pure SQL trigonometry. RED clips carry nulls.
+
+    Facade over :func:`pcm_scan` (one decode pass, map-only Arrow; ~28
+    bytes/clip travel onward, the payload never shuffles). At 10^12
+    clips the downstream sign roll-up aggregates map-side into |codec|
+    rows.
+    """
+    extra = list(extra_cols or [])
+    return pcm_scan(clips, threshold_db, extra,
+                    emit_digest=True, emit_cube=True).select(
+        "clip_id", *extra, "verdict", "n_samples", "pcm_sum",
+        "pcm_cube_sum")

@@ -76,8 +76,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling, the late session-2 family sentinel_scan /
 #: event_autocorr / key_type_drift / size_model_conformance /
-#: schema_contract (oracle-backed, replica-green, never
-#: driver-checked) plus multimodal_meta (rows-only, displaced by
+#: schema_contract / audio_polarity (oracle-backed, replica-green,
+#: never driver-checked) plus multimodal_meta (rows-only, displaced by
 #: audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
@@ -7749,3 +7749,48 @@ def q_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ContractField("quality_score", "fractional", False),
     ]
     return schema_contract_report(spark, ev, contract)
+
+
+@register("audio_polarity", oracle=f"""
+WITH {_PCM_SAMPLES_CTE},
+per_clip AS (
+  SELECT i, codec, SUM(v) AS s1, SUM(v*v*v) AS s3
+  FROM samples GROUP BY i, codec)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(s1) AS BIGINT) AS pcm_sum_total,
+       CAST(SUM(s3) AS BIGINT) AS cube_total,
+       CAST(count(*) FILTER (WHERE s3 < 0) AS BIGINT) AS n_neg_skew,
+       CAST(count(*) FILTER (WHERE s3 > 0) AS BIGINT) AS n_pos_skew,
+       CAST(count(*) FILTER (WHERE s3 = 0) AS BIGINT) AS n_sym
+FROM per_clip GROUP BY codec
+""")
+def q_audio_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-asymmetry / polarity profile (operators/snr.py:
+    pcm_polarity): per-codec roll-up of the exact third-moment digest
+    Σv³ over every clean clip — the inverted-polarity ingest detector
+    (a sign flip negates Σv³ exactly; power, peak, RMS, ZCR, and
+    magnitude histograms are all blind to it). Speech-like asymmetric
+    sources carry a stable skew sign per clip, so a sub-population
+    disagreeing with its codec's fleet is flagged before training; the
+    fixture's phase-offset harmonic stack gives each clip a
+    deterministic sign the oracle re-derives per sample from pure SQL
+    trigonometry, bit-for-bit (exact int64, |v|³ ≤ 3.52e13). One
+    decode pass, map-only Arrow, per-codec aggregate map-side; the
+    payload never shuffles.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.snr import pcm_polarity
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    prof = pcm_polarity(clips, extra_cols=["codec"])
+    return (prof.filter(F.col("verdict") == "GREEN")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("pcm_sum").alias("pcm_sum_total"),
+                 F.sum("pcm_cube_sum").alias("cube_total"),
+                 F.sum((F.col("pcm_cube_sum") < 0).cast("long"))
+                 .alias("n_neg_skew"),
+                 F.sum((F.col("pcm_cube_sum") > 0).cast("long"))
+                 .alias("n_pos_skew"),
+                 F.sum((F.col("pcm_cube_sum") == 0).cast("long"))
+                 .alias("n_sym")))

@@ -93,3 +93,57 @@ def test_eff_bits_column_formula_matches_python(spark):
                             - F.lit(1))).cast("long")))
     for row in prof.collect():
         assert row.eff == _eff_bits(row.or_abs)
+
+
+# --- third-moment (polarity) digest ----------------------------------------
+
+def _twin_cube(i: int) -> tuple[int, int]:
+    r = _row(i)
+    dur = r["dur_ms"] if r["dur_ms"] is not None else 100
+    sig = reference_signal(r["clip_id"], r["sr_hz"], dur)
+    v = np.round(np.clip(sig, -1, 1) * 32767.0).astype(np.int64)
+    return int(v.sum()), int((v * v * v).sum())
+
+
+def test_cube_digest_matches_twin(spark):
+    from json_spark.operators.snr import pcm_polarity
+    clips = generate_clips(spark, 300, partitions=4)
+    rows = {}
+    for row in pcm_polarity(clips).collect():
+        rows.setdefault(row.clip_id, []).append(row)
+    checked = 0
+    for i in range(300):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            continue
+        r = _row(i)
+        s1, s3 = _twin_cube(i)
+        assert any(row.pcm_sum == s1 and row.pcm_cube_sum == s3
+                   for row in rows[r["clip_id"]]
+                   if row.verdict == "GREEN"), f"row {i}"
+        checked += 1
+    assert checked >= 298
+
+
+def test_polarity_flip_negates_cube_exactly(spark):
+    """Inverting the waveform negates Σv and Σv³ EXACTLY while leaving
+    |v|-based features untouched — the digest pair polarity detection
+    rests on. (The inverted clip fails the fixture's SNR-vs-reference
+    gate, so the gate is bypassed with a permissive threshold: polarity
+    checking exists precisely for corpora with no reference signal.)"""
+    from json_spark.operators.snr import pcm_polarity
+    r = _row(0)
+    dur = r["dur_ms"] if r["dur_ms"] is not None else 100
+    sig = reference_signal(r["clip_id"], r["sr_hz"], dur)
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(pcm16_wav_bytes(sig, r["sr_hz"])),
+          r["sr_hz"], dur, "orig"),
+         (r["clip_id"], bytearray(pcm16_wav_bytes(-sig, r["sr_hz"])),
+          r["sr_hz"], dur, "flipped")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, tag string")
+    rows = {row.tag: row for row in
+            pcm_polarity(df, extra_cols=["tag"],
+                         threshold_db=-999.0).collect()}
+    o, f = rows["orig"], rows["flipped"]
+    assert o.pcm_cube_sum != 0
+    assert f.pcm_cube_sum == -o.pcm_cube_sum
+    assert f.pcm_sum == -o.pcm_sum

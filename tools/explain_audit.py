@@ -672,6 +672,17 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "audio_polarity": [
+        # same fused-kernel shape as audio_bit_depth: decode once,
+        # scalars aggregate map-side, payload never shuffles
+        ("at most two Python stages (fixture render + decode kernel)",
+         True, lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 2),
+        ("partial+final hash aggregate (map-side moment fold)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("single aggregate exchange (scalars only)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
     "audio_bit_depth": [
         # one decode pass: fixture render + the fused Arrow kernel are
         # the only Python stages; the OR fold aggregates map-side into
