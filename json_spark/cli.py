@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
                          "(container-vs-codec, dur-vs-header)")
     ap.add_argument("--max-silence-ratio", type=float, default=0.5,
                     help="per-clip YELLOW threshold for the silence check")
+    ap.add_argument("--schema-contract", default=None,
+                    metavar="CONTRACT_TOML",
+                    help="validate the input schema against [[field]] "
+                         "TOML tables (name/family/required) BEFORE any "
+                         "scan; a missing required column aborts in "
+                         "milliseconds (operators/schema.py)")
+    ap.add_argument("--schema-no-fail-fast", action="store_true",
+                    help="report missing required columns as RED rows "
+                         "instead of aborting")
     ap.add_argument("--domain-rules", default=None, metavar="RULES_TOML",
                     help="TOML file of declarative domain/CHECK "
                          "constraints ([[rule]] tables — "
@@ -113,12 +122,18 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.domain import domain_rules_from_toml
         with open(args.domain_rules, encoding="utf-8") as fh:
             domain_rules = domain_rules_from_toml(fh.read())
+    schema_contract = ()
+    if args.schema_contract:
+        from .operators.schema import contract_from_toml
+        schema_contract = tuple(contract_from_toml(args.schema_contract))
     cfg = SuiteConfig(partition_col=args.partition_col,
                       snr_threshold_db=args.snr_threshold_db,
                       content_checks=args.content_checks,
                       metadata_checks=args.metadata_checks,
                       max_silence_ratio=args.max_silence_ratio,
-                      domain_rules=domain_rules)
+                      domain_rules=domain_rules,
+                      schema_contract=schema_contract,
+                      schema_fail_fast=not args.schema_no_fail_fast)
     if args.baseline == "self":
         base_pop = clips
         if args.baseline_exclude is not None:

@@ -127,3 +127,26 @@ def schema_contract_report(spark: SparkSession, df: DataFrame,
         "field string, matched_name string, match_kind string, "
         "declared_family string, actual_family string, required boolean, "
         "verdict string")
+
+
+class SchemaContractError(ValueError):
+    """A required contract column is missing from the actual schema —
+    raised BEFORE any scan so a broken producer fails in milliseconds,
+    not after reading 100 TB."""
+
+
+def contract_from_toml(path: str) -> list[ContractField]:
+    """Load a contract from ``[[field]]`` TOML tables (name, family,
+    required) — the contract is data, like the reference's default.toml
+    and the suite's ``--domain-rules``."""
+    import tomllib
+    with open(path, "rb") as f:
+        doc = tomllib.load(f)
+    out = []
+    for t in doc.get("field", []):
+        out.append(ContractField(
+            name=str(t["name"]), family=str(t["family"]),
+            required=bool(t.get("required", True))))
+    if not out:
+        raise ValueError(f"no [[field]] tables in {path}")
+    return out

@@ -85,6 +85,15 @@ class SuiteConfig:
     #: dur-vs-header; operators/multimodal.py:metadata_consistency_verdicts)
     #: — opt-in; two check rows per partition + violations
     metadata_checks: bool = False
+    #: schema contract (operators/schema.py:ContractField tuple) — the
+    #: metadata-only pre-flight: validated BEFORE any scan is planned;
+    #: contributes one table-level check row + one violation per
+    #: non-GREEN field
+    schema_contract: tuple = ()
+    #: raise SchemaContractError (instead of scanning) when a REQUIRED
+    #: contract column is missing — a broken producer fails in
+    #: milliseconds, not after reading 100 TB
+    schema_fail_fast: bool = True
 
 
 @dataclass
@@ -823,6 +832,57 @@ class ValidationSuite:
 
     # ------------------------------------------------------------------ run
 
+    def check_schema(self, spark: SparkSession,
+                     clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Metadata-only schema-contract pre-flight (operators/schema.py):
+        the FlexKeys ladder over ``clips.schema`` against the declared
+        contract, evaluated BEFORE any scan is planned — driver-side, no
+        job. When a REQUIRED column is missing and ``schema_fail_fast``
+        is set, raises SchemaContractError instead of letting a broken
+        producer burn a 100 TB read; otherwise the findings flow through
+        the normal verdict/violation frames as a table-level check row
+        (partition_id ``__table__`` — schema is a property of the table,
+        not of any partition, and the check is cheap enough to re-run
+        every time, so it stays outside the resume ledger)."""
+        import json as _json
+
+        from ..operators.schema import (
+            SchemaContractError, spark_type_family, validate_schema)
+        c = self.cfg
+        actual = [(f.name, spark_type_family(f.dataType.simpleString()))
+                  for f in clips.schema.fields]
+        rows = validate_schema(actual, list(c.schema_contract))
+        missing_req = [r for r in rows
+                       if r["match_kind"] == "missing" and r["required"]]
+        if missing_req and c.schema_fail_fast:
+            names = ", ".join(r["field"] for r in missing_req)
+            raise SchemaContractError(
+                f"required columns missing from input schema: {names}")
+        rank = {"GREEN": 0, "YELLOW": 1, "RED": 2}
+        worst = max((r["verdict"] for r in rows),
+                    key=lambda v: rank[v], default="GREEN")
+        counts = [sum(r["verdict"] == v for r in rows)
+                  for v in ("GREEN", "YELLOW", "RED")]
+        metrics = _json.dumps(
+            {r["field"]: f'{r["match_kind"]}:{r["verdict"]}'
+             for r in rows}, sort_keys=True)
+        verdicts = spark.createDataFrame(
+            [("__table__", "schema", worst, len(rows),
+              counts[0], counts[1], counts[2], metrics)],
+            "partition_id string, check_name string, verdict string, "
+            "n_rows long, n_green long, n_yellow long, n_red long, "
+            "metrics_json string")
+        viol = [(None, "__table__", "schema",
+                 f'{r["match_kind"]}:{r["field"]}',
+                 (r["actual_family"] or "")[:50])
+                for r in rows if r["verdict"] != "GREEN"]
+        violations = (spark.createDataFrame(
+            viol, "clip_id string, partition_id string, "
+                  "check_name string, reason string, "
+                  "offending_value_trunc50 string")
+            if viol else _empty_violations(spark))
+        return verdicts, violations
+
     def run(
         self,
         spark: SparkSession,
@@ -839,6 +899,11 @@ class ValidationSuite:
         self._cache = []
         verdict_frames: list[DataFrame] = []
         violation_frames: list[DataFrame] = []
+
+        if c.schema_contract:
+            sv, sviol = self.check_schema(spark, clips)
+            verdict_frames.append(sv)
+            violation_frames.append(sviol)
 
         active_checks = ["stats", "uniqueness", "header", "snr"]
         if c.content_checks:
@@ -867,13 +932,19 @@ class ValidationSuite:
             work, n_pending = prune_to_pending(
                 clips, pend.distinct(), c.partition_col)
             if n_pending == 0:
-                return SuiteResult(
-                    partition_verdicts=spark.createDataFrame(
-                        [], "partition_id string, check_name string, "
-                            "verdict string, n_rows long, n_green long, "
-                            "n_yellow long, n_red long, metrics_json string"),
-                    violations=_empty_violations(spark),
-                )
+                # fully-resumed run: no partition work left, but the
+                # (ledger-exempt) schema pre-flight rows still report
+                empty_v = spark.createDataFrame(
+                    [], "partition_id string, check_name string, "
+                        "verdict string, n_rows long, n_green long, "
+                        "n_yellow long, n_red long, metrics_json string")
+                for vf in verdict_frames:
+                    empty_v = empty_v.unionByName(vf)
+                empty_viol = _empty_violations(spark)
+                for vf in violation_frames:
+                    empty_viol = empty_viol.unionByName(vf)
+                return SuiteResult(partition_verdicts=empty_v,
+                                   violations=empty_viol)
 
         verdict_frames.append(self.check_stats(work))
         if c.domain_rules:

@@ -139,3 +139,35 @@ def test_cli_out_still_required_without_suggest(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=60)
     assert proc.returncode != 0
     assert "--out is required" in proc.stderr
+
+
+def test_cli_schema_contract(spark, tmp_path):
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    write_fixtures(spark, fixture, 1000, partitions=2)
+    contract = tmp_path / "contract.toml"
+    contract.write_text(
+        '[[field]]\nname = "clip_id"\nfamily = "string"\n\n'
+        '[[field]]\nname = "Sr-Hz"\nfamily = "integer"\n\n'
+        '[[field]]\nname = "bytes"\nfamily = "binary"\n')
+    out = str(tmp_path / "out")
+    res = _cli(["--clips", f"{fixture}/clips", "--out", out,
+                "--schema-contract", str(contract), "--cores", "4"])
+    # 4 codecs x 4 base checks + the one __table__ schema row
+    assert res["n_partition_checks"] == 17
+
+
+def test_cli_schema_contract_fail_fast(spark, tmp_path):
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    write_fixtures(spark, fixture, 1000, partitions=2)
+    contract = tmp_path / "contract.toml"
+    contract.write_text(
+        '[[field]]\nname = "speaker_id"\nfamily = "string"\n')
+    proc = subprocess.run(
+        [sys.executable, "-m", "json_spark",
+         "--clips", f"{fixture}/clips", "--out", str(tmp_path / "out"),
+         "--schema-contract", str(contract), "--cores", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert proc.returncode != 0
+    assert "speaker_id" in proc.stderr

@@ -98,3 +98,68 @@ def test_report_frame_end_to_end(spark):
     assert by["codec"]["verdict"] == "GREEN"
     assert by["score"]["verdict"] == "YELLOW"   # integer over fractional
     assert len(by) == 3                          # no unknowns
+
+
+# --- suite pre-flight integration ------------------------------------------
+
+def _clips_contract():
+    return (
+        ContractField("clip_id", "string", True),
+        ContractField("Sr-Hz", "integer", True),       # chameleon
+        ContractField("dur_ms", "integer", True),
+        ContractField("codec", "string", True),
+        ContractField("bytes", "binary", True),
+        ContractField("transcript", "string", False),
+    )
+
+
+def test_suite_schema_preflight_rows(spark):
+    from json_spark.fixtures.gen import generate_clips
+    from json_spark.plans.suite import SuiteConfig, ValidationSuite
+    clips = generate_clips(spark, 120, partitions=2)
+    cfg = SuiteConfig(schema_contract=_clips_contract())
+    res = ValidationSuite(cfg).run(spark, clips)
+    schema_rows = (res.partition_verdicts
+                   .filter("check_name = 'schema'").collect())
+    assert len(schema_rows) == 1
+    row = schema_rows[0]
+    assert row["partition_id"] == "__table__"
+    assert row["verdict"] == "YELLOW"          # the chameleon Sr-Hz match
+    assert row["n_rows"] == 6 and row["n_red"] == 0
+    viol = (res.violations.filter("check_name = 'schema'").collect())
+    assert [v["reason"] for v in viol] == ["chameleon:Sr-Hz"]
+    res.unpersist()
+
+
+def test_suite_schema_fail_fast(spark):
+    from json_spark.fixtures.gen import generate_clips
+    from json_spark.operators.schema import SchemaContractError
+    from json_spark.plans.suite import SuiteConfig, ValidationSuite
+    import pytest
+    clips = generate_clips(spark, 50, partitions=2)
+    contract = _clips_contract() + (
+        ContractField("speaker_id", "string", True),)
+    cfg = SuiteConfig(schema_contract=contract)
+    with pytest.raises(SchemaContractError, match="speaker_id"):
+        ValidationSuite(cfg).run(spark, clips)
+    # fail-fast off: the missing column reports as a RED row instead
+    cfg = SuiteConfig(schema_contract=contract, schema_fail_fast=False)
+    res = ValidationSuite(cfg).run(spark, clips)
+    row = (res.partition_verdicts
+           .filter("check_name = 'schema'").collect())[0]
+    assert row["verdict"] == "RED" and row["n_red"] == 1
+    assert any(v["reason"] == "missing:speaker_id"
+               for v in res.violations.collect())
+    res.unpersist()
+
+
+def test_contract_from_toml(tmp_path):
+    from json_spark.operators.schema import contract_from_toml
+    p = tmp_path / "contract.toml"
+    p.write_text(
+        '[[field]]\nname = "clip_id"\nfamily = "string"\n\n'
+        '[[field]]\nname = "dur_ms"\nfamily = "integer"\n'
+        'required = false\n')
+    c = contract_from_toml(str(p))
+    assert c == [ContractField("clip_id", "string", True),
+                 ContractField("dur_ms", "integer", False)]
