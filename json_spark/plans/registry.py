@@ -1436,6 +1436,26 @@ bw AS (
                      lag(v) OVER (PARTITION BY i ORDER BY j) AS pv
               FROM samples)
         GROUP BY 1, 2)
+  GROUP BY 1),
+bits AS (
+  SELECT partition_id,
+         CAST(bit_or(or_abs) AS BIGINT) AS p_or,
+         CAST(count(*) FILTER (WHERE eff < 9) AS BIGINT)
+           AS n_bits_yellow
+  FROM (SELECT i, codec AS partition_id, bit_or(abs(v)) AS or_abs,
+               CASE WHEN bit_or(abs(v)) = 0 THEN 0
+                    ELSE 16 - bit_count(CAST(
+                         (bit_or(abs(v)) & (-bit_or(abs(v)))) - 1
+                         AS BIGINT)) END AS eff
+        FROM samples GROUP BY 1, 2)
+  GROUP BY 1),
+pol AS (
+  SELECT partition_id,
+         CAST(sum(s3) AS BIGINT) AS cube_sum,
+         CAST(count(*) FILTER (WHERE s3 < 0) AS BIGINT) AS n_neg,
+         CAST(count(*) FILTER (WHERE s3 > 0) AS BIGINT) AS n_pos
+  FROM (SELECT i, codec AS partition_id, SUM(v*v*v) AS s3
+        FROM samples GROUP BY 1, 2)
   GROUP BY 1)
 SELECT p.partition_id, 'pcm_content' AS check_name,
        CASE WHEN p.n_red > 0 THEN 'RED' ELSE 'GREEN' END AS verdict,
@@ -1461,14 +1481,32 @@ SELECT p.partition_id, 'bandwidth',
        '{{"hfc_sum":' || b.hfc_sum || ',"pcm_sq_sum":' || b.sq_sum
          || '}}'
 FROM part p JOIN bw b USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'bit_depth',
+       CASE WHEN p.n_red > 0 THEN 'RED'
+            WHEN t.n_bits_yellow > 0 THEN 'YELLOW' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - p.n_red - t.n_bits_yellow,
+       t.n_bits_yellow, p.n_red,
+       '{{"or_abs":' || t.p_or || ',"n_low_bits":' || t.n_bits_yellow
+         || '}}'
+FROM part p JOIN bits t USING (partition_id)
+UNION ALL
+SELECT p.partition_id, 'polarity',
+       CASE WHEN p.n_red > 0 THEN 'RED' ELSE 'GREEN' END,
+       p.n_rows, p.n_rows - p.n_red, CAST(0 AS BIGINT), p.n_red,
+       '{{"cube_sum":' || o.cube_sum || ',"n_neg_skew":' || o.n_neg
+         || ',"n_pos_skew":' || o.n_pos || '}}'
+FROM part p JOIN pol o USING (partition_id)
 """)
 def q_suite_content_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ValidationSuite run with ``content_checks=True``: the
-    sample-exact PCM content check, the silence-curation check, and the
-    effective-bandwidth (upsample-suspect) check ride the SAME single
-    scan of ``bytes`` as header + SNR (pcm_scan emits all six column
-    groups from one container decode — plans/suite.py:check_media). The
-    oracle re-derives all three verdict rows per codec partition
+    sample-exact PCM content check, the silence-curation check, the
+    effective-bandwidth (upsample-suspect) check, the effective-bit-depth
+    (requantization) check, and the polarity (third-moment) profile all
+    ride the SAME single scan of ``bytes`` as header + SNR (pcm_scan
+    emits all eight column groups from one container decode —
+    plans/suite.py:check_media). The
+    oracle re-derives all five verdict rows per codec partition
     without reading a byte: verdict/row counts come from the planted
     corruption arithmetic (i % 997), and metrics_json is rebuilt
     integer-for-integer from the analytic per-sample twin (pure-SQL
@@ -1485,7 +1523,8 @@ def q_suite_content_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, _SNR_N, partitions=8)
     res = ValidationSuite(SuiteConfig(content_checks=True)).run(spark, clips)
     return res.partition_verdicts.filter(
-        F.col("check_name").isin("pcm_content", "silence", "bandwidth")
+        F.col("check_name").isin("pcm_content", "silence", "bandwidth",
+                                 "bit_depth", "polarity")
     ).select(
         "partition_id", "check_name", "verdict", "n_rows",
         "n_green", "n_yellow", "n_red", "metrics_json")

@@ -72,6 +72,10 @@ class SuiteConfig:
     #: point (Σ(Δv)²·10⁴ DIV Σv²) falls below this — 384 ⇔ f_eff <
     #: Nyquist/16, the upsample-suspect band (content_checks only)
     bandwidth_fp_yellow: int = 384
+    #: per-clip YELLOW when effective bit depth (16 − ctz(OR of |v|))
+    #: falls below this — content stored as 16-bit but quantized
+    #: upstream at 8 bits shows eff = 8 (content_checks only)
+    min_eff_bits_yellow: int = 9
     drift_bins: int = 10
     #: columns drifted-checked (north star: sr_hz AND dur_ms) with their
     #: fixed bucket ranges — shared by baseline and current so edges match
@@ -549,12 +553,13 @@ class ValidationSuite:
         remains the zero-Python path when only header integrity is wanted.
 
         Returns (header_verdicts, header_violations, snr_verdicts,
-        snr_violations); with ``cfg.content_checks`` three more verdict
-        frames (pcm_content, silence, bandwidth) and two more violation
-        frames ride the SAME decode pass — pcm_scan emits the
-        sample-exact digest, amplitude-profile, and energy+hfc column
-        groups next to header + SNR, so five check families cost one
-        scan of the binary column.
+        snr_violations); with ``cfg.content_checks`` five more verdict
+        frames (pcm_content, silence, bandwidth, bit_depth, polarity)
+        and three more violation frames ride the SAME decode pass —
+        pcm_scan emits the sample-exact digest, amplitude-profile,
+        energy+hfc, OR-fold, and third-moment column groups next to
+        header + SNR, so seven check families cost one scan of the
+        binary column.
         """
         c = self.cfg
         content = c.content_checks
@@ -569,7 +574,8 @@ class ValidationSuite:
                        extra_cols=[c.partition_col, "sr_hz"],
                        emit_header=True,
                        emit_digest=content, emit_profile=content,
-                       emit_energy=content, emit_hfc=content)
+                       emit_energy=content, emit_hfc=content,
+                       emit_bits=content, emit_cube=content)
         container_ok = (F.col("riff_ok")
                         & (F.col("payload_len") == 44 + F.col("data_bytes")))
         sr_ok = F.col("hdr_sr_hz") == F.col("sr_hz").cast("bigint")
@@ -594,12 +600,24 @@ class ValidationSuite:
             "CASE WHEN pcm_sq_sum > 0 THEN hfc * 10000 DIV pcm_sq_sum END")
         bw_bad = (F.coalesce(nhfc_fp < c.bandwidth_fp_yellow, F.lit(False))
                   if content else F.lit(False))
-        viol_cond = snr_red | (hdr_code != 0) | sil_bad | bw_bad
+        # effective bit depth off the same scan's OR-fold scalar (null
+        # on RED clips): 16 − ctz via the pure-integer bit_count idiom
+        eff_bits = F.when(F.col("or_abs") == 0, F.lit(0)).otherwise(
+            F.lit(16) - F.bit_count(
+                F.col("or_abs").bitwiseAND(-F.col("or_abs"))
+                - F.lit(1))).cast("long") if content else F.lit(None)
+        bits_bad = (F.coalesce(eff_bits < c.min_eff_bits_yellow,
+                               F.lit(False))
+                    if content else F.lit(False))
+        viol_cond = (snr_red | (hdr_code != 0) | sil_bad | bw_bad
+                     | bits_bad)
         content_cols = ([
             "n_samples", "pcm_sum", "pcm_abs_sum", "pcm_jv_sum",
             "n_silence", "n_ceiling", sil_bad.alias("sil_bad"),
             "hfc", "pcm_sq_sum", nhfc_fp.alias("nhfc_fp"),
             bw_bad.alias("bw_bad"),
+            "or_abs", eff_bits.alias("eff_bits"),
+            bits_bad.alias("bits_bad"), "pcm_cube_sum",
         ] if content else [])
         slim = self._p(raw.select(
             F.col(c.partition_col).alias("partition_id"),
@@ -629,6 +647,13 @@ class ValidationSuite:
             F.sum("hfc").alias("c_hfc_sum"),
             F.sum("pcm_sq_sum").alias("c_sq_sum"),
             F.sum(F.col("bw_bad").cast("long")).alias("n_bw_yellow"),
+            F.expr("bit_or(or_abs)").alias("p_or_abs"),
+            F.sum(F.col("bits_bad").cast("long")).alias("n_bits_yellow"),
+            F.sum("pcm_cube_sum").alias("c_cube_sum"),
+            F.sum((F.col("pcm_cube_sum") < 0).cast("long"))
+            .alias("n_neg_skew"),
+            F.sum((F.col("pcm_cube_sum") > 0).cast("long"))
+            .alias("n_pos_skew"),
         ] if content else [])
         agg = self._p(slim.groupBy("partition_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -675,7 +700,8 @@ class ValidationSuite:
         )
         viol_base = slim.filter(F.col("viol_info").isNotNull()).select(
             "partition_id", "snr_db", "snr_red", "hdr_code",
-            *(["sil_bad", "n_silence", "n_samples", "bw_bad", "nhfc_fp"]
+            *(["sil_bad", "n_silence", "n_samples", "bw_bad", "nhfc_fp",
+               "bits_bad", "eff_bits"]
               if content else []),
             F.split("viol_info", "\x00").getItem(0).alias("clip_id"),
             F.split("viol_info", "\x00").getItem(1).alias("hdr_sr"),
@@ -789,7 +815,56 @@ class ValidationSuite:
                          F.col("nhfc_fp").cast("string")),
                 1, 50).alias("offending_value_trunc50"),
         )
-        return hv, hviol, sv, sviol, pcv, silv, bwv, silviol, bwviol
+        bdv = agg.select(
+            "partition_id",
+            F.lit("bit_depth").alias("check_name"),
+            F.when(F.col("n_snr_red") > 0, "RED")
+            .when(F.col("n_bits_yellow") > 0, "YELLOW")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_snr_red") - F.col("n_bits_yellow"))
+            .alias("n_green"),
+            F.col("n_bits_yellow").cast("long").alias("n_yellow"),
+            F.col("n_snr_red").cast("long").alias("n_red"),
+            F.concat(
+                F.lit('{"or_abs":'),
+                F.coalesce(F.col("p_or_abs").cast("string"), F.lit("0")),
+                F.lit(',"n_low_bits":'),
+                F.coalesce(F.col("n_bits_yellow").cast("string"),
+                           F.lit("0")),
+                F.lit("}")).alias("metrics_json"),
+        )
+        bdviol = viol_base.filter(F.col("bits_bad")).select(
+            "clip_id",
+            "partition_id",
+            F.lit("bit_depth").alias("check_name"),
+            F.lit(f"effective bit depth below {c.min_eff_bits_yellow} "
+                  "(requantized upstream)").alias("reason"),
+            F.substring(
+                F.concat(F.lit("eff_bits="),
+                         F.col("eff_bits").cast("string")),
+                1, 50).alias("offending_value_trunc50"),
+        )
+        plv = agg.select(
+            "partition_id",
+            F.lit("polarity").alias("check_name"),
+            F.when(F.col("n_snr_red") > 0, "RED")
+            .otherwise("GREEN").alias("verdict"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_snr_red")).alias("n_green"),
+            F.lit(0).cast("long").alias("n_yellow"),
+            F.col("n_snr_red").cast("long").alias("n_red"),
+            F.concat(
+                F.lit('{"cube_sum":'),
+                F.coalesce(F.col("c_cube_sum").cast("string"), F.lit("0")),
+                F.lit(',"n_neg_skew":'),
+                F.coalesce(F.col("n_neg_skew").cast("string"), F.lit("0")),
+                F.lit(',"n_pos_skew":'),
+                F.coalesce(F.col("n_pos_skew").cast("string"), F.lit("0")),
+                F.lit("}")).alias("metrics_json"),
+        )
+        return (hv, hviol, sv, sviol, pcv, silv, bwv, bdv, plv,
+                silviol, bwviol, bdviol)
 
     def check_snr(self, clips: DataFrame) -> tuple[DataFrame, DataFrame]:
         c = self.cfg
@@ -907,7 +982,8 @@ class ValidationSuite:
 
         active_checks = ["stats", "uniqueness", "header", "snr"]
         if c.content_checks:
-            active_checks += ["pcm_content", "silence"]
+            active_checks += ["pcm_content", "silence", "bandwidth",
+                              "bit_depth", "polarity"]
         if c.domain_rules:
             active_checks += [r.check_name for r in c.domain_rules]
         if c.metadata_checks:
@@ -974,12 +1050,11 @@ class ValidationSuite:
         verdict_frames.append(sv)
         violation_frames.append(sviol)
         if c.content_checks:
-            pcv, silv, bwv, silviol, bwviol = media[4:]
-            verdict_frames.append(pcv)
-            verdict_frames.append(silv)
-            verdict_frames.append(bwv)
-            violation_frames.append(silviol)
-            violation_frames.append(bwviol)
+            pcv, silv, bwv, bdv, plv, silviol, bwviol, bdviol = media[4:]
+            for vf in (pcv, silv, bwv, bdv, plv):
+                verdict_frames.append(vf)
+            for vf in (silviol, bwviol, bdviol):
+                violation_frames.append(vf)
 
         verdicts = verdict_frames[0]
         for fdf in verdict_frames[1:]:

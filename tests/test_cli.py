@@ -51,13 +51,14 @@ def test_cli_content_checks(spark, tmp_path):
     out = str(tmp_path / "out")
     res = _cli(["--clips", f"{fixture}/clips", "--out", out,
                 "--content-checks", "--cores", "4"])
-    # stats/uniqueness/header/snr + pcm_content/silence/bandwidth,
-    # 4 codecs
-    assert res["n_partition_checks"] == 28
+    # stats/uniqueness/header/snr + pcm_content/silence/bandwidth/
+    # bit_depth/polarity, 4 codecs
+    assert res["n_partition_checks"] == 36
     got = {r["check_name"] for r in
            spark.read.parquet(f"{out}/partition_verdicts")
            .select("check_name").distinct().collect()}
-    assert {"pcm_content", "silence", "bandwidth"} <= got
+    assert {"pcm_content", "silence", "bandwidth", "bit_depth",
+            "polarity"} <= got
 
 
 def test_cli_domain_rules_toml(spark, tmp_path):

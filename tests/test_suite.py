@@ -172,13 +172,14 @@ def content_result(spark, fixture_dir) -> SuiteResult:
 
 
 def test_content_checks_ride_the_media_pass(content_result):
-    """content_checks=True adds pcm_content + silence + bandwidth verdict
-    rows per partition, served by the same single decode pass as
-    header + snr."""
+    """content_checks=True adds pcm_content + silence + bandwidth +
+    bit_depth + polarity verdict rows per partition, served by the same
+    single decode pass as header + snr."""
     names = {r["check_name"] for r in
              content_result.partition_verdicts.select("check_name")
              .distinct().collect()}
-    assert {"pcm_content", "silence", "bandwidth", "header", "snr"} <= names
+    assert {"pcm_content", "silence", "bandwidth", "bit_depth",
+            "polarity", "header", "snr"} <= names
 
 
 def test_pcm_content_matches_standalone_digest(spark, fixture_dir,
