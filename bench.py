@@ -168,6 +168,7 @@ HEADLINE = [
     "size_model_conformance",
     "schema_contract",
     "audio_polarity",
+    "quarantine_rows",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

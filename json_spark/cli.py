@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(container-vs-codec, dur-vs-header)")
     ap.add_argument("--max-silence-ratio", type=float, default=0.5,
                     help="per-clip YELLOW threshold for the silence check")
+    ap.add_argument("--quarantine", default=None, metavar="PATH",
+                    help="also write the FULL rows (payload included) of "
+                         "every violating clip to PATH — the repair/"
+                         "triage side table (plans/suite.py:quarantine)")
     ap.add_argument("--schema-contract", default=None,
                     metavar="CONTRACT_TOML",
                     help="validate the input schema against [[field]] "
@@ -160,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
         "n_red": verdicts.filter(F.col("verdict") == "RED").count(),
         "n_violations": spark.read.parquet(f"{args.out}/violations").count(),
     }
+    if args.quarantine:
+        from .plans.suite import quarantine
+        q = quarantine(
+            clips, spark.read.parquet(f"{args.out}/violations"))
+        q.write.mode("overwrite").parquet(args.quarantine)
+        summary["n_quarantined"] = (
+            spark.read.parquet(args.quarantine).count())
     print(json.dumps(summary))
     res.unpersist()
     spark.stop()

@@ -76,9 +76,9 @@ ORACLE_SQL: dict[str, str] = {}
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling, the late session-2 family sentinel_scan /
 #: event_autocorr / key_type_drift / size_model_conformance /
-#: schema_contract / audio_polarity (oracle-backed, replica-green,
-#: never driver-checked) plus multimodal_meta (rows-only, displaced by
-#: audio_bit_depth),
+#: schema_contract / audio_polarity / quarantine_rows (oracle-backed,
+#: replica-green, never driver-checked) plus multimodal_meta
+#: (rows-only, displaced by audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
 #: coercion_integer / coercion_string / coercion_time /
@@ -7833,3 +7833,38 @@ def q_audio_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_pos_skew"),
                  F.sum((F.col("pcm_cube_sum") == 0).cast("long"))
                  .alias("n_sym")))
+
+
+@register("quarantine_rows", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+rows_cf AS (
+  SELECT f.i, b.clip_id, f.codec, f.sr_hz, f.dur_ms
+  FROM full_ f JOIN base b USING (i)),
+bad AS (
+  SELECT DISTINCT clip_id FROM rows_cf WHERE i % 997 = 996
+  UNION
+  SELECT DISTINCT clip_id FROM rows_cf WHERE i % 1000 = 999 AND i > 0)
+SELECT r.clip_id, r.codec, CAST(r.sr_hz AS BIGINT) AS sr_hz,
+       CAST(r.dur_ms AS BIGINT) AS dur_ms
+FROM rows_cf r JOIN bad USING (clip_id)
+""")
+def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine sink (plans/suite.py:quarantine): the FULL rows of
+    every clip the suite's violations name — the repair/triage side
+    table the truncated violation evidence cannot serve. A base suite
+    run violates on planted SNR corruption (i % 997) and duplicate ids
+    (i % 1000 reuse), so the oracle derives the exact quarantined row
+    set — BOTH copies of each duplicate pair, since the semi-join is by
+    key — from the generator arithmetic without reading a byte; a match
+    proves the violations → distinct-keys → LEFT SEMI extraction loses
+    and invents nothing. The payload never shuffles (defect-sized key
+    set broadcasts; bytes stream map-side).
+    """
+    from ..fixtures.gen import generate_clips
+    from ..plans.suite import SuiteConfig, ValidationSuite, quarantine
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    res = ValidationSuite(SuiteConfig()).run(spark, clips)
+    q = quarantine(clips, res.violations)
+    return q.select("clip_id", "codec",
+                    F.col("sr_hz").cast("long").alias("sr_hz"),
+                    F.col("dur_ms").cast("long").alias("dur_ms"))

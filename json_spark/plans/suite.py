@@ -120,6 +120,24 @@ class SuiteResult:
 PRUNE_LITERAL_MAX = 10_000
 
 
+def quarantine(clips: DataFrame, violations: DataFrame,
+               key_col: str = "clip_id") -> DataFrame:
+    """Full-row quarantine extraction — the violations frame names WHO
+    failed but carries only 50-char truncated evidence
+    (helpers.go:12-23's stance); repair, re-ingest, and manual triage
+    need the FULL rows, payload included. LEFT SEMI join of the source
+    against the distinct violating key set: the keys collapse to a
+    (defect-sized) distinct frame that AQE broadcasts, so the payload
+    column streams map-side and never shuffles — at 10^12 rows the
+    cost is one pruned scan, not a payload exchange. The result is the
+    side table a ``--quarantine`` sink materializes next to verdicts
+    and violations.
+    """
+    keys = violations.select(F.col(key_col)).filter(
+        F.col(key_col).isNotNull()).distinct()
+    return clips.join(keys, key_col, "left_semi")
+
+
 def prune_to_pending(clips: DataFrame, pending: DataFrame,
                      partition_col: str,
                      max_literal: int = PRUNE_LITERAL_MAX

@@ -172,3 +172,21 @@ def test_cli_schema_contract_fail_fast(spark, tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=300)
     assert proc.returncode != 0
     assert "speaker_id" in proc.stderr
+
+
+def test_cli_quarantine(spark, tmp_path):
+    from json_spark.fixtures.gen import write_fixtures
+    fixture = str(tmp_path / "fixture")
+    write_fixtures(spark, fixture, 2000, partitions=2)
+    out = str(tmp_path / "out")
+    qdir = str(tmp_path / "quarantine")
+    res = _cli(["--clips", f"{fixture}/clips", "--out", out,
+                "--quarantine", qdir, "--cores", "4"])
+    assert res["n_quarantined"] > 0
+    q = spark.read.parquet(qdir)
+    # full source schema, payloads included
+    assert set(q.columns) >= {"clip_id", "bytes", "sr_hz", "dur_ms",
+                              "codec"}
+    viol_ids = {r["clip_id"] for r in spark.read.parquet(f"{out}/violations")
+                .select("clip_id").distinct().collect() if r["clip_id"]}
+    assert {r["clip_id"] for r in q.select("clip_id").collect()} == viol_ids

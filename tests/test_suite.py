@@ -366,3 +366,33 @@ def test_manifest_dangling_reverse_referential(spark, fixture_dir):
     want = {f"clip-{i:012d}" for i in range(N)
             if i % 1000 == 999 and i > 0 and i % 991 != 990}
     assert got == want and len(got) == 3
+
+
+def test_quarantine_full_rows(spark):
+    """quarantine() extracts the FULL rows (payload included) of every
+    violating clip — both copies of a duplicate pair, the corrupt clip,
+    nothing else."""
+    from json_spark.fixtures.gen import CORRUPT_EVERY, DUP_EVERY, _row, \
+        generate_clips
+    from json_spark.plans.suite import SuiteConfig, ValidationSuite, \
+        quarantine
+    n = 1100
+    clips = generate_clips(spark, n, partitions=4)
+    res = ValidationSuite(SuiteConfig()).run(spark, clips)
+    q = quarantine(clips, res.violations)
+    rows = q.collect()
+    assert all(r["bytes"] is not None for r in rows)   # full payloads
+    want = set()
+    for i in range(n):
+        if i % CORRUPT_EVERY == CORRUPT_EVERY - 1:
+            want.add(_row(i)["clip_id"])
+        if i % DUP_EVERY == DUP_EVERY - 1 and i > 0:
+            want.add(_row(i)["clip_id"])               # the reused id
+    got = {r["clip_id"] for r in rows}
+    assert got == want
+    # both copies of each dup pair ride along (semi-join is by key)
+    dup_ids = {_row(i)["clip_id"] for i in range(n)
+               if i % DUP_EVERY == DUP_EVERY - 1 and i > 0}
+    for d in dup_ids:
+        assert sum(1 for r in rows if r["clip_id"] == d) == 2
+    res.unpersist()

@@ -672,6 +672,16 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "quarantine_rows": [
+        # the violating-key set broadcasts; the payload-bearing source
+        # rows stream map-side through the semi-join — bytes never
+        # enter an Exchange
+        ("broadcast left-semi join (keys broadcast, payload map-side)",
+         True, lambda p: "BroadcastHashJoin" in p and "LeftSemi" in p),
+        ("payload never shuffled (no hash Exchange carries bytes)", True,
+         lambda p: not re.search(
+             r"Exchange hashpartitioning[^\n]*bytes", p)),
+    ],
     "audio_polarity": [
         # same fused-kernel shape as audio_bit_depth: decode once,
         # scalars aggregate map-side, payload never shuffles
