@@ -357,3 +357,25 @@ def default_stream_rules(cfg: RuleConfig, number_col: str,
         number_col: coerce_number(F.col(number_col), cfg).verdict,
         bool_col: coerce_bool(F.col(bool_col), cfg).verdict,
     }
+
+
+def streaming_route(stream: DataFrame,
+                    rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """Quarantine at INGEST: split a stream into (kept, dead_letter) by
+    per-row verdict — RED rows divert to the dead-letter sink in the
+    very micro-batch that carries them, payload intact, while GREEN and
+    tolerated-YELLOW rows continue to the main table. The streaming
+    twin of the batch quarantine sink (plans/suite.py:quarantine),
+    pushed to the earliest possible point: a bad clip never lands in
+    the corpus at all, so no later scan pays for it.
+
+    Both halves are stateless filters over the SAME row-verdict
+    projection (streaming_row_verdicts) — no watermark, no state store,
+    no shuffle; each sink attaches its own writeStream/checkpoint and
+    Spark plans the map per sink. Every rule's per-column verdict rides
+    along in the dead-letter rows, so triage knows WHY without
+    re-deriving anything.
+    """
+    v = streaming_row_verdicts(stream, rules)
+    return (v.filter(F.col("row_verdict") != "RED"),
+            v.filter(F.col("row_verdict") == "RED"))

@@ -803,3 +803,29 @@ def test_streaming_sentinel_rules_equal_batch(spark):
     assert out[3]["uid__verdict"] == "YELLOW"
     assert out[3]["amount__verdict"] == "YELLOW"
     assert out[3]["label__verdict"] == "YELLOW"
+
+
+def test_streaming_dead_letter_routing(spark, tmp_path):
+    """streaming_route: RED rows land in the dead-letter sink with
+    payload + per-rule verdicts intact, in the same micro-batch; clean
+    and tolerated rows continue to the main table. The streaming twin
+    of the batch quarantine sink."""
+    from json_spark.streaming.validate import streaming_route
+    src = str(tmp_path / "src")
+    _write_batch(spark, BATCH1, src)       # 1 RED, 2 YELLOW, 2 GREEN
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    kept, dead = streaming_route(
+        stream, default_stream_rules(CFG, "raw_num", "raw_bool"))
+    for df, name in ((kept, "kept"), (dead, "dead")):
+        q = (df.writeStream.format("parquet")
+             .option("path", str(tmp_path / name))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"chk_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    dead_rows = spark.read.parquet(str(tmp_path / "dead")).collect()
+    kept_rows = spark.read.parquet(str(tmp_path / "kept")).collect()
+    assert len(dead_rows) == 1 and len(kept_rows) == 4
+    assert dead_rows[0]["raw_num"] == "not-a-number"   # payload intact
+    assert dead_rows[0]["raw_num__verdict"] == "RED"   # triage carries WHY
+    assert all(r["row_verdict"] != "RED" for r in kept_rows)
