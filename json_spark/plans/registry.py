@@ -78,7 +78,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: event_autocorr / key_type_drift / size_model_conformance /
 #: schema_contract / audio_polarity / quarantine_rows (oracle-backed,
 #: replica-green, never driver-checked) plus multimodal_meta
-#: (rows-only, displaced by audio_bit_depth),
+#: (oracle-backed since mid-r3, replica-green; displaced by
+#: audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
 #: (temperature_sample, audio_content_dedup, ledger_trend, plus
 #: coercion_integer / coercion_string / coercion_time /
@@ -137,12 +138,14 @@ GATE_FRONT: list[str] = [
     # embedding-geometry query; queues for r4)
     # audio_bit_depth is brand-new (new emit_bits kernel group in
     # snr.py = newest content-path code, highest residual risk); it
-    # displaces multimodal_meta (rows-only by nature — a no_oracle
-    # driver row adds the least evidence; queues for r4). The other
-    # three queries added alongside it (sentinel_scan, event_autocorr,
-    # key_type_drift — oracle-backed, replica-green at sf0.01,
-    # pytest-pinned) queue for the r4 front with the other waiters
-    # rather than displace never-driver-checked r2 entries.
+    # displaces multimodal_meta (oracle-backed since mid-r3 and
+    # replica-green, code unchanged since — of the window's members
+    # the one whose driver row adds the least NEW evidence; queues
+    # for r4). The other queries added alongside it (sentinel_scan,
+    # event_autocorr, key_type_drift, size_model_conformance,
+    # schema_contract, audio_polarity, quarantine_rows — all
+    # oracle-backed, replica-green at sf0.01, pytest-pinned) queue for
+    # the r4 front rather than displace never-driver-checked entries.
     "audio_flac_roundtrip", "audio_bit_depth", "embedding_isotropy",
     # ADVICE edge-case fixes changed these operators' behavior (null
     # payloads, zero-length data chunks) after their r2 green row; the
