@@ -169,6 +169,7 @@ HEADLINE = [
     "schema_contract",
     "audio_polarity",
     "quarantine_rows",
+    "data_freshness",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

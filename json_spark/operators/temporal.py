@@ -269,3 +269,40 @@ def autocorrelation(df: DataFrame, ts_col: str,
     return agg.select("lag", "n_pairs", "sum_x", "sum_y", "sum_xy",
                       F.round(num.cast("double") / den, 6)
                       .alias("autocorr"))
+
+
+def freshness(df: DataFrame, ts_col: str, group_cols: list[str],
+              as_of: str, yellow_minutes: int = 60,
+              red_minutes: int = 24 * 60) -> DataFrame:
+    """Data-freshness check: per group, how stale is the newest row
+    relative to ``as_of`` (the run's pinned reference instant — passed
+    in, never read from the wall clock, so runs are reproducible and
+    resumable). The ops-monitor complement of coverage_gaps: gaps see
+    holes in the PAST, freshness sees a feed that silently stopped —
+    the most common production data incident there is.
+
+    Emits per group: n_rows, newest (the max event time), lag_minutes
+    (integer, floor), and a GREEN/YELLOW/RED verdict against the two
+    staleness bands. Lag arithmetic is integer microseconds
+    (:func:`epoch_us`, session-TZ-proof), so an independent SQL twin
+    reproduces every value exactly.
+
+    Scale shape: ONE map-combinable max/count aggregate touches the
+    corpus; everything after runs on the |groups|-row result. At 10^12
+    rows this is the cheapest check in the suite.
+    """
+    as_of_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"TIMESTAMP_NTZ '{as_of}')")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(ts_col).alias("newest"),
+        F.max(epoch_us(ts_col)).alias("__mx_us"))
+    lag_min = F.floor((as_of_us - F.col("__mx_us")) / F.lit(60_000_000)) \
+        .cast("long")
+    return agg.select(
+        *group_cols, "n_rows", "newest",
+        lag_min.alias("lag_minutes"),
+        F.when(lag_min >= red_minutes, "RED")
+        .when(lag_min >= yellow_minutes, "YELLOW")
+        .otherwise("GREEN").alias("verdict"))

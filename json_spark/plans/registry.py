@@ -76,8 +76,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling, the late session-2 family sentinel_scan /
 #: event_autocorr / key_type_drift / size_model_conformance /
-#: schema_contract / audio_polarity / quarantine_rows (oracle-backed,
-#: replica-green, never driver-checked) plus multimodal_meta
+#: schema_contract / audio_polarity / quarantine_rows / data_freshness
+#: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
 #: and the entries displaced from the r3 window late in the round
@@ -7871,3 +7871,39 @@ def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("clip_id", "codec",
                     F.col("sr_hz").cast("long").alias("sr_hz"),
                     F.col("dur_ms").cast("long").alias("dur_ms"))
+
+
+@register("data_freshness", oracle="""
+WITH a AS (
+  SELECT event_type, count(*) AS n_rows, max(ts) AS newest,
+         max(epoch_us(ts)) AS mx
+  FROM events GROUP BY 1),
+l AS (
+  SELECT event_type, n_rows, newest,
+         (epoch_us(TIMESTAMP '2024-01-31 00:30:00') - mx) // 60000000
+           AS lag_minutes
+  FROM a)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows, newest,
+       CAST(lag_minutes AS BIGINT) AS lag_minutes,
+       CASE WHEN lag_minutes >= 1440 THEN 'RED'
+            WHEN lag_minutes >= 60 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM l
+""")
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness check (operators/temporal.py:freshness): per
+    event_type, the staleness of the newest row against a pinned as-of
+    instant — the "feed silently stopped" monitor, the single most
+    common production data incident, and the temporal complement of
+    coverage_gaps (holes in the past vs a dead tail). The as-of instant
+    is an explicit parameter, never the wall clock, so runs are
+    reproducible, resumable, and cross-engine checkable; lag arithmetic
+    is integer microseconds (session-TZ-proof). ONE map-combinable
+    max/count aggregate touches the corpus — the cheapest check in the
+    suite at any scale; everything after runs on |groups| rows.
+    """
+    from ..operators.temporal import freshness
+    ev = load_table(spark, sf_dir, "events")
+    return freshness(ev, "ts", ["event_type"],
+                     as_of="2024-01-31 00:30:00",
+                     yellow_minutes=60, red_minutes=1440)

@@ -266,3 +266,18 @@ def test_autocorrelation_dense_grid_counts_missing_buckets(spark):
     out = autocorrelation(df, "ts", lags=(1,)).collect()
     assert out[0]["n_pairs"] == 10
     assert out[0]["sum_x"] == 1  # bucket 0 contributes x=1 once
+
+
+def test_freshness_bands_and_exact_lag(spark):
+    from json_spark.operators.temporal import freshness
+    rows = [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 10:00:00"),
+            ("b", "2024-01-01 09:30:00"), ("c", "2023-12-30 00:00:00")]
+    df = spark.createDataFrame(rows, "g string, raw string").select(
+        "g", F.col("raw").cast("timestamp_ntz").alias("ts"))
+    out = {r["g"]: r for r in
+           freshness(df, "ts", ["g"], as_of="2024-01-01 10:30:00",
+                     yellow_minutes=45, red_minutes=1440).collect()}
+    assert out["a"]["lag_minutes"] == 30 and out["a"]["verdict"] == "GREEN"
+    assert out["b"]["lag_minutes"] == 60 and out["b"]["verdict"] == "YELLOW"
+    assert out["c"]["lag_minutes"] == 3510 and out["c"]["verdict"] == "RED"
+    assert out["a"]["n_rows"] == 2

@@ -672,6 +672,17 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "data_freshness": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to (event_type, ts)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+        ("partial+final hash aggregate (map-side max/count)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("single aggregate exchange", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+    ],
     "quarantine_rows": [
         # the violating-key set broadcasts; the payload-bearing source
         # rows stream map-side through the semi-join — bytes never
