@@ -64,10 +64,16 @@ def sentinel_scan(df: DataFrame,
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, pred) in enumerate(specs):
-        aggs.append(F.sum(pred.cast("long")).alias(f"__s{i}"))
+        # coalesce(0): an EMPTY frame reports 0 sentinels per column
+        # (one report row each, rate null), not null counts
+        aggs.append(F.coalesce(F.sum(pred.cast("long")),
+                               F.lit(0)).alias(f"__s{i}"))
     one = df.agg(*aggs)
     stack = ", ".join(f"'{name}', __s{i}" for i, (name, _) in enumerate(specs))
-    rate = F.col("n_sentinel") / F.col("n_rows")
+    # guard the empty frame: ANSI sessions raise on 0/0 integer
+    # division, and a rate over nothing is undefined anyway
+    rate = F.when(F.col("n_rows") > 0,
+                  F.col("n_sentinel") / F.col("n_rows"))
     return (one.select(
         F.expr(f"stack({len(specs)}, {stack}) AS (col_name, n_sentinel)"),
         F.col("__n").alias("n_rows"))

@@ -266,9 +266,11 @@ def autocorrelation(df: DataFrame, ts_col: str,
     num = n * F.col("sum_xy") - sx * sy
     den = (F.sqrt((n * F.col("__sxx") - sx * sx).cast("double"))
            * F.sqrt((n * F.col("__syy") - sy * sy).cast("double")))
+    # a constant count series has zero variance on one side — r is
+    # undefined there, reported as null rather than a NaN from 0/0
+    r = F.when(den != 0.0, F.round(num.cast("double") / den, 6))
     return agg.select("lag", "n_pairs", "sum_x", "sum_y", "sum_xy",
-                      F.round(num.cast("double") / den, 6)
-                      .alias("autocorr"))
+                      r.alias("autocorr"))
 
 
 def freshness(df: DataFrame, ts_col: str, group_cols: list[str],
@@ -303,6 +305,10 @@ def freshness(df: DataFrame, ts_col: str, group_cols: list[str],
     return agg.select(
         *group_cols, "n_rows", "newest",
         lag_min.alias("lag_minutes"),
-        F.when(lag_min >= red_minutes, "RED")
+        # a group whose every timestamp is null has no newest row at
+        # all — that feed is certainly not fresh (RED, not a silent
+        # GREEN from a null comparison)
+        F.when(lag_min.isNull(), "RED")
+        .when(lag_min >= red_minutes, "RED")
         .when(lag_min >= yellow_minutes, "YELLOW")
         .otherwise("GREEN").alias("verdict"))

@@ -7885,7 +7885,8 @@ l AS (
   FROM a)
 SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows, newest,
        CAST(lag_minutes AS BIGINT) AS lag_minutes,
-       CASE WHEN lag_minutes >= 1440 THEN 'RED'
+       CASE WHEN lag_minutes IS NULL THEN 'RED'
+            WHEN lag_minutes >= 1440 THEN 'RED'
             WHEN lag_minutes >= 60 THEN 'YELLOW'
             ELSE 'GREEN' END AS verdict
 FROM l

@@ -66,3 +66,16 @@ def test_sentinel_scan_is_one_aggregate(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
     assert "Union" not in plan
+
+
+def test_sentinel_scan_empty_frame(spark):
+    """An empty frame reports one row per column with 0 sentinels
+    (rate null) — not null counts."""
+    df = spark.createDataFrame([], "id_col long, label string")
+    out = {r["col_name"]: r.asDict() for r in sentinel_scan(df, [
+        ("id_col", id_sentinels(F.col("id_col"))),
+        ("label", string_sentinels(F.col("label"))),
+    ]).collect()}
+    assert set(out) == {"id_col", "label"}
+    assert all(r["n_rows"] == 0 and r["n_sentinel"] == 0
+               and r["verdict"] == "GREEN" for r in out.values())

@@ -281,3 +281,27 @@ def test_freshness_bands_and_exact_lag(spark):
     assert out["b"]["lag_minutes"] == 60 and out["b"]["verdict"] == "YELLOW"
     assert out["c"]["lag_minutes"] == 3510 and out["c"]["verdict"] == "RED"
     assert out["a"]["n_rows"] == 2
+
+
+def test_autocorrelation_constant_series_null_r(spark):
+    """A constant count series has zero variance: r is undefined and
+    reported null, never a 0/0 NaN."""
+    from json_spark.operators.temporal import autocorrelation
+    rows = [(m * 60,) for m in range(10)]     # exactly 1 event/minute
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"))
+    out = autocorrelation(df, "ts", lags=(1,)).collect()[0]
+    assert out["autocorr"] is None
+    assert out["n_pairs"] == 9
+
+
+def test_freshness_all_null_ts_is_red(spark):
+    from json_spark.operators.temporal import freshness
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", "2024-01-01 10:00:00")],
+        "g string, raw string").select(
+        "g", F.col("raw").cast("timestamp_ntz").alias("ts"))
+    out = {r["g"]: r for r in
+           freshness(df, "ts", ["g"], as_of="2024-01-01 10:30:00").collect()}
+    assert out["a"]["verdict"] == "RED" and out["a"]["newest"] is None
+    assert out["b"]["verdict"] == "GREEN"
