@@ -281,6 +281,7 @@ def streaming_content_verdicts(
     group_col: str = "codec",
     threshold_db: float | None = None,
     bandwidth_fp_yellow: int = 384,
+    min_eff_bits_yellow: int = 9,
 ) -> DataFrame:
     """CONTENT-level validation of a streaming clips ingest: the fused
     batch decode kernel (operators/snr.py:pcm_scan — SNR vs the
@@ -302,7 +303,11 @@ def streaming_content_verdicts(
     verdict), n_hdr_bad (container broken/truncated), n_bw_yellow
     (effective-bandwidth occupancy below ``bandwidth_fp_yellow`` —
     upsample suspects off the same scan's energy+hfc scalars, the
-    streaming twin of the batch suite's bandwidth family), min/mean
+    streaming twin of the batch suite's bandwidth family),
+    n_bits_yellow (effective bit depth below ``min_eff_bits_yellow`` —
+    requantized-content suspects off the OR-fold scalar, the streaming
+    twin of the batch bit_depth family), cube_sum with n_neg/pos_skew
+    (the polarity third-moment profile), min/mean
     snr_db over decodable clips, and the worst-of RED/YELLOW/GREEN
     window verdict. State is the standard streaming agg keyed on
     (window, group) — O(windows x groups), independent of stream
@@ -314,7 +319,8 @@ def streaming_content_verdicts(
     pre = stream.withColumn(
         "__evus", F.unix_micros(F.col(event_time_col)).cast("string"))
     scanned = pcm_scan(pre, thr, extra_cols=[group_col, "__evus"],
-                       emit_header=True, emit_energy=True, emit_hfc=True)
+                       emit_header=True, emit_energy=True, emit_hfc=True,
+                       emit_bits=True, emit_cube=True)
     with_ts = scanned.withColumn(
         event_time_col,
         F.timestamp_micros(F.col("__evus").cast("long")))
@@ -323,6 +329,10 @@ def streaming_content_verdicts(
     nhfc_fp = F.expr(
         "CASE WHEN pcm_sq_sum > 0 THEN hfc * 10000 DIV pcm_sq_sum END")
     bw_bad = F.coalesce(nhfc_fp < bandwidth_fp_yellow, F.lit(False))
+    eff_bits = F.when(F.col("or_abs") == 0, F.lit(0)).otherwise(
+        F.lit(16) - F.bit_count(
+            F.col("or_abs").bitwiseAND(-F.col("or_abs")) - F.lit(1)))
+    bits_bad = F.coalesce(eff_bits < min_eff_bits_yellow, F.lit(False))
     return (
         with_ts.withWatermark(event_time_col, watermark)
         .groupBy(F.window(F.col(event_time_col), window_duration),
@@ -333,6 +343,12 @@ def streaming_content_verdicts(
             F.sum(red.cast("long")).alias("n_red"),
             F.sum(hdr_bad.cast("long")).alias("n_hdr_bad"),
             F.sum(bw_bad.cast("long")).alias("n_bw_yellow"),
+            F.sum(bits_bad.cast("long")).alias("n_bits_yellow"),
+            F.sum("pcm_cube_sum").alias("cube_sum"),
+            F.sum((F.col("pcm_cube_sum") < 0).cast("long"))
+            .alias("n_neg_skew"),
+            F.sum((F.col("pcm_cube_sum") > 0).cast("long"))
+            .alias("n_pos_skew"),
             F.min("snr_db").alias("min_snr_db"),
             F.avg("snr_db").alias("mean_snr_db"),
         )
@@ -341,9 +357,11 @@ def streaming_content_verdicts(
             F.col("window.end").alias("window_end"),
             F.col(group_col),
             "n_rows", "n_green", "n_red", "n_hdr_bad", "n_bw_yellow",
+            "n_bits_yellow", "cube_sum", "n_neg_skew", "n_pos_skew",
             "min_snr_db", "mean_snr_db",
             F.when((F.col("n_red") > 0) | (F.col("n_hdr_bad") > 0), "RED")
-            .when(F.col("n_bw_yellow") > 0, "YELLOW")
+            .when((F.col("n_bw_yellow") > 0)
+                  | (F.col("n_bits_yellow") > 0), "YELLOW")
             .otherwise("GREEN").alias("verdict"),
         )
     )

@@ -622,7 +622,14 @@ def test_streaming_content_verdicts(spark, tmp_path):
     upsam = pcm16_wav_bytes(reference_signal("c-good", 48000, 100), 48000)
     write([("2026-01-01 00:06:00", "c-good", bytearray(upsam), 100, "wav")])
     run()
-    write([("2026-01-01 00:09:00", "c-good", bytearray(good), 100, "wav")])
+    # 8-bit-requantized copy: passes the SNR gate (~45 dB) but the
+    # OR-fold exposes the missing low bits -> the bit_depth YELLOW path
+    vq = (np.round(np.clip(reference_signal("c-good", 8000, 100), -1, 1)
+                   * 32767.0).astype(np.int64) // 256) * 256
+    fake8 = pcm16_wav_bytes(vq / 32767.0, 8000)
+    write([("2026-01-01 00:09:00", "c-good", bytearray(fake8), 100, "wav")])
+    run()
+    write([("2026-01-01 00:12:00", "c-good", bytearray(good), 100, "wav")])
     run()
     rows = {r["window_start"].strftime("%H:%M"): r
             for r in spark.read.parquet(sink).collect()}
@@ -639,6 +646,13 @@ def test_streaming_content_verdicts(spark, tmp_path):
     w6 = rows["00:06"]
     assert (w6["n_rows"], w6["n_green"], w6["n_bw_yellow"],
             w6["verdict"]) == (1, 1, 1, "YELLOW")
+    # polarity third moment rides the same pass: the reference stack is
+    # asymmetric, so a window of decodable clips carries a nonzero cube
+    assert w3["cube_sum"] != 0 and w3["n_neg_skew"] + w3["n_pos_skew"] == 1
+    w9 = rows["00:09"]
+    assert (w9["n_rows"], w9["n_green"], w9["n_bits_yellow"],
+            w9["verdict"]) == (1, 1, 1, "YELLOW")
+    assert w3["n_bits_yellow"] == 0     # genuine 16-bit clip
 
 
 def test_streaming_content_divergence(spark, tmp_path):
