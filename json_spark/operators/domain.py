@@ -39,8 +39,12 @@ from pyspark.sql import functions as F
 class DomainRule:
     """One declarative constraint on one column.
 
-    Any combination of ``in_set`` / ``min_value`` / ``max_value`` /
-    ``pattern`` may be set; they AND together. ``required`` makes NULL a
+    Any combination of ``in_set`` / ``not_in`` / ``min_value`` /
+    ``max_value`` / ``pattern`` may be set; they AND together.
+    ``not_in`` is the banned-values list — the declarative home of a
+    sentinel/placeholder lexicon (-1 ids, 'N/A' strings): in-band
+    "missing" conventions become a versionable config line instead of
+    code (operators/sentinel.py holds the reusable predicates). ``required`` makes NULL a
     violation (otherwise NULL passes). ``severity`` is the verdict a
     violating row receives: "RED" (hard constraint) or "YELLOW"
     (preference / soft constraint). ``when_sql`` makes the rule an
@@ -51,6 +55,7 @@ class DomainRule:
 
     column: str
     in_set: tuple = None
+    not_in: tuple = None
     min_value: float | None = None
     max_value: float | None = None
     pattern: str | None = None  # anchored full-match
@@ -71,6 +76,8 @@ class DomainRule:
             parts.append("required")
         if self.in_set is not None:
             parts.append(f"in_set({len(self.in_set)})")
+        if self.not_in is not None:
+            parts.append(f"not_in({len(self.not_in)})")
         if self.min_value is not None or self.max_value is not None:
             parts.append(f"range[{self.min_value},{self.max_value}]")
         if self.pattern is not None:
@@ -81,7 +88,8 @@ class DomainRule:
 #: TOML key -> DomainRule field (unknown keys rejected early, matching
 #: the rule-config loader's philosophy, config/loader.py:1-6)
 _TOML_KEYS = {
-    "column": "column", "in_set": "in_set", "min": "min_value",
+    "column": "column", "in_set": "in_set", "not_in": "not_in",
+    "min": "min_value",
     "max": "max_value", "pattern": "pattern", "required": "required",
     "severity": "severity", "when": "when_sql", "name": "name",
 }
@@ -118,6 +126,8 @@ def domain_rules_from_toml(text: str) -> tuple[DomainRule, ...]:
         kwargs = {_TOML_KEYS[k]: v for k, v in tbl.items()}
         if "in_set" in kwargs:
             kwargs["in_set"] = tuple(kwargs["in_set"])
+        if "not_in" in kwargs:
+            kwargs["not_in"] = tuple(kwargs["not_in"])
         if kwargs.get("severity", "RED") not in ("RED", "YELLOW"):
             raise ValueError(f"rule #{i}: severity must be RED or YELLOW")
         rules.append(DomainRule(**kwargs))
@@ -130,6 +140,8 @@ def rule_verdict(rule: DomainRule) -> Column:
     ok = F.lit(True)
     if rule.in_set is not None:
         ok = ok & c.isin(*rule.in_set)
+    if rule.not_in is not None:
+        ok = ok & ~c.isin(*rule.not_in)
     if rule.min_value is not None:
         ok = ok & (c >= F.lit(rule.min_value))
     if rule.max_value is not None:
@@ -237,9 +249,9 @@ def domain_rules_to_toml(rules: tuple) -> str:
     blocks = []
     for r in rules:
         lines = ["[[rule]]"]
-        for field in ("column", "in_set", "min_value", "max_value",
-                      "pattern", "required", "severity", "when_sql",
-                      "name"):
+        for field in ("column", "in_set", "not_in", "min_value",
+                      "max_value", "pattern", "required", "severity",
+                      "when_sql", "name"):
             v = getattr(r, field)
             if v is None:
                 continue

@@ -8,7 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from json_spark.operators.domain import (
-    DomainRule, domain_rollup, domain_violations, rule_verdict)
+    DomainRule, domain_rollup, domain_rules_from_toml,
+    domain_rules_to_toml, domain_violations, rule_verdict)
 
 
 @pytest.fixture(scope="module")
@@ -228,3 +229,25 @@ def test_toml_roundtrip_edge_cases():
     )
     assert domain_rules_from_toml(domain_rules_to_toml(rules)) == rules
     assert domain_rules_to_toml(()) == ""
+
+
+def test_not_in_banned_values(spark):
+    """not_in: the banned-values (sentinel lexicon) rule — in-band
+    placeholder values flag while everything else passes; NULL passes
+    unless required (SQL CHECK semantics)."""
+    df = spark.createDataFrame(
+        [("ok",), ("N/A",), ("null",), (None,), ("fine",)], "txt string")
+    rule = DomainRule("txt", not_in=("N/A", "null", "--"),
+                      severity="YELLOW", name="sentinel:txt")
+    got = [r[0] for r in df.select(rule_verdict(rule)).collect()]
+    assert got == ["GREEN", "YELLOW", "YELLOW", "GREEN", "GREEN"]
+    assert "not_in(3)" in rule.reason()
+
+
+def test_not_in_toml_roundtrip():
+    toml_text = (
+        '[[rule]]\ncolumn = "uid"\nnot_in = [-1, 0, 99999999]\n'
+        'severity = "YELLOW"\nname = "sentinel:uid"\n')
+    rules = domain_rules_from_toml(toml_text)
+    assert rules[0].not_in == (-1, 0, 99999999)
+    assert domain_rules_from_toml(domain_rules_to_toml(rules)) == rules
