@@ -170,6 +170,7 @@ HEADLINE = [
     "audio_polarity",
     "quarantine_rows",
     "data_freshness",
+    "agg_reconciliation",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

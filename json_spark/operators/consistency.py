@@ -282,3 +282,68 @@ def dup_label_distance(df: DataFrame, key_cols: list[str],
                                 F.greatest(F.length("__lo"),
                                            F.length("__hi")), 6))
             .drop("__lo", "__hi"))
+
+
+def agg_reconciliation(parent: DataFrame, child: DataFrame,
+                       parent_key: str, parent_val: str,
+                       child_val: str, child_key: str | None = None,
+                       rel_tolerance: float = 0.05) -> DataFrame:
+    """Cross-table AGGREGATE reconciliation: does the parent's declared
+    total equal the sum of its children — order headers vs their line
+    items, a manifest's claimed byte counts vs the landed shards, a
+    daily rollup vs its raw feed. Referential checks see missing KEYS;
+    this sees present keys whose NUMBERS disagree — the silent
+    double-ingest / partial-load / currency-mangled failure class no
+    row-level rule can catch.
+
+    Per parent key: MATCHED (|parent − Σchild| / |parent| within
+    ``rel_tolerance``), MISMATCHED, or CHILDLESS (no child rows at all
+    — reported separately because "zero lines" and "wrong total" are
+    different incidents). Values are summed as DECIMAL(18,2) — exact
+    and ADDITION-ORDER-INVARIANT, so an independent engine classifies
+    every boundary row identically (float sums would make near-tolerance
+    keys engine-dependent). Output is ONE summary row: key counts per
+    class, rates, the worst relative delta, and a verdict (RED when
+    mismatches exceed 1%, YELLOW when any mismatch or childless parent
+    exists).
+
+    Scale shape: the child collapses in a map-combinable per-key sum
+    BEFORE the join, so the (unavoidable, correct) key shuffle carries
+    one row per key per side — never raw child rows; the summary is a
+    second map-combinable 1-row aggregate. No windows, no broadcast of
+    a corpus-sized side (AQE may still broadcast a small parent).
+    """
+    ck = child_key or parent_key
+    csum = (child.groupBy(F.col(ck).alias("__k"))
+            .agg(F.sum(F.col(child_val).cast("decimal(18,2)"))
+                 .alias("__c")))
+    p = parent.select(F.col(parent_key).alias("__k"),
+                      F.col(parent_val).cast("decimal(18,2)").alias("__p"))
+    j = p.join(csum, "__k", "left")
+    childless = F.col("__c").isNull()
+    delta = F.abs(F.col("__p") - F.col("__c"))
+    # a zero-valued parent has no defined relative delta (and ANSI
+    # decimal division would raise): it matches iff the child sum is
+    # exactly zero too, and stays out of max_rel_delta
+    rel = F.when(F.abs(F.col("__p")) > 0,
+                 (delta / F.abs(F.col("__p"))).cast("double"))
+    mismatched = ~childless & F.coalesce(rel > rel_tolerance,
+                                         delta > 0)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.sum(childless.cast("long")).alias("n_childless"),
+        F.sum(mismatched.cast("long")).alias("n_mismatched"),
+        F.max(F.when(~childless, F.round(rel, 6))).alias("max_rel_delta"))
+    matched = (F.col("n_parents") - F.col("n_childless")
+               - F.col("n_mismatched"))
+    mis_rate = F.col("n_mismatched") / F.col("n_parents")
+    return agg.select(
+        "n_parents",
+        matched.alias("n_matched"),
+        "n_mismatched", "n_childless",
+        F.round(mis_rate, 6).alias("mismatch_rate"),
+        "max_rel_delta",
+        F.when(mis_rate > 0.01, "RED")
+        .when((F.col("n_mismatched") > 0) | (F.col("n_childless") > 0),
+              "YELLOW")
+        .otherwise("GREEN").alias("verdict"))

@@ -76,7 +76,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
 #: manifest_dangling, the late session-2 family sentinel_scan /
 #: event_autocorr / key_type_drift / size_model_conformance /
-#: schema_contract / audio_polarity / quarantine_rows / data_freshness
+#: schema_contract / audio_polarity / quarantine_rows / data_freshness /
+#: agg_reconciliation
 #: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
@@ -7908,3 +7909,62 @@ def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freshness(ev, "ts", ["event_type"],
                      as_of="2024-01-31 00:30:00",
                      yellow_minutes=60, red_minutes=1440)
+
+
+@register("agg_reconciliation", oracle="""
+WITH csum AS (
+  SELECT l_orderkey AS k,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS c
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS p, c.c
+  FROM orders o LEFT JOIN csum c ON c.k = o.o_orderkey),
+cls AS (
+  SELECT p, c,
+         c IS NULL AS childless,
+         CASE WHEN abs(p) > 0
+              THEN CAST(abs(p - c) / abs(p) AS DOUBLE) END AS rel,
+         c IS NOT NULL AND
+           COALESCE(CAST(abs(p - c) / abs(p) AS DOUBLE) > 0.05,
+                    abs(p - c) > 0) AS mismatched
+  FROM j)
+SELECT CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(count(*) - sum(CASE WHEN childless THEN 1 ELSE 0 END)
+            - sum(CASE WHEN mismatched THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+       CAST(sum(CASE WHEN mismatched THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mismatched,
+       CAST(sum(CASE WHEN childless THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_childless,
+       round(sum(CASE WHEN mismatched THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS mismatch_rate,
+       max(CASE WHEN NOT childless THEN round(rel, 6) END)
+           AS max_rel_delta,
+       CASE WHEN sum(CASE WHEN mismatched THEN 1 ELSE 0 END) * 1.0
+                 / count(*) > 0.01 THEN 'RED'
+            WHEN sum(CASE WHEN mismatched THEN 1 ELSE 0 END) > 0
+                 OR sum(CASE WHEN childless THEN 1 ELSE 0 END) > 0
+                 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM cls
+""")
+def q_agg_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation (operators/consistency.py:
+    agg_reconciliation): orders' declared o_totalprice vs the DECIMAL-
+    exact sum of their line items — the silent double-ingest /
+    partial-load failure class referential checks can't see (the keys
+    all exist; the NUMBERS disagree). DECIMAL(18,2) sums are exact and
+    addition-order-invariant, so boundary rows classify identically in
+    both engines (float sums would make near-tolerance keys
+    engine-dependent). The synthetic tables deliberately do NOT
+    reconcile (independent random totals) — the check's job is to say
+    exactly how much: counts per class, mismatch rate, worst relative
+    delta, verdict. Child collapses map-side BEFORE the one key
+    shuffle; the summary is a 1-row aggregate.
+    """
+    from ..operators.consistency import agg_reconciliation
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return agg_reconciliation(orders, lineitem, "o_orderkey",
+                              "o_totalprice", "l_extendedprice",
+                              child_key="l_orderkey")

@@ -310,3 +310,52 @@ class TestDupLabelDistance:
                 assert k not in got
                 continue
             assert got[k]["edit_distance"] == lev(min(labels), max(labels)), k
+
+
+def test_agg_reconciliation_classes(spark):
+    from json_spark.operators.consistency import agg_reconciliation
+    parent = spark.createDataFrame(
+        [(1, 100.0),      # matches exactly
+         (2, 100.0),      # within 5% (child 103)
+         (3, 100.0),      # mismatched (child 150)
+         (4, 50.0),       # childless
+         (5, 0.0),        # zero parent, zero child -> matched
+         (6, 0.0)],       # zero parent, nonzero child -> mismatched
+        "k long, total double")
+    child = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0),
+         (2, 103.0),
+         (3, 150.0),
+         (5, 0.0),
+         (6, 7.0)],
+        "k long, v double")
+    out = agg_reconciliation(parent, child, "k", "total", "v",
+                             rel_tolerance=0.05).collect()[0]
+    assert out["n_parents"] == 6
+    assert out["n_matched"] == 3          # keys 1, 2, 5
+    assert out["n_mismatched"] == 2       # keys 3, 6
+    assert out["n_childless"] == 1        # key 4
+    assert out["max_rel_delta"] == 0.5    # key 3: |100-150|/100
+    assert out["verdict"] == "RED"
+
+
+def test_agg_reconciliation_green_when_exact(spark):
+    from json_spark.operators.consistency import agg_reconciliation
+    parent = spark.createDataFrame([(1, 10.0), (2, 5.5)],
+                                   "k long, total double")
+    child = spark.createDataFrame([(1, 4.0), (1, 6.0), (2, 5.5)],
+                                  "k long, v double")
+    out = agg_reconciliation(parent, child, "k", "total", "v").collect()[0]
+    assert (out["n_matched"], out["verdict"]) == (2, "GREEN")
+    assert out["max_rel_delta"] == 0.0
+
+
+def test_agg_reconciliation_decimal_sums_order_invariant(spark):
+    """Many small decimal children sum exactly — no float drift can
+    push a boundary key across the tolerance."""
+    from json_spark.operators.consistency import agg_reconciliation
+    child = spark.createDataFrame([(1, 0.01)] * 1000, "k long, v double")
+    parent = spark.createDataFrame([(1, 10.0)], "k long, total double")
+    out = agg_reconciliation(parent.repartition(4), child.repartition(7),
+                             "k", "total", "v").collect()[0]
+    assert out["n_matched"] == 1 and out["max_rel_delta"] == 0.0

@@ -672,6 +672,17 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "agg_reconciliation": [
+        # child collapses map-side BEFORE the key join; the summary is
+        # a 1-row aggregate — the only corpus exchanges are the per-key
+        # partial sums and the join itself
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("child pre-aggregated before the join (partial+final sums)",
+         True, lambda p: p.count("HashAggregate") >= 2),
+        ("scans pruned to (key, value) on both sides", True,
+         lambda p: all(len(m.split(",")) <= 2 for m in
+                       re.findall(r"ReadSchema: struct<([^>]*)>", p))),
+    ],
     "data_freshness": [
         ("no Python stage", True, lambda p: "Python" not in p),
         ("scan pruned to (event_type, ts)", True,
