@@ -171,6 +171,8 @@ HEADLINE = [
     "quarantine_rows",
     "data_freshness",
     "agg_reconciliation",
+    "orphan_value_mass",
+    "duration_balance",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -75,3 +75,33 @@ def class_balance(df: DataFrame, label_col: str,
         F.round(F.col("__max").cast("double")
                 / F.col("__min").cast("double"), 6).alias("imbalance_ratio"),
         v.alias("verdict"))
+
+
+def duration_balance(clips: DataFrame, group_cols: list[str],
+                     dur_col: str = "dur_ms",
+                     low_share: float = 0.05) -> DataFrame:
+    """Corpus balance in the AUDIO-NATIVE unit: total seconds per group
+    and its share of the corpus — training pipelines budget hours of
+    speech, not clip counts, and the two disagree whenever duration
+    correlates with the group (long-form podcasts vs short commands).
+    A group whose duration share falls below ``low_share`` flags
+    UNDERREPRESENTED even when its clip count looks healthy.
+
+    Null durations are excluded from the time sums but counted
+    (n_null_dur) — unknown-length audio cannot silently inflate or
+    deflate a share. Exact integer millisecond sums; one map-combinable
+    aggregate + a 1-row broadcast for the shares.
+    """
+    agg = clips.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.when(F.col(dur_col).isNull(), 1).otherwise(0))
+        .alias("n_null_dur"),
+        F.coalesce(F.sum(dur_col), F.lit(0)).cast("long").alias("__ms"))
+    tot = agg.agg(F.sum("__ms").alias("__tot"))
+    share = F.col("__ms") / F.col("__tot")
+    return (agg.join(F.broadcast(tot))
+            .select(*group_cols, "n_clips", "n_null_dur",
+                    F.round(F.col("__ms") / 1000.0, 3).alias("total_s"),
+                    F.round(share, 6).alias("dur_share"),
+                    F.when(share < low_share, "UNDERREPRESENTED")
+                    .otherwise("OK").alias("status")))

@@ -193,3 +193,40 @@ def join_fanout_profile(left: DataFrame, right: DataFrame, key: str,
                     F.when(F.col("max_key_fanout") > max_fanout, "RED")
                     .when(amp > amp_yellow, "YELLOW")
                     .otherwise("GREEN").alias("verdict")))
+
+
+def orphan_value_mass(child: DataFrame, parent: DataFrame,
+                      child_key: str, parent_key: str,
+                      value_col: str) -> DataFrame:
+    """Referential integrity with the VALUE at stake: child rows whose
+    parent is missing, weighted by a value column — "3% of line items
+    are orphaned" and "0.1% of revenue is orphaned" are very different
+    incidents, and key-count orphan reports cannot tell them apart.
+
+    One summary row: orphan row count/share and orphan value/share.
+    Values sum as DECIMAL(18,2) (exact, order-invariant) so the shares
+    are engine-reproducible. Scale shape: the parent side reduces to
+    distinct keys before a LEFT ANTI-style flag join (left join + null
+    test so BOTH totals come from the same single pass); one key
+    shuffle, map-combinable sums.
+    """
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct() \
+        .withColumn("__hit", F.lit(1))
+    j = (child.select(F.col(child_key).alias("__k"),
+                      F.col(value_col).cast("decimal(18,2)").alias("__v"))
+         .join(pk, "__k", "left"))
+    orphan = F.col("__hit").isNull()
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(orphan.cast("long")).alias("n_orphan_rows"),
+        F.sum("__v").alias("__tot"),
+        F.sum(F.when(orphan, F.col("__v"))).alias("__orph"))
+    return agg.select(
+        "n_rows", "n_orphan_rows",
+        F.round(F.col("n_orphan_rows") / F.col("n_rows"), 6)
+        .alias("orphan_row_share"),
+        F.coalesce(F.col("__orph"), F.lit(0).cast("decimal(18,2)"))
+        .alias("orphan_value"),
+        F.round(F.coalesce(F.col("__orph"), F.lit(0).cast("decimal(18,2)"))
+                .cast("double") / F.col("__tot").cast("double"), 6)
+        .alias("orphan_value_share"))

@@ -77,7 +77,7 @@ ORACLE_SQL: dict[str, str] = {}
 #: manifest_dangling, the late session-2 family sentinel_scan /
 #: event_autocorr / key_type_drift / size_model_conformance /
 #: schema_contract / audio_polarity / quarantine_rows / data_freshness /
-#: agg_reconciliation
+#: agg_reconciliation / orphan_value_mass / duration_balance
 #: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
@@ -7968,3 +7968,70 @@ def q_agg_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_reconciliation(orders, lineitem, "o_orderkey",
                               "o_totalprice", "l_extendedprice",
                               child_key="l_orderkey")
+
+
+@register("orphan_value_mass", oracle="""
+WITH pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+j AS (
+  SELECT CAST(l.l_extendedprice AS DECIMAL(18,2)) AS v,
+         pk.k IS NULL AS orphan
+  FROM lineitem l LEFT JOIN pk ON pk.k = l.l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphan_rows,
+       round(sum(CASE WHEN orphan THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS orphan_row_share,
+       CAST(COALESCE(sum(CASE WHEN orphan THEN v END),
+                     CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS orphan_value,
+       round(CAST(COALESCE(sum(CASE WHEN orphan THEN v END), 0) AS DOUBLE)
+             / CAST(sum(v) AS DOUBLE), 6) AS orphan_value_share
+FROM j
+""")
+def q_orphan_value_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity weighted by VALUE (operators/referential.py:
+    orphan_value_mass): line items whose order is missing, with the
+    money at stake — "3% of rows orphaned" and "0.1% of revenue
+    orphaned" are different incidents that key-count orphan reports
+    cannot distinguish. DECIMAL(18,2) sums keep both shares exact and
+    order-invariant; the parent reduces to distinct keys before the
+    single flag join so row and value totals come from one pass.
+    """
+    from ..operators.referential import orphan_value_mass
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return orphan_value_mass(lineitem, orders, "l_orderkey", "o_orderkey",
+                             "l_extendedprice")
+
+
+@register("duration_balance", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+agg AS (
+  SELECT codec, CAST(count(*) AS BIGINT) AS n_clips,
+         CAST(count(*) FILTER (WHERE dur_ms IS NULL) AS BIGINT)
+             AS n_null_dur,
+         CAST(COALESCE(sum(dur_ms), 0) AS BIGINT) AS ms
+  FROM full_ GROUP BY codec),
+tot AS (SELECT sum(ms) AS t FROM agg)
+SELECT codec, n_clips, n_null_dur,
+       round(ms / 1000.0, 3) AS total_s,
+       round(CAST(ms AS DOUBLE) / t, 6) AS dur_share,
+       CASE WHEN CAST(ms AS DOUBLE) / t < 0.05 THEN 'UNDERREPRESENTED'
+            ELSE 'OK' END AS status
+FROM agg, tot
+""")
+def q_duration_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balance in the audio-native unit (operators/balance.py:
+    duration_balance): total SECONDS per codec and its duration share —
+    training pipelines budget hours of speech, not clip counts, and the
+    two disagree whenever duration correlates with the group. Null
+    durations are counted but excluded from the time sums (unknown
+    length can't inflate a share). The oracle re-derives every
+    millisecond from the generator's closed-form metadata (CRC-32 SQL
+    fold), no byte read; exact integer sums, one map-combinable
+    aggregate + a 1-row broadcast.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.balance import duration_balance
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    return duration_balance(clips, ["codec"])

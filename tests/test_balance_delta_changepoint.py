@@ -142,3 +142,18 @@ def test_class_balance_custom_bands(spark):
     r = class_balance(df, "label", ["g"],
                       yellow_norm_entropy=0.7).collect()[0]
     assert r["verdict"] == "GREEN"
+
+
+def test_duration_balance_shares_and_nulls(spark):
+    from json_spark.operators.balance import duration_balance
+    rows = [("a", 1000), ("a", 2000), ("b", 7000), ("c", None), ("c", 100)]
+    df = spark.createDataFrame(rows, "g string, dur_ms long")
+    out = {r["g"]: r for r in duration_balance(df, ["g"]).collect()}
+    assert out["a"]["total_s"] == 3.0 and out["b"]["total_s"] == 7.0
+    assert out["c"]["n_null_dur"] == 1 and out["c"]["total_s"] == 0.1
+    tot = 3.0 + 7.0 + 0.1
+    assert out["b"]["dur_share"] == round(7.0 / tot, 6)
+    assert out["c"]["status"] == "UNDERREPRESENTED"   # ~1% of time
+    assert out["b"]["status"] == "OK"
+    # clip counts can disagree with time shares - the check's point
+    assert out["a"]["n_clips"] == 2 and out["b"]["n_clips"] == 1

@@ -359,3 +359,26 @@ def test_agg_reconciliation_decimal_sums_order_invariant(spark):
     out = agg_reconciliation(parent.repartition(4), child.repartition(7),
                              "k", "total", "v").collect()[0]
     assert out["n_matched"] == 1 and out["max_rel_delta"] == 0.0
+
+
+def test_orphan_value_mass(spark):
+    from json_spark.operators.referential import orphan_value_mass
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (9, 100.0), (8, 1.0)],
+        "k long, v double")
+    out = orphan_value_mass(child, parent, "k", "k", "v").collect()[0]
+    assert out["n_rows"] == 5 and out["n_orphan_rows"] == 2
+    assert float(out["orphan_value"]) == 101.0
+    assert out["orphan_row_share"] == 0.4
+    assert out["orphan_value_share"] == round(101.0 / 136.0, 6)
+
+
+def test_orphan_value_mass_no_orphans(spark):
+    from json_spark.operators.referential import orphan_value_mass
+    parent = spark.createDataFrame([(1,)], "k long")
+    child = spark.createDataFrame([(1, 3.0)], "k long, v double")
+    out = orphan_value_mass(child, parent, "k", "k", "v").collect()[0]
+    assert out["n_orphan_rows"] == 0
+    assert float(out["orphan_value"]) == 0.0
+    assert out["orphan_value_share"] == 0.0
