@@ -173,6 +173,7 @@ HEADLINE = [
     "agg_reconciliation",
     "orphan_value_mass",
     "duration_balance",
+    "split_divergence",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

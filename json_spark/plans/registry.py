@@ -77,7 +77,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: manifest_dangling, the late session-2 family sentinel_scan /
 #: event_autocorr / key_type_drift / size_model_conformance /
 #: schema_contract / audio_polarity / quarantine_rows / data_freshness /
-#: agg_reconciliation / orphan_value_mass / duration_balance
+#: agg_reconciliation / orphan_value_mass / duration_balance /
+#: split_divergence
 #: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
@@ -8035,3 +8036,100 @@ def q_duration_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.balance import duration_balance
     clips = generate_clips(spark, _SNR_N, partitions=8)
     return duration_balance(clips, ["codec"])
+
+
+@register("split_divergence", oracle="""
+WITH lab AS (
+  SELECT CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 1000 < 960 THEN 'train'
+              WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 1000 < 980 THEN 'val'
+              ELSE 'test' END AS split,
+         text
+  FROM documents),
+tok AS (
+  SELECT split, unnest(string_split(text, ' ')) AS term FROM lab
+  WHERE split IN ('train', 'val')),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM tok GROUP BY 1
+    ORDER BY c DESC, term ASC LIMIT 100)),
+mapped AS (
+  SELECT t.split,
+         CASE WHEN v.term IS NULL THEN '__OOV' ELSE t.term END AS category
+  FROM tok t LEFT JOIN vocab v USING (term)),
+h AS (
+  SELECT split, category, count(*) AS n,
+         count(*) / sum(count(*)) OVER (PARTITION BY split) AS share
+  FROM mapped GROUP BY split, category),
+j AS (
+  SELECT COALESCE(c.category, b.category) AS category,
+         COALESCE(c.share, 0.0) AS p, COALESCE(b.share, 0.0) AS q
+  FROM (SELECT * FROM h WHERE split = 'val') c
+  FULL OUTER JOIN (SELECT * FROM h WHERE split = 'train') b
+    USING (category)),
+tots AS (
+  SELECT CAST(sum(n) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+         CAST(sum(n) FILTER (WHERE split = 'val') AS BIGINT) AS n_val
+  FROM h)
+SELECT n_train AS n_train_tokens, n_val AS n_val_tokens,
+       round((SELECT sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                         * ln(greatest(p, 1e-6) / greatest(q, 1e-6)))
+              FROM j), 6) AS psi,
+       CASE WHEN (SELECT sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                             * ln(greatest(p, 1e-6) / greatest(q, 1e-6)))
+                  FROM j) > 0.25 THEN 'RED'
+            WHEN (SELECT sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                             * ln(greatest(p, 1e-6) / greatest(q, 1e-6)))
+                  FROM j) > 0.1 THEN 'YELLOW'
+            ELSE 'GREEN' END AS verdict
+FROM tots
+""")
+def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val token-distribution divergence (composition of
+    operators/packing.py:assign_split + text.py:top_vocab +
+    drift.py:psi): contamination checks prove the splits share no
+    DOCUMENTS; this proves the val split still LOOKS like training —
+    PSI between the two splits' token-share distributions over the
+    corpus top-100 vocabulary (+ an __OOV bucket so tail mass is
+    measured, never dropped). A hash-bucketed split SHOULD come out
+    GREEN; a time- or source-based split that silently shifted topic
+    mix shows up here and nowhere else. Scale shape: explode collapses
+    map-side into (split, term) counts, the vocabulary is k-bounded
+    (TakeOrderedAndProject) and broadcast, PSI runs on ≤2(k+1) share
+    rows. Split labels via the md5-bucket rule both engines compute
+    bit-identically (packing.py:hash32 twin).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.drift import psi
+    from ..operators.packing import assign_split
+    from ..operators.text import tokens, top_vocab
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(assign_split(F.col("doc_id")).alias("split"), "text") \
+        .filter(F.col("split").isin("train", "val"))
+    vocab = top_vocab(lab, "text", 100).select("term")
+    tok = lab.select("split", F.explode(tokens(F.col("text"))).alias("term"))
+    mapped = (tok.join(F.broadcast(vocab.withColumn("__hit", F.lit(1))),
+                       "term", "left")
+              .select("split",
+                      F.when(F.col("__hit").isNull(), "__OOV")
+                      .otherwise(F.col("term")).alias("category")))
+    counts = mapped.groupBy("split", "category").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot_w = Window.partitionBy("split")
+    h = counts.withColumn("share", F.col("n") / F.sum("n").over(tot_w))
+    cur = h.filter(F.col("split") == "val").select("category", "share")
+    base = h.filter(F.col("split") == "train").select("category", "share")
+    d = psi(cur, base, on=["category"])
+    tots = counts.agg(
+        F.sum(F.when(F.col("split") == "train", F.col("n")))
+        .alias("n_train_tokens"),
+        F.sum(F.when(F.col("split") == "val", F.col("n")))
+        .alias("n_val_tokens"))
+    p = F.col("psi")
+    return (tots.join(F.broadcast(d))
+            .select("n_train_tokens", "n_val_tokens",
+                    F.round(p, 6).alias("psi"),
+                    F.when(p > 0.25, "RED").when(p > 0.1, "YELLOW")
+                    .otherwise("GREEN").alias("verdict")))

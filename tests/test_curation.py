@@ -310,3 +310,44 @@ def test_corpus_mix_rejects_negative_rate(spark):
         corpus_mix(df, "id", "s", {"s": -1.0})
     with _pytest.raises(ValueError, match="must be >= 0"):
         corpus_mix(df, "id", "s", {}, default_rate=-0.5)
+
+
+def test_split_divergence_hash_split_green_biased_split_flags(spark):
+    """A hash-bucketed split draws both halves from the same
+    distribution (PSI ~ 0); a topic-biased split shows up immediately."""
+    from json_spark.operators.drift import psi
+    from json_spark.operators.text import tokens, top_vocab
+    rows = []
+    for i in range(400):
+        topic = "alpha beta gamma" if i % 2 == 0 else "delta epsilon zeta"
+        rows.append((i, topic))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(split_col):
+        lab = df.select(split_col.alias("split"), "text").filter(
+            F.col("split").isin("train", "val"))
+        vocab = top_vocab(lab, "text", 10).select("term")
+        tok = lab.select(
+            "split", F.explode(tokens(F.col("text"))).alias("term"))
+        mapped = (tok.join(F.broadcast(
+            vocab.withColumn("__hit", F.lit(1))), "term", "left")
+            .select("split", F.when(F.col("__hit").isNull(), "__OOV")
+                    .otherwise(F.col("term")).alias("category")))
+        counts = mapped.groupBy("split", "category").agg(
+            F.count(F.lit(1)).alias("n"))
+        from pyspark.sql import Window
+        h = counts.withColumn(
+            "share",
+            F.col("n") / F.sum("n").over(Window.partitionBy("split")))
+        return psi(h.filter(F.col("split") == "val")
+                   .select("category", "share"),
+                   h.filter(F.col("split") == "train")
+                   .select("category", "share"),
+                   on=["category"]).collect()[0]["psi"]
+
+    from json_spark.operators.packing import assign_split
+    fair = run(assign_split(F.col("doc_id"), train_per_mille=500,
+                            val_per_mille=1000))
+    assert fair < 0.05     # same distribution both halves (sampling noise)
+    biased = run(F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val"))
+    assert biased > 1.0                     # disjoint topic vocabularies

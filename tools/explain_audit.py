@@ -672,6 +672,28 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "orphan_value_mass": [
+        # parent reduces to distinct keys; one flag join serves both
+        # the row and value totals
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("parent deduplicated before the join (partial+final agg)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("scans pruned to <=2 columns each side", True,
+         lambda p: all(len(m.split(",")) <= 2 for m in
+                       re.findall(r"ReadSchema: struct<([^>]*)>", p))),
+    ],
+    "duration_balance": [
+        # the group aggregate + the 1-row total each read the (pruned)
+        # source once — two fixture renders at test scale, two
+        # metadata-column scans in production
+        ("at most two Python stages (one fixture render per pass)",
+         True, lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 2),
+        ("partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("1-row total broadcast, never shuffled for the join", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+    ],
     "agg_reconciliation": [
         # child collapses map-side BEFORE the key join; the summary is
         # a 1-row aggregate — the only corpus exchanges are the per-key
