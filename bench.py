@@ -174,6 +174,7 @@ HEADLINE = [
     "orphan_value_mass",
     "duration_balance",
     "split_divergence",
+    "unit_mixture",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -359,3 +359,79 @@ def dominant_type_drift(df: DataFrame, key_col: str, type_col: str,
         F.max(F.when(l, F.col("__n"))).alias("n_dom_late"))
     return out.withColumn(
         "drifted", F.col("dominant_early") != F.col("dominant_late"))
+
+
+def decade(c: Column, min_decade: int = -6, max_decade: int = 12) -> Column:
+    """floor(log10(|c|)) as a pure when-chain over exact IEEE decade
+    boundaries — the same no-libm discipline as :func:`first_digit`
+    (log10 boundary rounding differs across engines; comparisons
+    against exact powers of ten do not). Zero/null/out-of-range yield
+    null."""
+    a = F.abs(c)
+    out = F.lit(None).cast("long")
+    for k in range(min_decade, max_decade + 1):
+        lo, hi = float(10.0 ** k), float(10.0 ** (k + 1))
+        out = F.when((a >= lo) & (a < hi), F.lit(k)).otherwise(out)
+    return out
+
+
+def unit_mixture_check(df: DataFrame, cols: list[str],
+                       min_mode_share: float = 0.1,
+                       min_gap: int = 3) -> DataFrame:
+    """Mixed-units detector: a numeric column whose values cluster in
+    TWO well-separated decades is almost always one feed reporting
+    seconds where another reports milliseconds (or KB vs bytes, cents
+    vs dollars) — the silent unit bug that poisons every aggregate
+    while passing range checks row by row (both clusters look
+    plausible alone).
+
+    Per column: the decade histogram's top mode, the strongest second
+    mode at least ``min_gap`` decades away, and a RED verdict when that
+    far mode carries ≥ ``min_mode_share`` of the values — two real
+    populations, not stragglers. Everything is exact-integer decade
+    counting (pure when-chain, no log10), so an independent SQL twin
+    reproduces every share and verdict.
+
+    Scale shape: ONE map-combinable (col, decade) aggregate per column
+    (stacked into a single pass); modes and verdicts run on the
+    ≤|cols|×19-row decade table. No windows over the corpus.
+    """
+    per = []
+    for col in cols:
+        per.append(df.select(F.lit(col).alias("col_name"),
+                             decade(F.col(col)).alias("__d")))
+    u = per[0]
+    for o in per[1:]:
+        u = u.unionByName(o)
+    hist = (u.filter(F.col("__d").isNotNull())
+            .groupBy("col_name", "__d")
+            .agg(F.count(F.lit(1)).alias("__n")))
+    tot = hist.groupBy("col_name").agg(F.sum("__n").alias("__tot"))
+    h = hist.join(tot, "col_name").withColumn(
+        "__share", F.col("__n") / F.col("__tot"))
+    # top mode per column: max share, tie-break lower decade
+    top = h.groupBy("col_name").agg(
+        F.max_by(F.struct(F.col("__share"), (-F.col("__d")).alias("__md")),
+                 F.struct(F.col("__share"), (-F.col("__d")).alias("__md")))
+        .alias("__top"))
+    top = top.select("col_name",
+                     (-F.col("__top.__md")).alias("mode_decade"),
+                     F.round("__top.__share", 6).alias("mode_share"))
+    far = (h.join(top, "col_name")
+           .filter(F.abs(F.col("__d") - F.col("mode_decade")) >= min_gap)
+           .groupBy("col_name")
+           .agg(F.max_by(F.struct(F.col("__share"),
+                                  (-F.col("__d")).alias("__md")),
+                         F.struct(F.col("__share"),
+                                  (-F.col("__d")).alias("__md")))
+                .alias("__far")))
+    far = far.select("col_name",
+                     (-F.col("__far.__md")).alias("far_decade"),
+                     F.round("__far.__share", 6).alias("far_share"))
+    out = top.join(far, "col_name", "left")
+    return out.select(
+        "col_name", "mode_decade", "mode_share",
+        "far_decade", F.coalesce("far_share", F.lit(0.0)).alias("far_share"),
+        F.when(F.coalesce(F.col("far_share"), F.lit(0.0))
+               >= min_mode_share, "RED")
+        .otherwise("GREEN").alias("verdict"))

@@ -78,7 +78,7 @@ ORACLE_SQL: dict[str, str] = {}
 #: event_autocorr / key_type_drift / size_model_conformance /
 #: schema_contract / audio_polarity / quarantine_rows / data_freshness /
 #: agg_reconciliation / orphan_value_mass / duration_balance /
-#: split_divergence
+#: split_divergence / unit_mixture
 #: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
@@ -8133,3 +8133,71 @@ def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(p, 6).alias("psi"),
                     F.when(p > 0.25, "RED").when(p > 0.1, "YELLOW")
                     .otherwise("GREEN").alias("verdict")))
+
+
+@register("unit_mixture", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+meta AS (
+  SELECT f.i, CAST(substring(b.clip_id, 6) AS BIGINT) AS rid,
+         f.sr_hz, f.dur_ms
+  FROM full_ f JOIN base b USING (i)),
+vals AS (
+  SELECT 'dur_d' AS col_name,
+         CASE WHEN rid % 5 = 0 THEN dur_ms * 1000 ELSE dur_ms END AS v
+  FROM meta WHERE dur_ms IS NOT NULL
+  UNION ALL
+  SELECT 'sr_hz', sr_hz FROM meta WHERE dur_ms IS NOT NULL),
+-- positive integers: floor(log10(v)) == strlen(v) - 1, exactly
+hist AS (
+  SELECT col_name, length(CAST(v AS VARCHAR)) - 1 AS d, count(*) AS n
+  FROM vals GROUP BY 1, 2),
+h AS (
+  SELECT col_name, d, n,
+         n / sum(n) OVER (PARTITION BY col_name) AS share
+  FROM hist),
+top AS (
+  SELECT col_name,
+         CAST(min(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS mode_decade,
+         round(min(CASE WHEN rn = 1 THEN share END), 6) AS mode_share
+  FROM (SELECT *, row_number() OVER (PARTITION BY col_name
+                                     ORDER BY share DESC, d ASC) AS rn
+        FROM h)
+  GROUP BY col_name),
+far AS (
+  SELECT h.col_name,
+         CAST(min(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS far_decade,
+         round(min(CASE WHEN rn = 1 THEN share END), 6) AS far_share
+  FROM (SELECT h.*, row_number() OVER (PARTITION BY h.col_name
+                                       ORDER BY share DESC, d ASC) AS rn
+        FROM h JOIN top USING (col_name)
+        WHERE abs(h.d - top.mode_decade) >= 3) h
+  GROUP BY 1)
+SELECT t.col_name, t.mode_decade, t.mode_share,
+       f.far_decade, COALESCE(f.far_share, 0.0) AS far_share,
+       CASE WHEN COALESCE(f.far_share, 0.0) >= 0.1 THEN 'RED'
+            ELSE 'GREEN' END AS verdict
+FROM top t LEFT JOIN far f USING (col_name)
+""")
+def q_unit_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-units detection (operators/profiling.py:unit_mixture_check):
+    a numeric column clustering in TWO decades ≥3 apart is one feed
+    reporting microseconds where another reports milliseconds — the
+    silent unit bug that poisons every aggregate while each row passes
+    range checks alone. Planted: clip-id residue %5 multiplies the
+    declared duration by 1000 (~13% of mass lands 3 decades above the
+    mode → RED), while sr_hz's clean two-adjacent-decade spread stays
+    GREEN — the check distinguishes a wide distribution from a bimodal
+    one. Decades via an exact pure when-chain Spark-side; the oracle
+    exploits that all values are positive integers (decade =
+    strlen−1, no float anywhere). ONE stacked map-combinable
+    (col, decade) aggregate; modes run on the ≤|cols|×19-row table.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.profiling import unit_mixture_check
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    rid = F.expr("CAST(substring(clip_id, 6) AS BIGINT)")
+    d = clips.select(
+        F.when(F.pmod(rid, 5) == 0, F.col("dur_ms") * 1000)
+        .otherwise(F.col("dur_ms")).alias("dur_d"),
+        "sr_hz").filter(F.col("dur_d").isNotNull())
+    return unit_mixture_check(d, ["dur_d", "sr_hz"])

@@ -272,3 +272,39 @@ def test_dominant_type_drift_tie_breaks_lexicographically(spark):
     df = spark.createDataFrame(rows, "key string, seg string, t string")
     out = dominant_type_drift(df, "key", "t", "seg").collect()[0]
     assert out["dominant_early"] == "array"  # tie -> lexicographic
+
+
+def test_unit_mixture_flags_planted_microseconds(spark):
+    from json_spark.operators.profiling import unit_mixture_check
+    rows = []
+    for i in range(500):
+        v = 100 + (i * 37) % 100                # ms population: decade 2
+        if i % 5 == 0:
+            v *= 1000                            # "microseconds" feed
+        rows.append((v, 16000 + (i % 3) * 16000))
+    df = spark.createDataFrame(rows, "dur long, sr long")
+    out = {r["col_name"]: r.asDict() for r in
+           unit_mixture_check(df, ["dur", "sr"]).collect()}
+    d = out["dur"]
+    assert d["mode_decade"] == 2 and d["far_decade"] == 5
+    assert abs(d["far_share"] - 0.2) < 0.01
+    assert d["verdict"] == "RED"
+    s = out["sr"]
+    assert s["verdict"] == "GREEN" and s["far_share"] == 0.0
+
+
+def test_unit_mixture_wide_but_unimodal_green(spark):
+    """A wide single population spanning adjacent decades is NOT a unit
+    mixture — the gap requirement separates spread from bimodality."""
+    from json_spark.operators.profiling import unit_mixture_check
+    df = spark.createDataFrame([(50 + i,) for i in range(300)], "v long")
+    out = unit_mixture_check(df, ["v"]).collect()[0]
+    assert out["verdict"] == "GREEN"
+
+
+def test_decade_matches_strlen_for_integers(spark):
+    from json_spark.operators.profiling import decade
+    vals = [1, 9, 10, 99, 100, 5000, 123456, 999999999]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r[0] for r in df.select(decade(F.col("v"))).collect()]
+    assert got == [len(str(v)) - 1 for v in vals]
