@@ -175,6 +175,7 @@ HEADLINE = [
     "duration_balance",
     "split_divergence",
     "unit_mixture",
+    "vocab_growth",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

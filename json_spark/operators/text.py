@@ -336,3 +336,61 @@ def encoding_verdict(c: Column) -> Column:
     return (F.when(hard, F.lit("RED"))
             .when(f["n_zero_width"] > 0, F.lit("YELLOW"))
             .otherwise(F.lit("GREEN")))
+
+
+def vocab_growth(df: DataFrame, id_col: str, text_col: str,
+                 n_points: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct vocabulary size V(N) at
+    ``n_points`` corpus prefixes (by ``id_col`` order) and the log-log
+    OLS slope β of V ≈ K·N^β. Natural corpora grow β ≈ 0.4–0.7;
+    template spam and synthetic floods saturate early (β → 0) because
+    new documents stop bringing new words — a corpus-shape signal no
+    per-document quality score sees.
+
+    Exact with no distinct-over-prefix rescans: each term contributes
+    its FIRST prefix bucket (min id's bucket, one map-combinable min
+    per term), the per-bucket first-appearance counts cumsum into V(N)
+    on an ``n_points``-row frame, and the OLS fit runs on those few
+    (ln N, ln V) pairs — deterministic doubles from exact integers.
+    Emits one row per prefix (bucket, n_docs, vocab) plus the fitted
+    beta repeated (the driver-friendly long shape).
+
+    Scale shape: explode collapses into a (term → min id) aggregate —
+    vocabulary-sized, map-combinable; everything after runs on
+    ``n_points`` rows. The id→bucket rule uses the table's max id (a
+    1-row broadcast), not a sort.
+    """
+    mx = df.agg(F.max(F.col(id_col)).alias("__mx"))
+    with_b = (df.join(F.broadcast(mx))
+              .select((F.least(F.lit(n_points - 1),
+                               F.floor(F.col(id_col) * n_points
+                                       / (F.col("__mx") + 1))))
+                      .cast("long").alias("__b"),
+                      F.col(text_col).alias("__t")))
+    docs_per = with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__nd"))
+    first_b = (with_b.select("__b", F.explode(tokens(F.col("__t")))
+                             .alias("term"))
+               .groupBy("term").agg(F.min("__b").alias("__fb")))
+    new_per = first_b.groupBy(F.col("__fb").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__nv"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (docs_per.join(new_per, "__b", "left")
+            .select("__b", "__nd", F.coalesce("__nv", F.lit(0))
+                    .alias("__nv"))
+            .withColumn("n_docs", F.sum("__nd").over(w))
+            .withColumn("vocab", F.sum("__nv").over(w)))
+    pts = grid.select("__b", "n_docs", "vocab",
+                      F.log(F.col("n_docs").cast("double")).alias("__x"),
+                      F.log(F.col("vocab").cast("double")).alias("__y"))
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"))
+    beta = ((F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")))
+    b = fit.select(F.round(beta, 6).alias("heaps_beta"))
+    return (pts.join(F.broadcast(b))
+            .select(F.col("__b").alias("bucket"), "n_docs", "vocab",
+                    "heaps_beta")
+            .orderBy("bucket"))

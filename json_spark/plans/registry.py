@@ -78,7 +78,7 @@ ORACLE_SQL: dict[str, str] = {}
 #: event_autocorr / key_type_drift / size_model_conformance /
 #: schema_contract / audio_polarity / quarantine_rows / data_freshness /
 #: agg_reconciliation / orphan_value_mass / duration_balance /
-#: split_divergence / unit_mixture
+#: split_divergence / unit_mixture / vocab_growth
 #: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
@@ -8201,3 +8201,48 @@ def q_unit_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dur_ms")).alias("dur_d"),
         "sr_hz").filter(F.col("dur_d").isNotNull())
     return unit_mixture_check(d, ["dur_d", "sr_hz"])
+
+
+@register("vocab_growth", oracle="""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+wb AS (
+  SELECT least(9, CAST(floor(doc_id * 10.0 / (m + 1)) AS BIGINT)) AS b,
+         text
+  FROM documents, mx),
+docs_per AS (SELECT b, count(*) AS nd FROM wb GROUP BY 1),
+first_b AS (
+  SELECT term, min(b) AS fb
+  FROM (SELECT b, unnest(string_split(text, ' ')) AS term FROM wb)
+  GROUP BY term),
+new_per AS (SELECT fb AS b, count(*) AS nv FROM first_b GROUP BY 1),
+grid AS (
+  SELECT d.b, sum(d2.nd) AS n_docs,
+         COALESCE((SELECT sum(n2.nv) FROM new_per n2 WHERE n2.b <= d.b), 0)
+             AS vocab
+  FROM docs_per d JOIN docs_per d2 ON d2.b <= d.b
+  GROUP BY d.b),
+pts AS (
+  SELECT b, CAST(n_docs AS BIGINT) AS n_docs, CAST(vocab AS BIGINT) AS vocab,
+         ln(CAST(n_docs AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+  FROM grid),
+fit AS (
+  SELECT round((count(*) * sum(x*y) - sum(x) * sum(y))
+               / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS beta
+  FROM pts)
+SELECT p.b AS bucket, p.n_docs, p.vocab, f.beta AS heaps_beta
+FROM pts p, fit f
+""")
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (operators/text.py:vocab_growth):
+    distinct vocabulary V(N) at ten corpus prefixes and the log-log OLS
+    slope β of V ≈ K·N^β — natural corpora keep bringing new words
+    (β ≈ 0.4–0.7); template spam and synthetic floods saturate (β → 0),
+    a corpus-shape signal no per-document quality score sees.
+    Distinct-over-prefix WITHOUT rescans: each term contributes its
+    FIRST bucket (one vocabulary-sized map-combinable min), cumsums and
+    the OLS fit run on ten rows. Exact integer V(N) both engines; β
+    from the same ln/sum arithmetic, 6 dp.
+    """
+    from ..operators.text import vocab_growth
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, "doc_id", "text", n_points=10)

@@ -351,3 +351,25 @@ def test_split_divergence_hash_split_green_biased_split_flags(spark):
     assert fair < 0.05     # same distribution both halves (sampling noise)
     biased = run(F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val"))
     assert biased > 1.0                     # disjoint topic vocabularies
+
+
+def test_vocab_growth_natural_vs_template(spark):
+    """A corpus with ever-new words grows (beta near 1); a template
+    corpus repeating the same words saturates (beta near 0)."""
+    from json_spark.operators.text import vocab_growth
+    natural = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b common") for i in range(400)],
+        "doc_id long, text string")
+    rows_n = vocab_growth(natural, "doc_id", "text").collect()
+    beta_n = rows_n[0]["heaps_beta"]
+    template = spark.createDataFrame(
+        [(i, "buy now limited offer") for i in range(400)],
+        "doc_id long, text string")
+    beta_t = vocab_growth(template, "doc_id", "text") \
+        .collect()[0]["heaps_beta"]
+    assert beta_n > 0.9          # ~2 new words per doc
+    assert beta_t < 0.05         # vocabulary fixed after bucket 0
+    # V(N) is cumulative and exact
+    assert [r["bucket"] for r in rows_n] == list(range(10))
+    assert rows_n[-1]["vocab"] == 801       # 2*400 + 'common'
+    assert rows_n[-1]["n_docs"] == 400
