@@ -396,13 +396,9 @@ def unit_mixture_check(df: DataFrame, cols: list[str],
     (stacked into a single pass); modes and verdicts run on the
     ≤|cols|×19-row decade table. No windows over the corpus.
     """
-    per = []
-    for col in cols:
-        per.append(df.select(F.lit(col).alias("col_name"),
-                             decade(F.col(col)).alias("__d")))
-    u = per[0]
-    for o in per[1:]:
-        u = u.unionByName(o)
+    entries = [F.struct(F.lit(c).alias("col_name"),
+                        decade(F.col(c)).alias("__d")) for c in cols]
+    u = df.select(F.inline(F.array(*entries)))
     hist = (u.filter(F.col("__d").isNotNull())
             .groupBy("col_name", "__d")
             .agg(F.count(F.lit(1)).alias("__n")))

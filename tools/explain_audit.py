@@ -672,6 +672,38 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "split_divergence": [
+        # explode collapses map-side; vocab is k-bounded + broadcast;
+        # PSI runs on share rows
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("vocabulary join broadcast, never shuffled on the term", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("k-bounded vocabulary (TakeOrderedAndProject, no global sort "
+         "of corpus rows)", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("partial+final hash aggregates (map-side term counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "unit_mixture": [
+        # one stacked (col, decade) aggregate; modes on a tiny table
+        ("at most one Python stage (the fixture render)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 1),
+        ("partial+final hash aggregate (map-side decade counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no corpus-sized window (no Window at all — modes via max_by)",
+         True, lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
+    "vocab_growth": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("term first-bucket via partial+final min (vocabulary-sized "
+         "shuffle rows)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("max-id side broadcast", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("windows only over the n_points-row grid (single partition of "
+         "ten rows is by design)", True, lambda p: "Window" in p),
+    ],
     "orphan_value_mass": [
         # parent reduces to distinct keys; one flag join serves both
         # the row and value totals
