@@ -397,3 +397,47 @@ def streaming_route(stream: DataFrame,
     v = streaming_row_verdicts(stream, rules)
     return (v.filter(F.col("row_verdict") != "RED"),
             v.filter(F.col("row_verdict") == "RED"))
+
+
+def streaming_type_profile(
+    stream: DataFrame,
+    key_col: str,
+    val_col: str,
+    event_time_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Embedded-JSON value-TYPE monitoring at INGEST: per event-time
+    window and key, the count of each observed JSON value type — the
+    streaming twin of the batch key_type_drift check (operators/
+    profiling.py:json_value_type). The batch check compares corpus
+    halves after the fact; this surfaces a producer's type change in
+    the micro-batch where it starts (ints arriving as strings land as
+    a new (window, key, 'string') row immediately), so the silent
+    coercion-tolerance burn is visible the moment it begins.
+
+    The VARIANT classifier is a stateless JVM Column, so it runs
+    unchanged on the stream; state is the standard windowed agg keyed
+    on (window, key, type) — O(windows × keys × 7), independent of
+    stream volume.
+    """
+    typed = stream.select(
+        F.col(event_time_col),
+        F.col(key_col).alias("key"),
+        json_value_type_col(F.col(val_col)).alias("jtype"))
+    return (
+        typed.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window_duration),
+                 "key", "jtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "key", "jtype", "n"))
+
+
+def json_value_type_col(val_col: Column) -> Column:
+    """Re-export of operators/profiling.py:json_value_type (lazy import
+    keeps the streaming module's import surface minimal)."""
+    from ..operators.profiling import json_value_type
+    return json_value_type(val_col)

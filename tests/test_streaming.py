@@ -843,3 +843,42 @@ def test_streaming_dead_letter_routing(spark, tmp_path):
     assert dead_rows[0]["raw_num"] == "not-a-number"   # payload intact
     assert dead_rows[0]["raw_num__verdict"] == "RED"   # triage carries WHY
     assert all(r["row_verdict"] != "RED" for r in kept_rows)
+
+
+def test_streaming_type_profile(spark, tmp_path):
+    """A producer that flips a key's value type mid-stream surfaces as
+    a new (window, key, type) row in the micro-batch where it starts —
+    the ingest-time twin of the batch key_type_drift check."""
+    from json_spark.streaming.validate import streaming_type_profile
+    src, sink, chk = (str(tmp_path / d) for d in ("tsrc", "tsink", "tchk"))
+    schema = "ts timestamp, k string, val string"
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts string, k string, val string") \
+            .select(F.to_timestamp("ts").alias("ts"), "k", "val") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_type_profile(stream, "k", "val")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # minute 0: price is numeric; minute 1: the producer stringifies it
+    write([("2026-01-01 00:00:05", "price", "12"),
+           ("2026-01-01 00:00:15", "price", "13"),
+           ("2026-01-01 00:01:10", "price", '"14"'),
+           ("2026-01-01 00:01:20", "price", "15")])
+    run()
+    write([("2026-01-01 00:04:00", "price", "16")])
+    run()
+    write([("2026-01-01 00:07:00", "price", "17")])
+    run()
+    rows = {(r["window_start"].strftime("%H:%M"), r["jtype"]): r["n"]
+            for r in spark.read.parquet(sink).collect()}
+    assert rows[("00:00", "integer")] == 2
+    assert rows[("00:01", "integer")] == 1
+    assert rows[("00:01", "string")] == 1     # the flip, visible at once
+    assert ("00:00", "string") not in rows
