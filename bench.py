@@ -176,6 +176,7 @@ HEADLINE = [
     "split_divergence",
     "unit_mixture",
     "vocab_growth",
+    "seasonal_volume_anomaly",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

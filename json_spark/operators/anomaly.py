@@ -139,3 +139,45 @@ def robust_line_conformance(df: DataFrame, x_col: str, y_col: str,
                 F.round(rate, 6).alias("outlier_rate"),
                 F.when(rate > yellow_rate, "YELLOW")
                 .otherwise("GREEN").alias("verdict")))
+
+
+def seasonal_volume_anomaly(df: DataFrame, ts_col: str,
+                            k: int = 3) -> DataFrame:
+    """Seasonally-adjusted volume anomaly: judge each DAY's row count
+    against the median of ITS OWN WEEKDAY — "this Monday is unlike
+    Mondays" — so weekly rhythm (weekend troughs, Monday spikes) stops
+    masquerading as incidents and a quiet-day outage stops hiding
+    inside the weekly average. The un-adjusted twin (partition_anomaly
+    on daily counts) flags every weekend of a weekday-heavy feed.
+
+    Entirely INTEGER arithmetic: day counts, per-weekday median and MAD
+    as exact k-th smallest (k = ceil(n/2)) over each weekday's count
+    set, and the flag |n − med| > k·MAD — no float anywhere, so an
+    independent SQL twin reproduces every row bit-for-bit. Weekday from
+    epoch-days % 7 (TZ-proof; 1970-01-01 was a Thursday, the label is
+    the residue, not a locale name). Zero-MAD weekdays (perfectly
+    regular) flag ANY deviation.
+
+    Scale shape: the corpus collapses in ONE map-combinable (day)
+    count; weekday medians/MADs run on the |days|-row table with
+    windows partitioned by weekday (never global). Emits one row per
+    day: n_rows, weekday, med_dow, mad_dow, anomalous.
+    """
+    from .drift import quantile_digest_counts, quantiles_from_counts
+    days = (df.select(F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{ts_col}) DIV 86400000000").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("dow", F.pmod(F.col("day"), F.lit(7))))
+    med = (quantiles_from_counts(
+        quantile_digest_counts(days, "n_rows", ["dow"]), "n_rows", ["dow"])
+        .select("dow", F.col("q50").alias("med_dow")))
+    d2 = days.join(F.broadcast(med), "dow").withColumn(
+        "__dev", F.abs(F.col("n_rows") - F.col("med_dow")))
+    mad = (quantiles_from_counts(
+        quantile_digest_counts(d2, "__dev", ["dow"]), "__dev", ["dow"])
+        .select("dow", F.col("q50").alias("mad_dow")))
+    return (d2.join(F.broadcast(mad), "dow")
+            .select("day", "dow", "n_rows", "med_dow", "mad_dow",
+                    (F.col("__dev") > F.lit(int(k)) * F.col("mad_dow"))
+                    .alias("anomalous")))

@@ -78,7 +78,8 @@ ORACLE_SQL: dict[str, str] = {}
 #: event_autocorr / key_type_drift / size_model_conformance /
 #: schema_contract / audio_polarity / quarantine_rows / data_freshness /
 #: agg_reconciliation / orphan_value_mass / duration_balance /
-#: split_divergence / unit_mixture / vocab_growth
+#: split_divergence / unit_mixture / vocab_growth /
+#: seasonal_volume_anomaly
 #: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
 #: (oracle-backed since mid-r3, replica-green; displaced by
 #: audio_bit_depth),
@@ -8246,3 +8247,53 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import vocab_growth
     docs = load_table(spark, sf_dir, "documents")
     return vocab_growth(docs, "doc_id", "text", n_points=10)
+
+
+@register("seasonal_volume_anomaly", oracle="""
+WITH days AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_rows
+  FROM events GROUP BY 1),
+d AS (SELECT day, n_rows, day % 7 AS dow FROM days),
+medc AS (
+  SELECT dow, n_rows AS v, count(*) AS c FROM d GROUP BY 1, 2),
+med AS (
+  SELECT dow, CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                   AS BIGINT) AS med_dow
+  FROM (SELECT dow, v, c,
+               sum(c) OVER (PARTITION BY dow ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY dow) AS n
+        FROM medc)
+  GROUP BY dow),
+d2 AS (
+  SELECT d.day, d.dow, d.n_rows, m.med_dow,
+         abs(d.n_rows - m.med_dow) AS dev
+  FROM d JOIN med m USING (dow)),
+madc AS (SELECT dow, dev AS v, count(*) AS c FROM d2 GROUP BY 1, 2),
+mad AS (
+  SELECT dow, CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                   AS BIGINT) AS mad_dow
+  FROM (SELECT dow, v, c,
+               sum(c) OVER (PARTITION BY dow ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY dow) AS n
+        FROM madc)
+  GROUP BY dow)
+SELECT d2.day, d2.dow, CAST(d2.n_rows AS BIGINT) AS n_rows,
+       m.med_dow AS med_dow, a.mad_dow AS mad_dow,
+       d2.dev > 3 * a.mad_dow AS anomalous
+FROM d2 JOIN med m USING (dow) JOIN mad a USING (dow)
+""")
+def q_seasonal_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomaly (operators/anomaly.py:
+    seasonal_volume_anomaly): each day's event count judged against the
+    median of ITS OWN WEEKDAY in robust MAD units — weekly rhythm stops
+    masquerading as incidents and a quiet-day outage stops hiding in
+    the weekly average (the un-adjusted daily twin is
+    partition_anomaly). Entirely integer arithmetic — counts, exact
+    k-th-smallest weekday medians/MADs, the |n−med| > 3·MAD flag — so
+    the oracle reproduces every row bit-for-bit. One map-combinable day
+    count touches the corpus; weekday windows run on the |days|-row
+    table, partitioned by weekday, never global.
+    """
+    from ..operators.anomaly import seasonal_volume_anomaly
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_volume_anomaly(ev, "ts", k=3)

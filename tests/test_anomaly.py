@@ -112,3 +112,33 @@ def test_robust_line_conformance_ignores_null_and_nonpositive_x(spark):
     out = robust_line_conformance(df, "x", "y", ["g"],
                                   abs_threshold=10).collect()[0]
     assert out["n_rows"] == 2
+
+
+def test_seasonal_volume_anomaly_planted_quiet_monday(spark):
+    """A weekday-heavy feed: weekends at 10 rows/day, weekdays at 100.
+    Un-adjusted stats would flag every weekend; the seasonal check
+    flags ONLY the planted quiet Monday (20 rows where Mondays run
+    100)."""
+    from pyspark.sql import functions as F
+
+    from json_spark.operators.anomaly import seasonal_volume_anomaly
+    rows = []
+    # days 0..27: 4 full weeks; day % 7 in (2, 3) = weekend (1970-01-01
+    # is a Thursday: residues are weekday labels, not names)
+    for day in range(28):
+        weekend = day % 7 in (2, 3)
+        n = 10 if weekend else 100
+        if day == 21:                      # planted quiet "Monday"
+            n = 20
+        for i in range(n):
+            rows.append((day * 86400 + i,))
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"))
+    out = {r["day"]: r for r in
+           seasonal_volume_anomaly(df, "ts").collect()}
+    assert len(out) == 28
+    flagged = [d for d, r in out.items() if r["anomalous"]]
+    assert flagged == [21]
+    assert out[21]["med_dow"] == 100       # its weekday's median
+    # weekends judged against weekend medians -> clean
+    assert not out[2]["anomalous"] and not out[9]["anomalous"]
