@@ -672,6 +672,19 @@ CHECKS = {
         ("rank window present and AFTER aggregation", True,
          lambda p: "Window" in p),
     ],
+    "seasonal_volume_anomaly": [
+        ("no Python stage", True, lambda p: "Python" not in p),
+        ("scan pruned to the timestamp only", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 1),
+        ("partial+final hash aggregate (map-side day counting)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("weekday-partitioned windows only (no global window)", True,
+         lambda p: (ws := re.findall(r"windowspecdefinition\([^)]*", p))
+         and all("dow" in w for w in ws)),
+        ("median/MAD frames broadcast back", True,
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+    ],
     "split_divergence": [
         # explode collapses map-side; vocab is k-bounded + broadcast;
         # PSI runs on share rows
