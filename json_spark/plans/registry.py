@@ -8297,3 +8297,82 @@ def q_seasonal_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import seasonal_volume_anomaly
     ev = load_table(spark, sf_dir, "events")
     return seasonal_volume_anomaly(ev, "ts", k=3)
+
+
+@register("transcript_wer", oracle="""
+WITH d AS (
+  SELECT doc_id, length(string_split(text, ' ')) AS n FROM documents),
+m AS (
+  SELECT doc_id, n,
+         CASE doc_id % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub'
+              WHEN 2 THEN 'del' ELSE 'ins' END AS mode,
+         CASE WHEN doc_id % 4 = 0 THEN 0
+              ELSE 1 + (doc_id // 4) % 3 END AS k
+  FROM d)
+SELECT mode,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(k AS DOUBLE) / n), 6) AS avg_wer,
+       CAST(max(k) AS INTEGER) AS max_distance,
+       CAST(sum(CASE WHEN mode = 'sub' THEN k ELSE 0 END) AS BIGINT)
+           AS total_sub,
+       CAST(sum(CASE WHEN mode = 'del' THEN k ELSE 0 END) AS BIGINT)
+           AS total_del,
+       CAST(sum(CASE WHEN mode = 'ins' THEN k ELSE 0 END) AS BIGINT)
+           AS total_ins
+FROM m GROUP BY mode
+""")
+def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level WER with sub/del/ins decomposition
+    (operators/alignment.py:word_edit_stats) — the graded form of the
+    brief's transcript-EQUALITY invariant (repo:BASELINE.json
+    input_hint), splitting the reference's single decode-failure into
+    the YELLOW re-punctuation band vs the RED rewrite band, the same
+    ladder result.go:4-18 drafts for row decoding.
+
+    Planted-edit proof: each document becomes a hypothesis by
+    doc_id%4 — clean copy / k word substitutions at distinct positions
+    with OUT-OF-VOCAB sentinels / k trailing-word deletions / k
+    sentinel appends (k = 1 + (doc_id div 4)%3). Each sentinel must be
+    created by one edit op and never matches, so the TRUE word-level
+    Levenshtein distance is provably exactly k and the minimal script
+    is pure sub / del / ins respectively — the oracle pins distance,
+    WER = k/n, and the full op decomposition in closed form without
+    running any DP, while the Spark side measures them with the real
+    O(n*m) Arrow DP kernel + backtrace. A hash match proves the kernel
+    exact on ~375 planted alignments.
+
+    Scale shape: hypothesis construction is pure Column surgery
+    (split/transform/slice, codegen); the DP stage is map-only
+    mapInArrow with bounded per-row cost; the rollup is 4 groups of
+    map-combinable sums.
+    """
+    from ..operators.alignment import word_edit_stats
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prepared = docs.select(
+        "doc_id", "text",
+        F.expr("CASE doc_id % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub' "
+               "WHEN 2 THEN 'del' ELSE 'ins' END").alias("mode"),
+        F.expr("CASE WHEN doc_id % 4 = 0 THEN 0 "
+               "ELSE 1 + (doc_id div 4) % 3 END").cast("int").alias("k"),
+        F.size(F.split("text", " ")).alias("n"))
+    hyp = prepared.withColumn("hyp", F.expr("""
+        CASE mode
+          WHEN 'clean' THEN text
+          WHEN 'sub' THEN array_join(
+            transform(split(text, ' '), (x, i) ->
+              CASE WHEN i % (n div k) = 0 AND (i div (n div k)) < k
+                   THEN concat('#s', i, '#') ELSE x END), ' ')
+          WHEN 'del' THEN array_join(
+            slice(split(text, ' '), 1, n - k), ' ')
+          ELSE concat(text, ' ', array_join(
+            slice(array('#i0#', '#i1#', '#i2#'), 1, k), ' '))
+        END"""))
+    stats = word_edit_stats(hyp, "text", "hyp", passthrough=["mode"])
+    return stats.groupBy("mode").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("distance") / F.col("n_ref")), 6)
+        .alias("avg_wer"),
+        F.max("distance").alias("max_distance"),
+        F.sum("n_sub").cast("long").alias("total_sub"),
+        F.sum("n_del").cast("long").alias("total_del"),
+        F.sum("n_ins").cast("long").alias("total_ins"))

@@ -1193,6 +1193,20 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "transcript_wer": [
+        # hypothesis surgery is pure Column codegen; only the DP kernel
+        # is Python, map-only over the source partitioning
+        ("exactly one Python stage (the Arrow DP kernel)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 1),
+        ("scan pruned to (doc_id, text)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 2),
+        ("rollup is a partial+final hash aggregate (4 groups)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no exchange before the kernel (alignment never shuffles "
+         "transcripts)", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
 }
 
 
