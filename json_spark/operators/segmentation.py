@@ -200,7 +200,7 @@ def resample_dominant_freq(clips: DataFrame,
                 try:
                     sig, sr = decode_wav_pcm16(
                         memoryview(payloads[j].as_buffer()))
-                except (ValueError, struct.error, AttributeError):
+                except (ValueError, struct.error, AttributeError, TypeError):
                     n_out_l.append(None)
                     dom.append(None)
                     binw.append(None)
@@ -285,7 +285,7 @@ def normalize_gain(clips: DataFrame, target_peak: int = 30000) -> DataFrame:
                 try:
                     buf = memoryview(payloads[j].as_buffer())
                     sig, sr = decode_wav_pcm16(buf)
-                except (ValueError, struct.error, AttributeError):
+                except (ValueError, struct.error, AttributeError, TypeError):
                     verd.append("RED")
                     continue
                 dur = int(durs[j]) if durs[j] is not None else 100

@@ -8376,3 +8376,40 @@ def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sub").cast("long").alias("total_sub"),
         F.sum("n_del").cast("long").alias("total_del"),
         F.sum("n_ins").cast("long").alias("total_ins"))
+
+
+@register("audio_spectral_flatness", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec, count(*) AS n_clips,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT)
+         AS n_noise_like,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT)
+         AS n_tonal
+FROM full_ GROUP BY codec
+""")
+def q_audio_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectrum-SHAPE invariant over decoded PCM
+    (operators/multimodal.py:spectral_flatness): Wiener entropy
+    (geometric/arithmetic mean of the rFFT power spectrum) is near 0
+    for the generator's 3-tone contract and near the white-noise 0.56
+    for the planted uniform-noise corruption — exhaustive clean max
+    0.016 vs corrupt min 0.095 over 4000 rendered rows, so the 0.04
+    log-midpoint line splits with a 6x gap.
+    Complements audio_rms_check (loudness band): flatness catches
+    an equal-POWER corruption that leaves RMS inside the clean band.
+    The oracle predicts the exact per-codec counts on both sides from
+    row-id arithmetic (corrupt <=> i%997=996, codec via the CRC-32 SQL
+    fold) without decoding a byte.
+
+    Scale shape: map-only Arrow FFT over the source partitioning;
+    payload bytes never shuffle; the rollup is a per-codec
+    map-combinable sum.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import spectral_flatness
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    f = spectral_flatness(clips)
+    return f.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.col("flatness") > 0.04).cast("long")).alias("n_noise_like"),
+        F.sum((F.col("flatness") <= 0.04).cast("long")).alias("n_tonal"))

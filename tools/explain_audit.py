@@ -1193,6 +1193,16 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "audio_spectral_flatness": [
+        # fixture render + FFT kernel are the only Python stages;
+        # payloads never shuffle, rollup shrinks to 4 codec rows
+        ("at most two Python stages (fixture render + FFT kernel)",
+         True, lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 2),
+        ("per-codec rollup is a partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no window, no sort of clip rows", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
     "transcript_wer": [
         # hypothesis surgery is pure Column codegen; only the DP kernel
         # is Python, map-only over the source partitioning
