@@ -96,6 +96,67 @@ def repetition_features(c: Column) -> dict[str, Column]:
     }
 
 
+#: Latin -> Cyrillic homoglyph pairs (visually near-identical glyphs);
+#: the classic spoof/canary corruption a crawl picks up from SEO spam
+CONFUSABLE_LATIN = "aeopcyx"
+CONFUSABLE_CYRILLIC = "аеорсух"
+
+CYRILLIC_RE = "[Ѐ-ӿ]"
+LATIN_RE = "[A-Za-z]"
+
+
+def script_mix_features(c: Column) -> dict[str, Column]:
+    """Per-document Unicode script profile:
+
+    - cyr_chars     : count of Cyrillic codepoints
+    - latin_chars   : count of ASCII letters
+    - mixed_tokens  : tokens containing BOTH scripts — the homoglyph
+                      spoof signal (a token like "hеllo" renders
+                      identically to "hello" but tokenizes, hashes and
+                      dedups differently, silently fragmenting vocab
+                      and defeating exact dedup)
+    - cyr_share     : Cyrillic fraction of all characters
+
+    Pure Column regex arithmetic — counts via length-difference after
+    regexp_replace, token scan via a filter() higher-order function;
+    no explode, no Python, no shuffle.
+    """
+    n = F.length(c)
+    cyr = n - F.length(F.regexp_replace(c, CYRILLIC_RE, ""))
+    latin = n - F.length(F.regexp_replace(c, LATIN_RE, ""))
+    mixed = F.size(F.filter(
+        tokens(c),
+        lambda w: w.rlike(CYRILLIC_RE) & w.rlike(LATIN_RE)))
+    return {
+        "cyr_chars": cyr,
+        "latin_chars": latin,
+        "mixed_tokens": mixed,
+        "cyr_share": F.when(n > 0, cyr / n).otherwise(F.lit(0.0)),
+    }
+
+
+def script_mix_report(df: DataFrame, text_col: str,
+                      group_cols: list[str]) -> DataFrame:
+    """Per-group mixed-script exposure: document counts, documents with
+    at least one mixed-script token (spoofed), total mixed tokens and
+    Cyrillic characters, and the worst per-document Cyrillic share.
+    Map-only until the tiny group aggregate — same scale shape as
+    ``pii_scan``."""
+    feats = script_mix_features(F.col(text_col))
+    enriched = df.select(
+        *group_cols,
+        (feats["mixed_tokens"] > 0).cast("long").alias("__spoofed"),
+        feats["mixed_tokens"].cast("long").alias("__mixed"),
+        feats["cyr_chars"].cast("long").alias("__cyr"),
+        feats["cyr_share"].alias("__share"))
+    return enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__spoofed").alias("spoofed_docs"),
+        F.sum("__mixed").alias("mixed_tokens"),
+        F.sum("__cyr").alias("cyr_chars"),
+        F.round(F.max("__share"), 6).alias("max_cyr_share"))
+
+
 def repetition_report(df: DataFrame, id_col: str, text_col: str,
                       max_top_share: float = 0.2,
                       min_distinct_ratio: float = 0.3) -> DataFrame:

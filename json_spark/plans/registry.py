@@ -8413,3 +8413,65 @@ def q_audio_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.sum((F.col("flatness") > 0.04).cast("long")).alias("n_noise_like"),
         F.sum((F.col("flatness") <= 0.04).cast("long")).alias("n_tonal"))
+
+
+@register("text_script_mix", oracle="""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN doc_id % 5 = 4
+              THEN translate(text, 'aeopcyx', 'аеорсух')
+              ELSE text END AS text
+  FROM documents),
+f AS (
+  SELECT lang,
+         length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+             AS cyr,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[Ѐ-ӿ]')
+                  AND regexp_matches(w, '[A-Za-z]'))) AS mixed,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS share
+  FROM t)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN mixed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS spoofed_docs,
+       CAST(sum(mixed) AS BIGINT) AS mixed_tokens,
+       CAST(sum(cyr) AS BIGINT) AS cyr_chars,
+       round(max(share), 6) AS max_cyr_share
+FROM f GROUP BY lang
+""")
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script / homoglyph spoof detection
+    (operators/text_filters.py:script_mix_report): a token like
+    "hеllo" with a Cyrillic е renders identically to "hello" but
+    hashes, tokenizes and dedups differently — SEO spam and canary
+    text carrying confusables silently fragment the vocabulary and
+    defeat exact dedup, so a corpus QA pass must count them. Flags
+    tokens mixing Latin + Cyrillic codepoints and profiles the
+    Cyrillic share per document, rolled up per language.
+
+    Both engines plant the SAME corruption (every 5th doc gets 7
+    Latin->Cyrillic homoglyph substitutions via translate()), then
+    each measures with its own regex machinery — Java regex vs RE2,
+    length-difference counting vs list_filter — so the match checks
+    the full detection path, not the planting arithmetic.
+
+    Scale shape: map-only Column regex arithmetic (no explode, no
+    Python), then a |langs|-row map-combinable aggregate.
+    """
+    from ..operators.text_filters import (
+        CONFUSABLE_CYRILLIC,
+        CONFUSABLE_LATIN,
+        script_mix_report,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    spoofed = docs.select(
+        "lang",
+        F.when(F.pmod("doc_id", F.lit(5)) == 4,
+               F.translate("text", CONFUSABLE_LATIN, CONFUSABLE_CYRILLIC))
+        .otherwise(F.col("text")).alias("text"))
+    return script_mix_report(spoofed, "text", ["lang"])

@@ -1193,6 +1193,18 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "text_script_mix": [
+        ("no Python stage (regex arithmetic is JVM Column code)", True,
+         lambda p: "Python" not in p),
+        ("scan pruned to (doc_id, lang, text)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 3),
+        ("per-lang rollup is a partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no explode, no window (token scan is a higher-order filter)",
+         True, lambda p: "Generate " not in p.split("== CODEGEN ==")[0]
+         and "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
     "audio_spectral_flatness": [
         # fixture render + FFT kernel are the only Python stages;
         # payloads never shuffle, rollup shrinks to 4 codec rows
