@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.signal import decode_wav_pcm16
+from ..functions.aiff import parse_aiff_header
 from ..functions.au import parse_au_header
 from ..functions.flac import decode_flac, parse_flac_streaminfo
 
@@ -152,10 +153,22 @@ def extract_media_meta(clips: DataFrame) -> DataFrame:
                                 1000.0 * n_samp / au["sample_rate"]
                                 if au["sample_rate"] else None)
                         except (ValueError, struct.error):
-                            rows["container"].append("unknown")
-                            for k in ("sr_hz", "channels", "bits",
-                                      "n_samples", "meta_dur_ms"):
-                                rows[k].append(None)
+                            try:
+                                ai = parse_aiff_header(buf)
+                                rows["container"].append("aiff")
+                                rows["sr_hz"].append(ai["sample_rate"])
+                                rows["channels"].append(ai["channels"])
+                                rows["bits"].append(ai["sample_size"])
+                                rows["n_samples"].append(ai["n_frames"])
+                                rows["meta_dur_ms"].append(
+                                    1000.0 * ai["n_frames"]
+                                    / ai["sample_rate"]
+                                    if ai["sample_rate"] else None)
+                            except (ValueError, struct.error):
+                                rows["container"].append("unknown")
+                                for k in ("sr_hz", "channels", "bits",
+                                          "n_samples", "meta_dur_ms"):
+                                    rows[k].append(None)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.string()),
                  pa.array(rows["container"], pa.string()),
@@ -581,19 +594,23 @@ def flac_header_verdicts() -> dict[str, Column]:
 def container_header_verdicts() -> dict[str, Column]:
     """Mixed-container rule set: dispatch per row on the magic bytes —
     RIFF payloads validate under the WAV rules, fLaC payloads under the
-    FLAC rules, ``.snd`` payloads under the Sun AU rules, anything else
-    is RED. One pure-Column CASE, so a stream (or batch table) carrying
-    all three containers validates in a single rule surface with no
-    Python stage."""
+    FLAC rules, ``.snd`` payloads under the Sun AU rules, FORM/AIFF
+    payloads under the AIFF rules, anything else is RED. One pure-Column
+    CASE, so a stream (or batch table) carrying all four containers
+    validates in a single rule surface with no Python stage."""
     wav = wav_header_verdicts()
     fl = flac_header_verdicts()
     au = au_header_verdicts()
+    aiff = aiff_header_verdicts()
     is_wav = F.substring(F.col("bytes"), 1, 4) == F.lit(b"RIFF")
     is_flac = F.substring(F.col("bytes"), 1, 4) == F.lit(b"fLaC")
     is_au = F.substring(F.col("bytes"), 1, 4) == F.lit(b".snd")
+    is_aiff = ((F.substring(F.col("bytes"), 1, 4) == F.lit(b"FORM"))
+               & (F.substring(F.col("bytes"), 9, 4) == F.lit(b"AIFF")))
     return {
         col: (F.when(is_wav, wav[col]).when(is_flac, fl[col])
-              .when(is_au, au[col]).otherwise(F.lit("RED")))
+              .when(is_au, au[col]).when(is_aiff, aiff[col])
+              .otherwise(F.lit("RED")))
         for col in ("bytes", "sr_hz")
     }
 
@@ -802,6 +819,109 @@ def transcode_au(clips: DataFrame) -> DataFrame:
 
     return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
                         "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
+def transcode_aiff(clips: DataFrame) -> DataFrame:
+    """WAV→AIFF transcode keeping the clips-table shape: each payload's
+    raw int16 samples re-containered as IFF-chunked AIFF
+    (functions/aiff.py), 80-bit-extended-float sample rate and all.
+    Same scale shape as transcode_flac/au: map-only Arrow stage over
+    the source partitioning, undecodable payloads pass through as null
+    bytes (verdict surface decides), the payload never shuffles."""
+    from ..functions.aiff import encode_aiff
+
+    def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            out: list[bytes | None] = []
+            for j in range(batch.num_rows):
+                try:
+                    wav = memoryview(payloads[j].as_buffer())
+                    n_bytes = struct.unpack("<I", wav[40:44])[0]
+                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
+                    sr = struct.unpack("<I", wav[24:28])[0]
+                    out.append(encode_aiff(ints, sr))
+                except (ValueError, struct.error, AttributeError, TypeError):
+                    out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),
+                 pa.array(out, pa.binary())],
+                ["clip_id", "codec", "sr_hz", "dur_ms", "bytes"])
+
+    return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
+                        "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
+def aiff_header_columns(bytes_col: Column) -> dict[str, Column]:
+    """AIFF header fields as pure Column expressions — the zero-Python
+    header path for the FOURTH container, reading the canonical
+    COMM-then-SSND layout the engine's writer emits (functions/aiff.py;
+    a foreign chunk order falls to the Python parser, same stance as
+    FLAC's fixed STREAMINFO read).
+
+    The crown jewel is the sample rate: AIFF stores it as an 80-bit
+    IEEE 754 extended float, and this recovers the integer-exact value
+    with long arithmetic only — exponent word at offset 29 (1-based),
+    top-32 mantissa bits at 31, then ``sr = floor(hi32 / 2^(31-k))``
+    with ``k = exp - 16383``. The division is exact in double (both
+    operands < 2^32), so no float parse and no Python ever touch the
+    header.
+
+    Returned keys: ``aiff_ok`` (magic + canonical PCM16-mono COMM),
+    ``n_frames``, ``sample_size``, ``hdr_sr_hz``, ``ssnd_bytes``
+    (payload length declared by the SSND chunk, minus offset words).
+    """
+    exp = be_uint(bytes_col, 29, 2)
+    hi32 = be_uint(bytes_col, 31, 4)
+    k = exp - F.lit(16383)
+    sr = F.floor(hi32 / F.pow(F.lit(2.0), (F.lit(31) - k).cast("double")))
+    return {
+        "aiff_ok": (F.length(bytes_col) >= 54)
+        & (F.substring(bytes_col, 1, 4) == F.lit(b"FORM"))
+        & (F.substring(bytes_col, 9, 4) == F.lit(b"AIFF"))
+        & (F.substring(bytes_col, 13, 4) == F.lit(b"COMM"))
+        & (be_uint(bytes_col, 17, 4) == 18)   # COMM size
+        & (be_uint(bytes_col, 21, 2) == 1)    # mono
+        & (be_uint(bytes_col, 27, 2) == 16)   # PCM16
+        & (F.substring(bytes_col, 39, 4) == F.lit(b"SSND")),
+        "n_frames": be_uint(bytes_col, 23, 4),
+        "sample_size": be_uint(bytes_col, 27, 2),
+        "hdr_sr_hz": sr.cast("long"),
+        "ssnd_bytes": be_uint(bytes_col, 43, 4) - F.lit(8),
+        "form_bytes": be_uint(bytes_col, 5, 4) + F.lit(8),
+    }
+
+
+def aiff_header_verdicts() -> dict[str, Column]:
+    """AIFF container checks as GREEN/YELLOW/RED verdict Columns — the
+    fourth-container twin of wav/flac/au_header_verdicts.
+
+    - ``bytes``: RED when the FORM/AIFF magic or canonical PCM16-mono
+      COMM shape is missing, or any of the three declared lengths
+      (FORM size, SSND size, COMM frame count) contradicts the actual
+      payload length; GREEN otherwise.
+    - ``sr_hz``: YELLOW when the container is sound but the 80-bit
+      header rate contradicts the metadata column (recoverable by
+      trusting the header); RED when the header is unreadable; GREEN
+      on agreement.
+    """
+    hdr = aiff_header_columns(F.col("bytes"))
+    container_ok = (hdr["aiff_ok"]
+                    & (F.length("bytes") == hdr["form_bytes"])
+                    & (F.length("bytes")
+                       == F.lit(54) + hdr["ssnd_bytes"])
+                    & (hdr["ssnd_bytes"] == 2 * hdr["n_frames"]))
+    return {
+        "bytes": F.when(container_ok, "GREEN").otherwise("RED"),
+        "sr_hz": F.when(~hdr["aiff_ok"], "RED")
+        .when(hdr["hdr_sr_hz"] == F.col("sr_hz").cast("long"), "GREEN")
+        .otherwise("YELLOW"),
+    }
 
 
 def au_header_columns(bytes_col: Column) -> dict[str, Column]:

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.signal import decode_wav_pcm16, reference_signal, snr_db
+from ..functions.aiff import decode_aiff
 from ..functions.au import decode_au
 from ..functions.flac import decode_flac
 
@@ -226,9 +227,14 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                             # enforced); rejects non-fLaC instantly at magic
                             decoded, sr = decode_flac(bytes(buf))
                         except (ValueError, struct.error):
-                            # third container: big-endian Sun AU
-                            # (functions/au.py); rejects at magic too
-                            decoded, sr = decode_au(buf)
+                            try:
+                                # third container: big-endian Sun AU
+                                # (functions/au.py); rejects at magic too
+                                decoded, sr = decode_au(buf)
+                            except (ValueError, struct.error):
+                                # fourth container: IFF-chunked AIFF with
+                                # the 80-bit-float rate (functions/aiff.py)
+                                decoded, sr = decode_aiff(buf)
                     dur = int(durs[j]) if durs[j] is not None else 100
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)

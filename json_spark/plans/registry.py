@@ -8475,3 +8475,95 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.translate("text", CONFUSABLE_LATIN, CONFUSABLE_CYRILLIC))
         .otherwise(F.col("text")).alias("text"))
     return script_mix_report(spoofed, "text", ["lang"])
+
+
+@register("aiff_header_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+g AS (
+  SELECT codec,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n
+  FROM full_)
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_aiff_ok,
+       CAST(count(*) AS BIGINT) AS n_sr_match,
+       CAST(count(*) AS BIGINT) AS n_len_match,
+       CAST(sum(2 * n) AS BIGINT) AS sum_payload_bytes
+FROM g GROUP BY codec
+""")
+def q_aiff_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Python header integrity over the FOURTH container, IFF-chunked
+    AIFF: clips transcode in one Arrow stage (multimodal.py:
+    transcode_aiff; functions/aiff.py is the codec), then every header
+    field — FORM/AIFF/COMM/SSND magics and sizes, PCM16-mono shape, and
+    the 80-bit IEEE-754 EXTENDED-FLOAT sample rate — is read by pure
+    Column byte surgery (multimodal.py:aiff_header_columns). The f80
+    rate decode is the novel bit: exponent word + top-32 mantissa bits
+    via be_uint, then an exact power-of-two division — no float parse,
+    no Python. The oracle re-derives expected fields per codec from the
+    generator contract: the canonical layout is deterministic (54-byte
+    header + 2 bytes/sample), so sum_payload_bytes pins the encoder's
+    framing exactly, and sr_match proves the f80 encode/Column-decode
+    pair is the identity on every real sample rate.
+
+    Scale shape: two Python stages (fixture render + transcode) feeding
+    whole-stage-codegen header checks, then one map-combined aggregate
+    whose key cardinality is |codec| — the payload never shuffles.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import aiff_header_columns, transcode_aiff
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    aiff = transcode_aiff(clips)
+    hdr = aiff_header_columns(F.col("bytes"))
+    parsed = aiff.select(
+        "codec",
+        hdr["aiff_ok"].alias("aiff_ok"),
+        (hdr["hdr_sr_hz"] == F.col("sr_hz").cast("long")).alias("sr_match"),
+        ((F.length("bytes") == hdr["form_bytes"])
+         & (hdr["ssnd_bytes"] == 2 * hdr["n_frames"])
+         & (F.length("bytes") == F.lit(54) + hdr["ssnd_bytes"]))
+        .alias("len_match"),
+        hdr["ssnd_bytes"].alias("data_bytes"))
+    return parsed.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("aiff_ok").cast("long")).alias("n_aiff_ok"),
+        F.sum(F.col("sr_match").cast("long")).alias("n_sr_match"),
+        F.sum(F.col("len_match").cast("long")).alias("n_len_match"),
+        F.sum("data_bytes").alias("sum_payload_bytes"))
+
+
+@register("audio_aiff_snr", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict
+FROM full_ GROUP BY codec
+""")
+def q_audio_aiff_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNR>=30dB invariant end-to-end over AIFF containers: clips
+    transcode WAV→AIFF (multimodal.py:transcode_aiff), then the SAME
+    fused PCM kernel (operators/snr.py:pcm_scan — AIFF is the fourth
+    magic-gated fall-through after WAV, FLAC and AU) walks the IFF
+    chunk list, decodes the 80-bit-float rate and big-endian frames,
+    regenerates the reference signal, and rolls per-codec verdicts.
+    The oracle is the identical closed form as `snr_partition_verdicts`
+    over WAV: a match proves the transcode preserved every sample and
+    the chunk walk + f80 decode are lossless through the fourth
+    container.
+
+    Scale shape: two map-only Arrow stages (render + transcode) fused
+    in one task pipeline, then the map-combined |codec|-key rollup; the
+    AIFF payload never shuffles and never reaches the driver.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import transcode_aiff
+    from ..operators.snr import snr_check, snr_partition_rollup
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    aiff = transcode_aiff(clips)
+    roll = snr_partition_rollup(snr_check(aiff, extra_cols=["codec"]),
+                                ["codec"])
+    return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")

@@ -896,6 +896,32 @@ CHECKS = {
          lambda p: all("bytes" not in seg.split("\n")[0]
                        for seg in p.split("Exchange hashpartitioning(")[1:])),
     ],
+    "aiff_header_integrity": [
+        # fixture source + WAV→AIFF transcode; the f80-rate and chunk
+        # header reads on top must be pure Column byte surgery
+        ("exactly two Python stages (fixture source + transcode)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 2),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
+    "audio_aiff_snr": [
+        # render + transcode + the fused SNR kernel: three map-only
+        # Python stages in one task pipeline, scalars-only shuffle
+        ("exactly three Python stages (render + transcode + SNR)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 3),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
     "au_header_integrity": [
         # fixture source + WAV→AU transcode; the big-endian header reads
         # on top must be pure Column byte surgery (no third Python stage)
