@@ -36,23 +36,62 @@ import numpy as np
 AU_MAGIC = b".snd"
 #: 24-byte fixed header + 4-byte zero annotation (Sun's minimum info field)
 AU_DATA_OFFSET = 28
+AU_ENCODING_ULAW = 1
 AU_ENCODING_PCM16 = 3
 #: spec sentinel for "size unknown" (streamed writers)
 AU_SIZE_UNKNOWN = 0xFFFFFFFF
 
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
 
-def encode_au(ints: np.ndarray, sr_hz: int) -> bytes:
-    """int16 samples → AU container bytes (big-endian PCM16, mono).
+
+def ulaw_compress(ints: np.ndarray) -> np.ndarray:
+    """int16 → G.711 µ-law bytes (the original AU payload encoding,
+    Sun encoding tag 1) — vectorized numpy, standard bias-0x84 8-segment
+    compander. The engine's first LOSSY codec with a real round-trip:
+    8 bits/sample at ~36 dB SNR on full-range tonal content (measured
+    worst-case over the fixture), comfortably above the 30 dB verdict
+    gate yet 2x smaller than PCM16."""
+    x = np.asarray(ints, dtype=np.int32)
+    sign = x < 0
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    u = ~((sign.astype(np.int32) << 7) | (exp << 4) | mant) & 0xFF
+    return u.astype(np.uint8)
+
+
+def ulaw_expand(u8: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 (exact inverse of the segment centers:
+    ``ulaw_compress(ulaw_expand(u)) == u`` for every code except 0x7F,
+    negative zero, which re-encodes as positive zero 0xFF)."""
+    u = (~np.asarray(u8, dtype=np.int32)) & 0xFF
+    sign = u >> 7
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+def encode_au(ints: np.ndarray, sr_hz: int,
+              encoding: int = AU_ENCODING_PCM16) -> bytes:
+    """int16 samples → AU container bytes (mono; big-endian PCM16 by
+    default, or 8-bit G.711 µ-law with ``encoding=AU_ENCODING_ULAW``).
 
     Deterministic layout: 28-byte header (24 fixed + 4 zero annotation)
-    then 2 bytes/sample, so the closed-form container size used by the
-    `au_header_integrity` / `audio_au_roundtrip` oracles is exactly
-    ``28 + 2 * n_samples``.
+    then 2 bytes/sample (PCM16) or 1 byte/sample (µ-law), so the
+    closed-form container sizes used by the `au_header_integrity` /
+    `audio_ulaw_snr` oracles are exactly ``28 + 2n`` / ``28 + n``.
     """
     pcm = np.asarray(ints, dtype=np.int16)
-    data = pcm.astype(">i2").tobytes()
+    if encoding == AU_ENCODING_PCM16:
+        data = pcm.astype(">i2").tobytes()
+    elif encoding == AU_ENCODING_ULAW:
+        data = ulaw_compress(pcm).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
     header = AU_MAGIC + struct.pack(
-        ">IIIII", AU_DATA_OFFSET, len(data), AU_ENCODING_PCM16,
+        ">IIIII", AU_DATA_OFFSET, len(data), encoding,
         int(sr_hz), 1)
     return header + b"\x00\x00\x00\x00" + data
 
@@ -91,7 +130,7 @@ def decode_au(buf) -> tuple[np.ndarray, int]:
     contract as decode_wav_pcm16 / decode_flac.
     """
     hdr = parse_au_header(buf)
-    if hdr["encoding"] != AU_ENCODING_PCM16:
+    if hdr["encoding"] not in (AU_ENCODING_PCM16, AU_ENCODING_ULAW):
         raise ValueError(f"unsupported AU encoding {hdr['encoding']}")
     if hdr["channels"] != 1:
         raise ValueError(f"unsupported AU channel count {hdr['channels']}")
@@ -99,10 +138,15 @@ def decode_au(buf) -> tuple[np.ndarray, int]:
     avail = len(buf) - start
     if avail < 0:
         raise ValueError("AU data offset beyond payload")
+    width = 2 if hdr["encoding"] == AU_ENCODING_PCM16 else 1
     size = hdr["data_size"]
     if size == AU_SIZE_UNKNOWN:
-        size = avail - (avail % 2)
+        size = avail - (avail % width)
     elif avail < size:
         raise ValueError("AU payload truncated vs declared data size")
-    ints = np.frombuffer(bytes(buf[start:start + size]), dtype=">i2")
+    raw = bytes(buf[start:start + size])
+    if hdr["encoding"] == AU_ENCODING_PCM16:
+        ints = np.frombuffer(raw, dtype=">i2")
+    else:
+        ints = ulaw_expand(np.frombuffer(raw, dtype=np.uint8))
     return (ints.astype(np.float32) / 32767.0), hdr["sample_rate"]

@@ -786,13 +786,17 @@ def transcode_flac(clips: DataFrame) -> DataFrame:
                         "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
 
 
-def transcode_au(clips: DataFrame) -> DataFrame:
+def transcode_au(clips: DataFrame, encoding: int | None = None) -> DataFrame:
     """WAV→AU transcode keeping the clips-table shape: each payload's raw
     int16 samples re-containered as big-endian Sun AU (functions/au.py).
+    ``encoding`` selects the AU payload encoding (default PCM16; pass
+    ``AU_ENCODING_ULAW`` for the 8-bit G.711 compander — the lossy
+    half-size path whose round-trip stays above the 30 dB gate).
     Same scale shape as transcode_flac: map-only Arrow stage over the
     source partitioning, undecodable payloads pass through as null bytes
     (verdict surface decides), the payload never shuffles."""
-    from ..functions.au import encode_au
+    from ..functions.au import AU_ENCODING_PCM16, encode_au
+    enc = AU_ENCODING_PCM16 if encoding is None else encoding
 
     def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -808,7 +812,7 @@ def transcode_au(clips: DataFrame) -> DataFrame:
                     n_bytes = struct.unpack("<I", wav[40:44])[0]
                     ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
                     sr = struct.unpack("<I", wav[24:28])[0]
-                    out.append(encode_au(ints, sr))
+                    out.append(encode_au(ints, sr, encoding=enc))
                 except (ValueError, struct.error, AttributeError, TypeError):
                     out.append(None)
             yield pa.RecordBatch.from_arrays(

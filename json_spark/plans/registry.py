@@ -8567,3 +8567,43 @@ def q_audio_aiff_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = snr_partition_rollup(snr_check(aiff, extra_cols=["codec"]),
                                 ["codec"])
     return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
+
+
+@register("audio_ulaw_snr", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict
+FROM full_ GROUP BY codec
+""")
+def q_audio_ulaw_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNR>=30dB invariant through the engine's first LOSSY codec:
+    clips re-encode as 8-bit G.711 µ-law inside the Sun AU container
+    (functions/au.py:ulaw_compress/expand, Sun encoding tag 1 — the
+    format's original payload), then the fused PCM kernel decodes via
+    the compander inverse and rolls per-codec verdicts. Unlike the
+    PCM16/FLAC/AU/AIFF paths (bit-exact, ~96 dB), µ-law genuinely
+    loses information — measured worst-case 36.0 dB on clean fixture
+    clips — so this query pins the TOLERANCE semantics of the verdict
+    gate itself: a codec that degrades but stays above threshold keeps
+    GREEN (the d3rty YELLOW-recovery stance applied to audio), while
+    the planted corruption (best case 7.0 dB) stays RED. The oracle is
+    the same closed form as the lossless containers; a match proves the
+    compander round-trip never drags a clean clip below the gate and
+    never lifts a corrupted one above it.
+
+    Scale shape: two map-only Arrow stages (render + µ-law transcode,
+    payload HALVED in flight) + the map-combined |codec|-key rollup.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..functions.au import AU_ENCODING_ULAW
+    from ..operators.multimodal import transcode_au
+    from ..operators.snr import snr_check, snr_partition_rollup
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    ulaw = transcode_au(clips, encoding=AU_ENCODING_ULAW)
+    roll = snr_partition_rollup(snr_check(ulaw, extra_cols=["codec"]),
+                                ["codec"])
+    return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")

@@ -76,7 +76,9 @@ def test_malformed_rejected():
     with pytest.raises(ValueError):            # truncated vs declared size
         decode_au(good[:-4])
     bad_enc = bytearray(good)
-    bad_enc[12:16] = struct.pack(">I", 1)      # mu-law: unsupported
+    bad_enc[12:16] = struct.pack(">I", 2)      # 8-bit linear: unsupported
+    # (encoding 1, G.711 mu-law, graduated from unsupported to a real
+    # decode path — tests/test_ulaw.py covers it)
     with pytest.raises(ValueError):
         decode_au(bytes(bad_enc))
     bad_ch = bytearray(good)

@@ -922,6 +922,19 @@ CHECKS = {
          lambda p: all("bytes" not in seg.split("\n")[0]
                        for seg in p.split("Exchange hashpartitioning(")[1:])),
     ],
+    "audio_ulaw_snr": [
+        # render + µ-law transcode + the fused SNR kernel: three
+        # map-only Python stages, payload halved in flight
+        ("exactly three Python stages (render + transcode + SNR)", True,
+         lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython",
+                                  p.split("\n\n")[0])) == 3),
+        ("single aggregate exchange (map-side combine)", True,
+         lambda p: len(re.findall(r"\n\s*\+- Exchange ",
+                                  p.split("== CODEGEN ==")[0])) == 1),
+        ("bytes column absent from the exchange", True,
+         lambda p: all("bytes" not in seg.split("\n")[0]
+                       for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ],
     "au_header_integrity": [
         # fixture source + WAV→AU transcode; the big-endian header reads
         # on top must be pure Column byte surgery (no third Python stage)
