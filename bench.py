@@ -177,6 +177,13 @@ HEADLINE = [
     "unit_mixture",
     "vocab_growth",
     "seasonal_volume_anomaly",
+    # alignment / spectrum-shape / script-mix / 4th-container family
+    "transcript_wer",
+    "audio_spectral_flatness",
+    "text_script_mix",
+    "aiff_header_integrity",
+    "audio_aiff_snr",
+    "audio_ulaw_snr",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

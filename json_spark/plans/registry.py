@@ -99,7 +99,11 @@ ORACLE_SQL: dict[str, str] = {}
 #: dedup_* family, contamination_check, ann_cosine_topk,
 #: audio_header_integrity, audio_rms_check, event_sessions,
 #: events_asof_join/range_join/rollup, dataset_split, doc_pack_batches,
-#: verdict_rollup, fd_profile — plus whatever r4 adds or changes.
+#: verdict_rollup, fd_profile — plus the session-3 families
+#: (transcript_wer, audio_spectral_flatness, text_script_mix,
+#: aiff_header_integrity, audio_aiff_snr, audio_ulaw_snr — all
+#: oracle-backed, replica-green at sf0.01, never driver-checked)
+#: and whatever r4 adds or changes.
 GATE_FRONT: list[str] = [
     # changed after their last driver check — stale green, check first
     "embedded_decode", "coercion_array", "coercion_object",
