@@ -945,7 +945,9 @@ def au_header_columns(bytes_col: Column) -> dict[str, Column]:
         "au_ok": (F.length(bytes_col) >= 28)
         & (F.substring(bytes_col, 1, 4) == F.lit(b".snd"))
         & (be_uint(bytes_col, 5, 4) >= 24)
-        & (be_uint(bytes_col, 13, 4) == 3)   # 16-bit linear PCM
+        # 16-bit linear PCM or G.711 mu-law — the two payload
+        # encodings the engine emits and decodes (functions/au.py)
+        & (be_uint(bytes_col, 13, 4).isin(1, 3))
         & (be_uint(bytes_col, 21, 4) == 1),  # mono
         "data_offset": be_uint(bytes_col, 5, 4),
         "data_bytes": be_uint(bytes_col, 9, 4),
