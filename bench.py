@@ -184,6 +184,7 @@ HEADLINE = [
     "aiff_header_integrity",
     "audio_aiff_snr",
     "audio_ulaw_snr",
+    "embedding_label_coherence",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

