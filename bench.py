@@ -185,6 +185,7 @@ HEADLINE = [
     "audio_aiff_snr",
     "audio_ulaw_snr",
     "embedding_label_coherence",
+    "embedding_spectrum",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

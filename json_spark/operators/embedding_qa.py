@@ -19,6 +19,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +122,100 @@ def label_coherence(df: DataFrame, label_col: str,
         F.sum(F.col("top1_own").cast("long")).alias("n_top1_own"),
         F.round(F.avg("own_cos"), 6).alias("avg_own_cos"),
         F.round(F.min("own_cos"), 6).alias("min_own_cos"))
+
+
+SPECTRUM_SCHEMA = ("dim int, n_vectors long, m1 double, m2 double, "
+                   "m3 double, top_share double, eff_rank double")
+
+
+def spectrum_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """Covariance-spectrum health of an embedding column in ONE pass:
+    eigenvalues of the population covariance summarize how the corpus
+    actually uses its dimensions — a collapsed (near-rank-1) spectrum
+    means every cosine is dominated by one direction and dedup/ANN
+    quality silently degrades even when per-dim variances look fine.
+
+    Emits one row: (dim, n_vectors, m1, m2, m3, top_share, eff_rank)
+    where m_k = Σ λ^k are the spectrum's power sums — mathematically
+    equal to trace(C^k), which a relational engine can compute by pure
+    join-aggregate matrix algebra WITHOUT an eigensolver; the driver
+    oracle does exactly that, so the whole pipeline (Arrow partial
+    X^T X, merge, covariance, eigh) is pinned by an independent
+    implementation. ``top_share`` = λ_max / Σλ and ``eff_rank`` =
+    exp(entropy of λ/Σλ) are eigensolver-only outputs, pinned in
+    pytest against a numpy twin.
+
+    Scale shape: one map-only Arrow stage computes per-batch partials
+    (count, Σx vector, X^T X matrix — BLAS matmul per batch, emitted as
+    a single flattened row per batch); a posexplode partial+final sum
+    merges them with an exchange bounded by tasks × dim² scalars; the
+    dim×dim eigh runs once inside a final 1-row Arrow stage — nothing
+    corpus-sized ever reaches the driver or shuffles.
+    """
+    import pyarrow as pa
+
+    def partials(batches):
+        for batch in batches:
+            vecs = batch.column(0)
+            arr = np.asarray(vecs.flatten(), dtype=np.float64)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            d = len(arr) // n
+            x = arr.reshape(n, d)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([n], pa.int64()),
+                 pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+                 pa.array([(x.T @ x).ravel().tolist()],
+                          pa.list_(pa.float64()))],
+                ["n", "sx", "xtx"])
+
+    part = df.select(vec_col).mapInArrow(
+        partials, "n long, sx array<double>, xtx array<double>")
+    # element-wise merge of ALL partial state in ONE pass: stack
+    # [n, sx..., xtx...] into a single (1 + dim + dim^2)-long array and
+    # posexplode once — three separate consumers of `part` would make
+    # Spark recompute the Arrow partials stage (and rescan the source)
+    # three times. The exchange carries <= (1 + dim + dim^2) rows/task.
+    comb = part.select(F.posexplode(
+        F.concat(F.array(F.col("n").cast("double")),
+                 F.col("sx"), F.col("xtx"))).alias("pos", "v"))
+    merged = (comb.groupBy("pos").agg(F.sum("v").alias("v"))
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                  lambda s: s["v"]).alias("state")))
+
+    def finalize(batches):
+        for batch in batches:
+            state = np.asarray(batch.column(0)[0].as_py(),
+                               dtype=np.float64)
+            # length = 1 + d + d^2  =>  d = (sqrt(4L - 3) - 1) / 2
+            d = int(round((np.sqrt(4 * len(state) - 3) - 1) / 2))
+            n = int(round(state[0]))
+            sxv = state[1:1 + d]
+            xt = state[1 + d:].reshape(d, d)
+            mean = sxv / n
+            cov = xt / n - np.outer(mean, mean)
+            lam = np.linalg.eigvalsh(cov)
+            lam = np.clip(lam, 0.0, None)
+            tot = lam.sum()
+            share = lam / tot if tot > 0 else lam
+            nz = share[share > 0]
+            eff = float(np.exp(-(nz * np.log(nz)).sum())) if len(nz) else 0.0
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([d], pa.int32()),
+                 pa.array([n], pa.int64()),
+                 pa.array([float(lam.sum())], pa.float64()),
+                 pa.array([float((lam ** 2).sum())], pa.float64()),
+                 pa.array([float((lam ** 3).sum())], pa.float64()),
+                 pa.array([float(lam.max() / tot) if tot > 0 else 0.0],
+                          pa.float64()),
+                 pa.array([eff], pa.float64())],
+                ["dim", "n_vectors", "m1", "m2", "m3",
+                 "top_share", "eff_rank"])
+
+    return merged.mapInArrow(finalize, SPECTRUM_SCHEMA)
 
 
 def dimension_drift(a: DataFrame, b: DataFrame, vec_col: str,

@@ -8544,6 +8544,62 @@ def q_embedding_label_coherence(spark: SparkSession,
     return label_coherence(emb, "label", "embedding")
 
 
+@register("embedding_spectrum", oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+u AS (SELECT vec_id, unnest(embedding) AS val,
+             unnest(range(0, len(embedding))) AS pos FROM e),
+nn AS (SELECT count(*) AS n, max(len(embedding)) AS dim FROM e),
+mu AS (SELECT pos, avg(CAST(val AS DOUBLE)) AS m FROM u GROUP BY 1),
+sxy AS (
+  SELECT a.pos AS i, b.pos AS j,
+         sum(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)) AS s
+  FROM u a JOIN u b USING (vec_id)
+  GROUP BY 1, 2),
+cov AS (
+  SELECT s.i, s.j, s.s / (SELECT n FROM nn) - ma.m * mb.m AS v
+  FROM sxy s JOIN mu ma ON ma.pos = s.i JOIN mu mb ON mb.pos = s.j),
+c2 AS (
+  SELECT a.i, b.j, sum(a.v * b.v) AS v
+  FROM cov a JOIN cov b ON a.j = b.i GROUP BY 1, 2)
+SELECT (SELECT CAST(dim AS INTEGER) FROM nn) AS dim,
+       (SELECT CAST(n AS BIGINT) FROM nn) AS n_vectors,
+       round((SELECT sum(v) FROM cov WHERE i = j), 9) AS m1,
+       round((SELECT sum(v * v) FROM cov), 9) AS m2,
+       round((SELECT sum(c2.v * c.v) FROM c2
+              JOIN cov c ON c.i = c2.j AND c.j = c2.i), 9) AS m3
+""")
+def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-spectrum health
+    (operators/embedding_qa.py:spectrum_moments): the power sums
+    m_k = Σ λ^k of the population-covariance eigenvalues — the
+    anisotropy profile that catches a near-rank-1 embedding collapse
+    (every cosine dominated by one direction) while per-dim variances
+    still look healthy. The cross-engine trick: Spark computes the
+    moments THROUGH an eigensolver (distributed Arrow X^T X partials →
+    dim×dim eigh), while the oracle computes the SAME numbers as
+    traces of relational matrix powers — trace(C), trace(C²)=ΣC_ij²,
+    trace(C³) via a join-aggregate matrix multiply — with no
+    eigendecomposition at all. A hash match pins the entire pipeline
+    (partial merge, covariance formula, eigh) against an independent
+    algorithm; the eigensolver-only outputs (top_share, eff_rank) are
+    pytest-pinned to a numpy twin.
+
+    Scale shape: one map-only Arrow stage emits per-batch (count, Σx,
+    X^T X) — a BLAS matmul per batch, one flattened row out; the merge
+    is a posexplode partial+final sum whose exchange is bounded by
+    tasks × dim² scalars; eigh runs once on a 1-row frame. Nothing
+    corpus-sized shuffles or reaches the driver.
+    """
+    from ..operators.embedding_qa import spectrum_moments
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = spectrum_moments(emb, "embedding")
+    return out.select(
+        "dim", "n_vectors",
+        F.round("m1", 9).alias("m1"),
+        F.round("m2", 9).alias("m2"),
+        F.round("m3", 9).alias("m3"))
+
+
 @register("aiff_header_integrity", oracle=f"""
 WITH {_CLIPS_CLOSED_FORM_CTE},
 g AS (

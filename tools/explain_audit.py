@@ -1232,6 +1232,19 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "embedding_spectrum": [
+        # X^T X partials + the 1-row eigh finalize are the only Python
+        # stages; merge exchange bounded by tasks x dim^2 scalars
+        ("exactly two Python stages (partials + eigh finalize) — three "
+         "merge consumers would recompute the partials scan", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 2),
+        ("partial merge is a partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("single-chain plan: no join at all", True,
+         lambda p: "Join" not in p.split("== CODEGEN ==")[0]),
+        ("no window, no corpus sort", True,
+         lambda p: "Window" not in p.split("== CODEGEN ==")[0]),
+    ],
     "embedding_label_coherence": [
         ("no Python stage (folds are JVM higher-order functions)", True,
          lambda p: "Python" not in p),
