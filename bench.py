@@ -186,6 +186,7 @@ HEADLINE = [
     "audio_ulaw_snr",
     "embedding_label_coherence",
     "embedding_spectrum",
+    "text_unicode_norm",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

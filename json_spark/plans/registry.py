@@ -8544,6 +8544,50 @@ def q_embedding_label_coherence(spark: SparkSession,
     return label_coherence(emb, "label", "embedding")
 
 
+@register("text_unicode_norm", oracle="""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN doc_id % 7 = 3
+              THEN replace(text, 'e', 'e' || chr(769))
+              ELSE text END AS text
+  FROM documents),
+f AS (SELECT lang, length(text) - length(nfc_normalize(text)) AS shrink
+      FROM t)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN shrink > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_denorm_docs,
+       CAST(sum(shrink) AS BIGINT) AS chars_shrunk,
+       CAST(max(shrink) AS INTEGER) AS max_doc_shrink
+FROM f GROUP BY lang
+""")
+def q_text_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization-form divergence
+    (operators/unicode_norm.py:nfc_divergence): composed "é" and
+    decomposed "e"+U+0301 render identically but hash, tokenize and
+    dedup differently — the byte-level sibling of the homoglyph
+    problem (text_script_mix). Every 7th document is re-written with
+    decomposed accents (e -> e + combining acute) by BOTH engines via
+    the same replace(); then Spark detects with CPython's
+    unicodedata.normalize while the oracle detects with DuckDB's
+    native utf8proc nfc_normalize — two independent implementations
+    of Unicode canonical composition checking each other.
+
+    Scale shape: map-only Arrow kernel (two ints per row), |langs|-key
+    map-combinable rollup.
+    """
+    from ..operators.unicode_norm import nfc_divergence
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    planted = docs.select(
+        "lang",
+        F.when(F.pmod("doc_id", F.lit(7)) == 3,
+               # decomposed: 'e' + U+0301 COMBINING ACUTE (not the
+               # precomposed U+00E9) — matches the oracle's chr(769)
+               F.regexp_replace("text", "e", "e\u0301"))
+        .otherwise(F.col("text")).alias("text"))
+    return nfc_divergence(planted, "text", ["lang"])
+
+
 @register("embedding_spectrum", oracle="""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 u AS (SELECT vec_id, unnest(embedding) AS val,

@@ -1232,6 +1232,15 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "text_unicode_norm": [
+        ("exactly one Python stage (the unicodedata kernel)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 1),
+        ("scan pruned to (doc_id, lang, text)", True,
+         lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+         and len(m.group(1).split(",")) <= 3),
+        ("per-lang rollup is a partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "embedding_spectrum": [
         # X^T X partials + the 1-row eigh finalize are the only Python
         # stages; merge exchange bounded by tasks x dim^2 scalars
