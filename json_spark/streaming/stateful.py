@@ -195,3 +195,89 @@ def streaming_content_divergence(stream: DataFrame, key_col: str,
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def _make_cusum(target: float, k: float, h: float):
+    """Closure-parameterized CUSUM kernel (target mean, slack k,
+    decision threshold h) for :func:`streaming_cusum`."""
+
+    def _cusum(key, pdf_iter: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            sp, sn, n, na = state.get
+        else:
+            sp, sn, n, na = 0.0, 0.0, 0, 0
+        alerts = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__seq")
+            for x, seq in zip(pdf["__v"].astype(float),
+                              pdf["__seq"].astype("int64")):
+                n += 1
+                sp = max(0.0, sp + (x - target - k))
+                sn = max(0.0, sn + (target - x - k))
+                if sp > h:
+                    na += 1
+                    alerts.append((key[0], "UP", int(seq), n, sp))
+                    sp = 0.0
+                elif sn > h:
+                    na += 1
+                    alerts.append((key[0], "DOWN", int(seq), n, sn))
+                    sn = 0.0
+        state.update((sp, sn, n, na))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        if alerts:
+            yield pd.DataFrame(
+                alerts, columns=["key", "direction", "at_seq",
+                                 "at_n", "statistic"])
+
+    return _cusum
+
+
+def streaming_cusum(stream: DataFrame, key_col: str, value_col: str,
+                    seq_col: str, target: float, k: float,
+                    h: float) -> DataFrame:
+    """Streaming CUSUM mean-shift detection per key — the ONLINE sibling
+    of the batch changepoint scan (operators/changepoint.py /
+    `drift_changepoint`): the batch twin finds WHERE a completed series
+    shifted; this one raises the alarm WHILE the series is still
+    arriving, with O(1) state per key.
+
+    Classic two-sided tabular CUSUM: S+ accumulates excess above
+    ``target + k``, S- accumulates deficit below ``target - k``; an
+    alert row (key, direction, at_seq, at_n, statistic) is emitted when
+    either side crosses ``h``, and that side restarts — the standard
+    renewal scheme, so repeated shifts keep alerting. ``k`` is the
+    slack (usually half the shift magnitude worth catching); larger
+    ``h`` trades detection delay for false-alarm rate.
+
+    Rows are ordered by ``seq_col`` WITHIN each micro-batch (pandas
+    sort, cheap per-group) and across batches by arrival, so replaying
+    the same triggers reproduces the exact alert sequence — the pytest
+    twin replays the concatenated series through a pure-python CUSUM
+    and matches alert-for-alert.
+
+    Scale shape: state is 4 scalars per key (vs the windowed-histogram
+    state of streaming_window_drift); per-invoke pandas frames hold
+    only the key's new rows. TTL evicts idle keys; a key recurring
+    after eviction restarts its CUSUM from zero — the documented trade.
+    """
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(seq_col).cast("long").alias("__seq"))
+    return (
+        projected.groupBy("__k")
+        .applyInPandasWithState(
+            _make_cusum(target, k, h),
+            outputStructType=("key string, direction string, "
+                              "at_seq long, at_n long, statistic double"),
+            stateStructType="sp double, sn double, n long, n_alerts long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
