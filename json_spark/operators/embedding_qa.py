@@ -190,6 +190,8 @@ def spectrum_moments(df: DataFrame, vec_col: str) -> DataFrame:
         for batch in batches:
             state = np.asarray(batch.column(0)[0].as_py(),
                                dtype=np.float64)
+            if len(state) < 3:
+                continue  # empty source: no partials, emit no row
             # length = 1 + d + d^2  =>  d = (sqrt(4L - 3) - 1) / 2
             d = int(round((np.sqrt(4 * len(state) - 3) - 1) / 2))
             n = int(round(state[0]))

@@ -8374,7 +8374,9 @@ def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = word_edit_stats(hyp, "text", "hyp", passthrough=["mode"])
     return stats.groupBy("mode").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(F.col("distance") / F.col("n_ref")), 6)
+        # try_divide: a 0-word ref (n_ref=0) yields null WER instead of
+        # an ANSI divide-by-zero error under the driver session
+        F.round(F.avg(F.try_divide(F.col("distance"), F.col("n_ref"))), 6)
         .alias("avg_wer"),
         F.max("distance").alias("max_distance"),
         F.sum("n_sub").cast("long").alias("total_sub"),
