@@ -187,6 +187,7 @@ HEADLINE = [
     "embedding_label_coherence",
     "embedding_spectrum",
     "text_unicode_norm",
+    "token_heavy_hitters_cms",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -8590,6 +8590,58 @@ def q_text_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_divergence(planted, "text", ["lang"])
 
 
+@register("token_heavy_hitters_cms", oracle="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n
+          FROM toks GROUP BY t),
+top AS (SELECT * FROM exact ORDER BY exact_n DESC, t LIMIT 15),
+hashes AS (
+  SELECT t, s,
+         (('0x' || substr(md5(CAST(s AS VARCHAR) || t), 1, 8))::BIGINT)
+             % 64 AS slot
+  FROM toks, (SELECT unnest([0, 1, 2]) AS s)),
+grid AS (SELECT s, slot, count(*) AS n FROM hashes GROUP BY 1, 2),
+est AS (
+  SELECT tp.t, tp.exact_n, min(g.n) AS cms_n
+  FROM top tp
+  JOIN (SELECT tp2.t, s2.s,
+               (('0x' || substr(md5(CAST(s2.s AS VARCHAR) || tp2.t),
+                               1, 8))::BIGINT) % 64 AS slot
+        FROM top tp2, (SELECT unnest([0, 1, 2]) AS s) s2(s)) th
+    ON th.t = tp.t
+  JOIN grid g ON g.s = th.s AND g.slot = th.slot
+  GROUP BY 1, 2)
+SELECT t AS token, exact_n, CAST(cms_n AS BIGINT) AS cms_n FROM est
+""")
+def q_token_heavy_hitters_cms(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates vs exact counts
+    (operators/cms.py): the third mergeable sketch beside HLL
+    (distinct) and KLL (quantiles) — a FIXED d×w counter grid whose
+    state never grows with the vocabulary, the shape that survives a
+    10^12-token corpus where the exact top-k's vocabulary-sized
+    aggregate cannot be assumed cheap. Estimates are min-of-d-counters:
+    provably ≥ exact, within εN w.h.p.; the deliberately narrow w=64
+    grid forces visible collisions so the overestimates themselves are
+    part of the pinned output. The seeded md5-lower-32 slot hash is
+    computed identically by both engines, so the oracle pins grid AND
+    estimates bit-for-bit; the ε-bound and merge law live in pytest.
+
+    Scale shape: explode → (seed, slot) partial+final count, exchange
+    ≤ d×w rows per task; top-k runs on the token-count table; the d×w
+    grid broadcasts to the 15 candidates. No Python.
+    """
+    from ..operators.cms import cms_build, cms_estimate
+    from ..operators.text import tokens as _toks
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_toks(F.col("text"))).alias("t"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("t")).limit(15)
+    grid = cms_build(docs, "text")
+    est = cms_estimate(grid, top, "t")
+    return est.select(F.col("t").alias("token"), "exact_n", "cms_n")
+
+
 @register("embedding_spectrum", oracle="""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 u AS (SELECT vec_id, unnest(embedding) AS val,

@@ -1232,6 +1232,17 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "token_heavy_hitters_cms": [
+        ("no Python stage (seeded md5 slot hash is JVM codegen)", True,
+         lambda p: "Python" not in p),
+        ("grid + exact counts are partial+final hash aggregates", True,
+         lambda p: p.count("HashAggregate") >= 4),
+        ("d x w grid broadcast to the candidates (never shuffled on "
+         "the token)", True,
+         lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("top-k via TakeOrderedAndProject on the count table", True,
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
     "text_unicode_norm": [
         ("exactly one Python stage (the unicodedata kernel)", True,
          lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) == 1),
