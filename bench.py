@@ -188,6 +188,7 @@ HEADLINE = [
     "embedding_spectrum",
     "text_unicode_norm",
     "token_heavy_hitters_cms",
+    "distinct_hll_explicit",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

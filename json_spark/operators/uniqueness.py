@@ -124,3 +124,51 @@ def set_overlap(df_a: DataFrame, df_b: DataFrame, key_a: str,
         .alias("containment_a"),
         F.round(F.when(n_b > 0, n_both / n_b), decimals)
         .alias("containment_b"))
+
+
+def hll_explicit(df: DataFrame, key: str, p: int = 8) -> DataFrame:
+    """Explicit HyperLogLog with CROSS-ENGINE-IDENTICAL registers — the
+    white-box twin of ``approx_uniqueness``'s built-in HLL++ (whose
+    register layout is Spark-private and therefore only rows-only
+    checkable). Every step here is engine-portable integer arithmetic:
+    48-bit md5 hash, bucket = h mod 2^p, rho = leading-zero rank of the
+    remaining 40 bits computed EXACTLY via the length of the binary
+    string (``bin`` prints no leading zeros in both Spark and DuckDB),
+    register = max rho per bucket, and the Flajolet harmonic estimator
+    with the standard small-range linear-counting branch. DuckDB
+    replays the identical pipeline, so the ORACLE pins registers AND
+    estimate — an approximate algorithm under an exact cross-check
+    (same stance as the KLL sketch's deterministic states).
+
+    Returns one row: (n_exact, registers_used, hll_estimate,
+    rel_error). Scale shape: one map-side-combinable max-per-bucket agg
+    (exchange <= 2^p rows per task), then arithmetic on <= 2^p rows;
+    the exact count (for the report) is the usual distinct agg — drop
+    it at true scale and keep the sketch side only.
+    """
+    m = 1 << p
+    rest_bits = 48 - p
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string").cast("binary")),
+                           1, 12), 16, 10).cast("long")
+    rest = (h / m).cast("long")
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)) \
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
+    regs = (df.select(F.pmod(h, F.lit(m)).alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("mx")))
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("z_present"))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = F.col("z_present") + (m - F.col("used"))
+    v = m - F.col("used")
+    e_raw = F.lit(alpha * m * m) / z
+    e = F.when((e_raw <= 2.5 * m) & (v > 0),
+               m * F.log(m / v.cast("double"))).otherwise(e_raw)
+    est = agg.select(F.col("used").alias("registers_used"), e.alias("e"))
+    exact = df.agg(F.countDistinct(key).alias("n_exact"))
+    return (exact.join(F.broadcast(est))
+            .select("n_exact", "registers_used",
+                    F.round("e", 4).alias("hll_estimate"),
+                    F.round(F.abs(F.col("e") - F.col("n_exact"))
+                            / F.col("n_exact"), 6).alias("rel_error")))

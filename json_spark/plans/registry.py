@@ -8590,6 +8590,59 @@ def q_text_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_divergence(planted, "text", ["lang"])
 
 
+@register("distinct_hll_explicit", oracle="""
+WITH h AS (
+  SELECT (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))
+          ::BIGINT) AS hv
+  FROM lineitem),
+b AS (SELECT hv % 256 AS bucket, hv // 256 AS rest FROM h),
+r AS (SELECT bucket,
+             CASE WHEN rest = 0 THEN 41
+                  ELSE 41 - length(bin(rest)) END AS rho
+      FROM b),
+regs AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY 1),
+agg AS (SELECT count(*) AS used, sum(pow(2.0, -mx)) AS z_present
+        FROM regs),
+calc AS (
+  SELECT used,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+             / (z_present + (256 - used)) AS e_raw,
+         256 - used AS v
+  FROM agg),
+fin AS (
+  SELECT used,
+         CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+              THEN 256 * ln(256.0 / v) ELSE e_raw END AS e
+  FROM calc),
+ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+       FROM lineitem)
+SELECT ex.n_exact, CAST(f.used AS BIGINT) AS registers_used,
+       round(f.e, 4) AS hll_estimate,
+       round(abs(f.e - ex.n_exact) / ex.n_exact, 6) AS rel_error
+FROM fin f, ex
+""")
+def q_distinct_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross-engine HyperLogLog
+    (operators/uniqueness.py:hll_explicit): the white-box twin of the
+    built-in HLL++ (`uniqueness_approx`, rows-only because Spark's
+    register layout is private). Every step is engine-portable exact
+    integer arithmetic — 48-bit md5 hash, mod-2^p bucketing, leading-
+    zero rank via the binary-string length (``bin`` prints no leading
+    zeros in BOTH engines, verified), max-per-bucket registers, the
+    Flajolet harmonic estimator with the linear-counting small-range
+    branch — so the DuckDB oracle pins the registers AND the estimate
+    of an *approximate* algorithm exactly. Completes the pinned sketch
+    trio: KLL (quantiles), CMS (frequencies), HLL (distincts).
+
+    Scale shape: one map-combinable max-per-bucket agg (exchange ≤ 2^p
+    rows per task), arithmetic on ≤ 2^p rows; the exact distinct
+    (carried for the report's rel_error) is the usual distinct agg.
+    """
+    from ..operators.uniqueness import hll_explicit
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return hll_explicit(li, "l_orderkey", p=8)
+
+
 @register("token_heavy_hitters_cms", oracle="""
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
 exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n

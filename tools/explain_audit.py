@@ -1232,6 +1232,19 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "distinct_hll_explicit": [
+        ("no Python stage (hash/rho are JVM codegen)", True,
+         lambda p: "Python" not in p),
+        ("register build is a partial+final hash aggregate (exchange "
+         "<= 2^p rows per task)", True,
+         lambda p: p.count("HashAggregate") >= 2),
+        ("1-row estimate broadcast to the exact side", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("scan pruned to the key column", True,
+         lambda p: all(len(m.split(",")) <= 1 for m in
+                       re.findall(r"ReadSchema: struct<([^>]*)>", p))),
+    ],
     "token_heavy_hitters_cms": [
         ("no Python stage (seeded md5 slot hash is JVM codegen)", True,
          lambda p: "Python" not in p),
