@@ -189,6 +189,7 @@ HEADLINE = [
     "text_unicode_norm",
     "token_heavy_hitters_cms",
     "distinct_hll_explicit",
+    "zorder_layout",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

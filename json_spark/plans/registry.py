@@ -8590,6 +8590,91 @@ def q_text_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_divergence(planted, "text", ["lang"])
 
 
+@register("zorder_layout", oracle="""
+WITH mm AS (
+  SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,
+         min(l_suppkey) AS mnb, max(l_suppkey) AS mxb
+  FROM lineitem),
+b AS (
+  SELECT least(255, CAST(floor((l_partkey - mna) * 256.0
+                               / (mxa - mna + 1)) AS BIGINT)) AS ba,
+         least(255, CAST(floor((l_suppkey - mnb) * 256.0
+                               / (mxb - mnb + 1)) AS BIGINT)) AS bb
+  FROM lineitem, mm),
+keyed AS (
+  SELECT ba, bb, ba * 256 + bb AS lin_key,
+         ((ba // 1) % 2) * 2
+         + ((bb // 1) % 2) * 1
+         + ((ba // 2) % 2) * 8
+         + ((bb // 2) % 2) * 4
+         + ((ba // 4) % 2) * 32
+         + ((bb // 4) % 2) * 16
+         + ((ba // 8) % 2) * 128
+         + ((bb // 8) % 2) * 64
+         + ((ba // 16) % 2) * 512
+         + ((bb // 16) % 2) * 256
+         + ((ba // 32) % 2) * 2048
+         + ((bb // 32) % 2) * 1024
+         + ((ba // 64) % 2) * 8192
+         + ((bb // 64) % 2) * 4096
+         + ((ba // 128) % 2) * 32768
+         + ((bb // 128) % 2) * 16384 AS z_key
+  FROM b),
+stacked AS (
+  SELECT 'linear' AS layout, ba, bb,
+         CAST(lin_key * 16 // 65536 AS BIGINT) AS file FROM keyed
+  UNION ALL
+  SELECT 'zorder', ba, bb,
+         CAST(z_key * 16 // 65536 AS BIGINT) FROM keyed),
+files AS (
+  SELECT layout, file, min(ba) AS mina, max(ba) AS maxa,
+         min(bb) AS minb, max(bb) AS maxb
+  FROM stacked GROUP BY 1, 2),
+hits AS (
+  SELECT f.layout,
+         CASE WHEN f.mina <= p.probe AND p.probe <= f.maxa
+              THEN 1 ELSE 0 END AS hit_a,
+         CASE WHEN f.minb <= p.probe AND p.probe <= f.maxb
+              THEN 1 ELSE 0 END AS hit_b
+  FROM files f, (SELECT unnest(range(0, 256)) AS probe) p),
+hit_agg AS (
+  SELECT layout, sum(hit_a) / 256.0 AS ha, sum(hit_b) / 256.0 AS hb
+  FROM hits GROUP BY 1),
+area AS (
+  SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum((maxa - mina + 1) * (maxb - minb + 1)) AS BIGINT)
+             AS sum_bbox_area
+  FROM files GROUP BY 1)
+SELECT a.layout, a.n_files, a.sum_bbox_area,
+       round(h.ha, 6) AS avg_files_hit_a,
+       round(h.hb, 6) AS avg_files_hit_b
+FROM area a JOIN hit_agg h USING (layout)
+""")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering planner
+    (operators/layout.py:layout_compare): the metadata-only
+    quantification of the ``OPTIMIZE ZORDER BY`` decision — a linear
+    sort on (partkey, suppkey) prunes partkey point-lookups perfectly
+    and suppkey ones barely; Morton bit-interleaving shrinks every
+    file's 2-D bounding box so BOTH dimensions prune. Emitted per
+    layout: file count, total bounding-box area, and the mean number
+    of files a point-lookup on each dimension must read (256 probes
+    per dimension). Everything is exact integer arithmetic (the
+    interleave is 16 div/mod terms, portable to SQL), so the oracle
+    replays the full comparison bit-for-bit.
+
+    Scale shape: one 1-row min/max broadcast, two map-only key
+    projections, a (layout, file)-keyed partial+final agg (≤ 2N
+    groups), and a probes×files broadcast join bounded by N files —
+    the corpus never sorts and never shuffles by key (real layout jobs
+    pay the range-partition write; this PLANNER costs one scan).
+    """
+    from ..operators.layout import layout_compare
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return layout_compare(li, "l_partkey", "l_suppkey")
+
+
 @register("distinct_hll_explicit", oracle="""
 WITH h AS (
   SELECT (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))

@@ -1232,6 +1232,19 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "zorder_layout": [
+        ("no Python stage (Morton interleave is div/mod codegen)", True,
+         lambda p: "Python" not in p),
+        ("no sort, no window — the planner never orders the corpus",
+         True, lambda p: "Sort " not in p.split("== CODEGEN ==")[0]
+         and "Window" not in p.split("== CODEGEN ==")[0]),
+        ("min/max + probe frames broadcast", True,
+         lambda p: p.count("BroadcastNestedLoopJoin")
+         + p.count("BroadcastHashJoin") >= 2),
+        ("scan pruned to the two layout columns", True,
+         lambda p: all(len(m.split(",")) <= 2 for m in
+                       re.findall(r"ReadSchema: struct<([^>]*)>", p))),
+    ],
     "distinct_hll_explicit": [
         ("no Python stage (hash/rho are JVM codegen)", True,
          lambda p: "Python" not in p),
