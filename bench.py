@@ -190,6 +190,7 @@ HEADLINE = [
     "token_heavy_hitters_cms",
     "distinct_hll_explicit",
     "zorder_layout",
+    "kmv_set_overlap",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

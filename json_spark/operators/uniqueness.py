@@ -172,3 +172,82 @@ def hll_explicit(df: DataFrame, key: str, p: int = 8) -> DataFrame:
                     F.round("e", 4).alias("hll_estimate"),
                     F.round(F.abs(F.col("e") - F.col("n_exact"))
                             / F.col("n_exact"), 6).alias("rel_error")))
+
+
+def kmv_overlap(a: DataFrame, a_key: str, b: DataFrame, b_key: str,
+                k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) set sketch for cross-table overlap — the
+    fourth pinned sketch (after KLL quantiles, CMS frequencies, HLL
+    distincts), and the only one that estimates INTERSECTIONS: at
+    10^12 keys per side, exact Jaccard pays a two-table distinct join,
+    while two k-row sketches answer it from bounded state
+    (Beyer et al., SIGMOD'07).
+
+    Per side, the sketch is the k smallest DISTINCT 48-bit md5 hashes
+    (exact integers — both engines produce the identical k-set, so the
+    oracle pins the sketch AND the estimates). Estimators:
+    - distinct(S) ~ (k-1) * 2^48 / h_(k) when the sketch is full,
+      else the exact distinct-hash count;
+    - Jaccard ~ |K ∩ A_sk ∩ B_sk| / k where K is the k-min sketch of
+      the UNION — plain set arithmetic on the two k-sets.
+
+    Returns one row: exact + estimated distincts per side, exact +
+    estimated Jaccard (exact side computed for the report; drop it at
+    true scale). Scale shape: per side one distinct-agg then a global
+    top-k (TakeOrderedAndProject — no full sort); everything after
+    runs on <= 3k rows.
+    """
+    m_space = float(1 << 48)
+
+    def hashed(df: DataFrame, key: str) -> DataFrame:
+        h = F.conv(F.substring(
+            F.md5(F.col(key).cast("string").cast("binary")), 1, 12),
+            16, 10).cast("long")
+        return df.select(h.alias("h")).distinct()
+
+    ha, hb = hashed(a, a_key), hashed(b, b_key)
+    sk_a = ha.orderBy("h").limit(k).select(F.col("h").alias("ha"))
+    sk_b = hb.orderBy("h").limit(k).select(F.col("h").alias("hb"))
+
+    def est(sk: DataFrame, col: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias(f"n_{col}"),
+            F.max(col).alias(f"kth_{col}"))
+
+    # union sketch: k smallest of the merged k-sets
+    un = (sk_a.select(F.col("ha").alias("h"))
+          .unionByName(sk_b.select(F.col("hb").alias("h")))
+          .distinct().orderBy("h").limit(k))
+    inter = (un.join(sk_a, un["h"] == sk_a["ha"], "left_semi")
+             .join(sk_b, F.col("h") == sk_b["hb"], "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    un_n = un.agg(F.count(F.lit(1)).alias("n_un"))
+
+    exact = (ha.select(F.col("h").alias("ka"))
+             .join(hb.select(F.col("h").alias("kb")),
+                   F.col("ka") == F.col("kb"), "full")
+             .agg(F.count("ka").alias("exact_a"),
+                  F.count("kb").alias("exact_b"),
+                  F.sum(((F.col("ka").isNotNull())
+                         & (F.col("kb").isNotNull())).cast("long"))
+                  .alias("exact_common")))
+
+    def dist_est(n: Column, kth: Column) -> Column:
+        return F.when(n < k, n.cast("double")) \
+            .otherwise((k - 1) * F.lit(m_space) / kth)
+
+    row = (exact.join(F.broadcast(est(sk_a, "ha")))
+           .join(F.broadcast(est(sk_b, "hb")))
+           .join(F.broadcast(inter)).join(F.broadcast(un_n)))
+    jac_est = F.col("n_common") / F.col("n_un")
+    return row.select(
+        F.lit(k).alias("k"),
+        "exact_a", "exact_b",
+        F.round(dist_est(F.col("n_ha"), F.col("kth_ha")), 4)
+        .alias("kmv_a"),
+        F.round(dist_est(F.col("n_hb"), F.col("kth_hb")), 4)
+        .alias("kmv_b"),
+        F.round(F.col("exact_common")
+                / (F.col("exact_a") + F.col("exact_b")
+                   - F.col("exact_common")), 6).alias("exact_jaccard"),
+        F.round(jac_est, 6).alias("kmv_jaccard"))

@@ -8590,6 +8590,63 @@ def q_text_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_divergence(planted, "text", ["lang"])
 
 
+@register("kmv_set_overlap", oracle="""
+WITH ha AS (
+  SELECT DISTINCT (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                   1, 12))::BIGINT) AS h
+  FROM lineitem),
+hb AS (
+  SELECT DISTINCT (('0x' || substr(md5(CAST(p_partkey AS VARCHAR)),
+                                   1, 12))::BIGINT) AS h
+  FROM part),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+       ORDER BY h LIMIT 256),
+inter AS (SELECT count(*) AS n_common FROM un
+          WHERE h IN (SELECT h FROM ska)
+            AND h IN (SELECT h FROM skb)),
+unn AS (SELECT count(*) AS n_un FROM un),
+ea AS (SELECT count(*) AS exact_a FROM ha),
+eb AS (SELECT count(*) AS exact_b FROM hb),
+ec AS (SELECT count(*) AS exact_common FROM ha
+       WHERE h IN (SELECT h FROM hb)),
+sa AS (SELECT count(*) AS n_ha, max(h) AS kth_a FROM ska),
+sb AS (SELECT count(*) AS n_hb, max(h) AS kth_b FROM skb)
+SELECT 256 AS k,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       round(CASE WHEN n_ha < 256 THEN n_ha
+                  ELSE 255 * 281474976710656.0 / kth_a END, 4) AS kmv_a,
+       round(CASE WHEN n_hb < 256 THEN n_hb
+                  ELSE 255 * 281474976710656.0 / kth_b END, 4) AS kmv_b,
+       round(exact_common * 1.0
+             / (exact_a + exact_b - exact_common), 6) AS exact_jaccard,
+       round(n_common * 1.0 / n_un, 6) AS kmv_jaccard
+FROM ea, eb, ec, sa, sb, inter, unn
+""")
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap sketch (operators/uniqueness.py:kmv_overlap) —
+    the fourth pinned sketch and the only one estimating
+    INTERSECTIONS: Jaccard of the lineitem part-key set vs the part
+    catalog from two 256-row sketches instead of a 10^12-key distinct
+    join. The sketch is the k smallest distinct 48-bit md5 hashes —
+    exact integer order statistics, so both engines build the
+    IDENTICAL k-sets and the oracle pins sketch and estimates alike
+    (an approximate algorithm under an exact cross-check, same stance
+    as distinct_hll_explicit). Exact sides are carried for the
+    report's error columns.
+
+    Scale shape: per side one distinct agg then a global top-k
+    (TakeOrderedAndProject, no full sort); all set arithmetic runs on
+    ≤ 3k rows; estimates are 1-row broadcasts.
+    """
+    from ..operators.uniqueness import kmv_overlap
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey")
+    return kmv_overlap(li, "l_partkey", pt, "p_partkey", k=256)
+
+
 @register("zorder_layout", oracle="""
 WITH mm AS (
   SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,

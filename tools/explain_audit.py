@@ -1232,6 +1232,19 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "kmv_set_overlap": [
+        ("no Python stage (hash + order statistics are JVM)", True,
+         lambda p: "Python" not in p),
+        ("k-min sketches via TakeOrderedAndProject (global top-k, "
+         "never a full sort)", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("scans pruned to one key column each", True,
+         lambda p: all(len(m.split(",")) <= 1 for m in
+                       re.findall(r"ReadSchema: struct<([^>]*)>", p))),
+        ("estimates broadcast as 1-row frames", True,
+         lambda p: p.count("BroadcastNestedLoopJoin")
+         + p.count("BroadcastHashJoin") >= 3),
+    ],
     "zorder_layout": [
         ("no Python stage (Morton interleave is div/mod codegen)", True,
          lambda p: "Python" not in p),
