@@ -55,19 +55,22 @@ def _align(a: list[str], b: list[str]) -> tuple[int, int, int, int]:
     if m == 0:
         return n, 0, n, 0
     bv = np.array(b, dtype=object)
+    idx = np.arange(1, m + 1, dtype=np.int32)
     dp = np.empty((n + 1, m + 1), dtype=np.int32)
     dp[0] = np.arange(m + 1, dtype=np.int32)
+    g = np.empty(m + 1, dtype=np.int32)
     for i in range(1, n + 1):
         dp[i, 0] = i
         sub = dp[i - 1, :-1] + (bv != a[i - 1]).astype(np.int32)
         # delete ref word i-1: dp[i-1, j] + 1 ; insert hyp word: left + 1
         best = np.minimum(sub, dp[i - 1, 1:] + 1)
-        run = dp[i, 0]
-        row = dp[i]
-        # left-to-right scan for the insertion recurrence (prefix min)
-        for j in range(1, m + 1):
-            run = min(best[j - 1], run + 1)
-            row[j] = run
+        # insertion recurrence row[j] = min(best[j-1], row[j-1]+1) is a
+        # prefix-min in disguise: row[j] = j + min_{t<=j} g_t with
+        # g_0 = i, g_t = best[t-1] - t — one numpy accumulate, no
+        # per-cell Python loop
+        g[0] = i
+        g[1:] = best - idx
+        dp[i, 1:] = np.minimum.accumulate(g)[1:] + idx
     dist = int(dp[n, m])
     n_sub = n_del = n_ins = 0
     i, j = n, m

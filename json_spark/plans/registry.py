@@ -101,8 +101,11 @@ ORACLE_SQL: dict[str, str] = {}
 #: events_asof_join/range_join/rollup, dataset_split, doc_pack_batches,
 #: verdict_rollup, fd_profile — plus the session-3 families
 #: (transcript_wer, audio_spectral_flatness, text_script_mix,
-#: aiff_header_integrity, audio_aiff_snr, audio_ulaw_snr — all
-#: oracle-backed, replica-green at sf0.01, never driver-checked)
+#: text_unicode_norm, aiff_header_integrity, audio_aiff_snr,
+#: audio_ulaw_snr, embedding_label_coherence, embedding_spectrum,
+#: token_heavy_hitters_cms, distinct_hll_explicit, zorder_layout,
+#: kmv_set_overlap — all oracle-backed, replica-green at sf0.01 and at
+#: sf0.001/sf0.1 where additionally run, never driver-checked)
 #: and whatever r4 adds or changes.
 GATE_FRONT: list[str] = [
     # changed after their last driver check — stale green, check first
@@ -8351,7 +8354,11 @@ def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable sums.
     """
     from ..operators.alignment import word_edit_stats
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file fixture scans serialize the DP kernel onto one task;
+    # round-robin split first (outputs are counts + 6dp-rounded means,
+    # partitioning-independent at that precision)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     prepared = docs.select(
         "doc_id", "text",
         F.expr("CASE doc_id % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub' "
