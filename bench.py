@@ -191,6 +191,7 @@ HEADLINE = [
     "distinct_hll_explicit",
     "zorder_layout",
     "kmv_set_overlap",
+    "transcript_wer_manifest",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

@@ -8597,6 +8597,62 @@ def q_text_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_divergence(planted, "text", ["lang"])
 
 
+@register("transcript_wer_manifest", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+flags AS (
+  SELECT codec,
+         CASE WHEN i % 1000 = 999 AND i > 0 THEN i - 1 ELSE i END AS base_i
+  FROM full_),
+marked AS (
+  SELECT codec,
+         (base_i % 991 = 990) AS is_orphan,
+         (base_i % 991 <> 990 AND base_i % 983 = 982) AS is_mismatch
+  FROM flags)
+SELECT codec,
+       CAST(count(*) FILTER (WHERE NOT is_orphan) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE NOT is_orphan AND NOT is_mismatch)
+            AS BIGINT) AS n_exact,
+       CAST(count(*) FILTER (WHERE is_mismatch) AS BIGINT)
+           AS total_word_edits,
+       CAST(CASE WHEN count(*) FILTER (WHERE is_mismatch) > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS max_distance
+FROM marked GROUP BY codec
+""")
+def q_transcript_wer_manifest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """WER graded against the manifest — the audio-domain form of the
+    brief's transcript-equality invariant: clips broadcast-join their
+    manifest transcripts and the word-level DP kernel
+    (operators/alignment.py) measures HOW FAR each pair diverges, per
+    codec. The planted mismatch appends exactly one out-of-vocab token
+    (" MISMATCH", fixtures/gen.py:142), so the true word distance of
+    every mismatched pair is provably exactly 1 and the oracle pins
+    pair counts, exact matches, total word edits and the max distance
+    in closed form from row-id arithmetic (orphans excluded by the
+    same 991-contract as transcript_integrity; duplicate rows inherit
+    their base row's flags). A match proves join + kernel + contract
+    end-to-end on the clip table, not just on documents.
+
+    Scale shape: broadcast manifest join, map-only Arrow DP over the
+    joined pairs, |codec|-key map-combinable rollup.
+    """
+    from ..fixtures.gen import generate_clips, generate_manifest
+    from ..operators.alignment import word_edit_stats
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    manifest = generate_manifest(spark, _SNR_N, partitions=4).select(
+        "clip_id", F.col("transcript").alias("m_transcript"))
+    joined = (clips.select("clip_id", "codec", "transcript")
+              .join(F.broadcast(manifest), "clip_id", "left")
+              .where(F.col("m_transcript").isNotNull()))
+    stats = word_edit_stats(joined, "transcript", "m_transcript",
+                            passthrough=["codec"])
+    return stats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("distance") == 0).cast("long")).alias("n_exact"),
+        F.sum("distance").cast("long").alias("total_word_edits"),
+        F.max("distance").alias("max_distance"))
+
+
 @register("kmv_set_overlap", oracle="""
 WITH ha AS (
   SELECT DISTINCT (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),

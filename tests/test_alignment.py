@@ -98,3 +98,14 @@ def test_transcript_wer_query_runs(spark, sf_dir):
     assert rows["ins"]["total_sub"] == 0 and rows["ins"]["total_del"] == 0
     for m in ("sub", "del", "ins"):
         assert 0 < rows[m]["avg_wer"] < 1
+
+
+def test_manifest_wer_query(spark, sf_dir):
+    """The audio-domain WER query: mismatched pairs carry distance
+    exactly 1 (one appended out-of-vocab token), everything else 0."""
+    from json_spark.plans.registry import QUERIES
+    rows = QUERIES["transcript_wer_manifest"](spark, sf_dir).collect()
+    assert len(rows) == 4  # one per codec
+    for r in rows:
+        assert r["n_exact"] + r["total_word_edits"] == r["n_pairs"]
+        assert r["max_distance"] in (0, 1)

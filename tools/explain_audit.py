@@ -1232,6 +1232,15 @@ CHECKS = {
          lambda p: "TakeOrderedAndProject" in p),
         ("no Python stage", True, lambda p: "Python" not in p),
     ],
+    "transcript_wer_manifest": [
+        # render + manifest render + DP kernel; manifest joins broadcast
+        ("manifest join is a BROADCAST (pairs never shuffle)", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("at most three Python stages (two renders + DP kernel)", True,
+         lambda p: _n_unique(_PY_NODE, p.split("\n\n")[0]) <= 3),
+        ("per-codec rollup is a partial+final hash aggregate", True,
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "kmv_set_overlap": [
         ("no Python stage (hash + order statistics are JVM)", True,
          lambda p: "Python" not in p),
