@@ -33,10 +33,12 @@ CMS_DEPTH = 3
 CMS_WIDTH = 64
 
 
-def cms_hash(c: Column, seed: int, width: int) -> Column:
+def cms_hash(c: Column, seed, width: int) -> Column:
     """Seeded slot hash: lower 32 bits of md5(seed || token) mod width —
-    identical integers in Spark and DuckDB."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(str(seed)), c)), 1, 8),
+    identical integers in Spark and DuckDB. ``seed`` may be a Python int
+    or an integer Column (the build path fans seeds out columnarly)."""
+    s = seed.cast("string") if isinstance(seed, Column) else F.lit(str(seed))
+    h = F.conv(F.substring(F.md5(F.concat(s, c)), 1, 8),
                16, 10).cast("long")
     return F.pmod(h, F.lit(width))
 
@@ -47,16 +49,16 @@ def cms_build(df: DataFrame, text_col: str,
     (seed, slot) with its count. Fixed-size output (≤ depth·width rows)
     whatever the corpus."""
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
-    per_seed = [
-        toks.select(F.lit(s).alias("seed"),
-                    cms_hash(F.col("t"), s, width).alias("slot"))
-        for s in range(depth)
-    ]
-    stacked = per_seed[0]
-    for p in per_seed[1:]:
-        stacked = stacked.unionByName(p)
-    return stacked.groupBy("seed", "slot").agg(
-        F.count(F.lit(1)).alias("n"))
+    # Tokenize ONCE: fan the d seeds out from a literal array on the
+    # already-exploded token rows, instead of unioning d projections of
+    # the token table (which would scan + explode the corpus d times).
+    stacked = toks.select(
+        F.col("t"),
+        F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed"))
+    return (stacked
+            .select(F.col("seed"),
+                    cms_hash(F.col("t"), F.col("seed"), width).alias("slot"))
+            .groupBy("seed", "slot").agg(F.count(F.lit(1)).alias("n")))
 
 
 def cms_estimate(grid: DataFrame, candidates: DataFrame, token_col: str,

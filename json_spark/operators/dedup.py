@@ -482,28 +482,117 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
 # Duplicate clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+def _star_clusters(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
+    """Large-star/small-star contraction. Edges are kept canonical
+    (a > b, deduplicated, no self-loops); each round:
+
+    - large-star: at every node u over its FULL neighborhood N(u),
+      m = min(N(u) ∪ {u}); every strictly-larger neighbor v > u is
+      re-attached as (v, m). Every original edge is processed at its
+      smaller endpoint, so no connectivity is lost.
+    - small-star: at every node u over its smaller neighbors N⁻(u),
+      m = min(N⁻(u)); u and every other smaller neighbor re-attach to m.
+
+    The fixed point is a star forest whose centers are the component
+    minima; expected rounds O(log n). Convergence is detected by a
+    (count, xxhash64-sum) fingerprint of the edge set — one scalar
+    aggregate per round, same driver cost as the min-label probe.
+    """
+    # localCheckpoint (not just persist): persist caches partitions but
+    # the LOGICAL plan still nests one level per round, and an iterative
+    # plan that references its input several times per round grows
+    # exponentially — ~50 rounds produced a 2 GiB plan string in
+    # testing. Checkpointing truncates lineage each round, keeping
+    # planning O(1) per round. (On a real cluster prefer a reliable
+    # checkpoint dir for executor-loss recovery; localCheckpoint trades
+    # that for zero-config speed, fine for a bounded CC loop.)
+    edges = (pairs.select(
+        F.greatest("id_a", "id_b").alias("a"),
+        F.least("id_a", "id_b").alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=True))
+
+    def fingerprint(e: DataFrame):
+        # mod-prime residues keep the ANSI int64 sum overflow-proof at
+        # any edge count (residue < 1e6, so ~9e12 edges before overflow)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"),
+                         F.lit(1000003))).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(edges)
+    for _ in range(max_iter):
+        if fp[0] == 0:
+            break
+        # large-star over the full (undirected) neighborhood
+        und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionByName(
+                edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mn = und.groupBy("u").agg(F.min("v").alias("__mv"))
+        mn = mn.select("u", F.least("__mv", "u").alias("m"))
+        large = (und.join(mn, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .filter(F.col("a") != F.col("b")).distinct())
+        # small-star over the smaller neighbors (edges are a > b)
+        mn2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        j = large.join(mn2, "a")
+        small = (j.select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .unionByName(
+                     j.select(F.col("a").alias("a"), F.col("m").alias("b")))
+                 .filter(F.col("a") != F.col("b")).distinct())
+        small = small.localCheckpoint(eager=True)
+        new_fp = fingerprint(small)
+        edges.unpersist()
+        edges = small
+        if new_fp == fp:
+            break
+        fp = new_fp
+    members = edges.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("cluster_id"))
+    roots = (edges.select(F.col("b").alias("id")).distinct()
+             .join(members.select(F.col("id")), "id", "left_anti")
+             .withColumn("cluster_id", F.col("id")))
+    labels = members.unionByName(roots)
+    labels.persist()
+    labels.count()
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 12,
+                       method: str = "star") -> DataFrame:
     """Connected components over (id_a, id_b) near-dup pairs: every
     member labeled with its component's MINIMUM id — the canonical
     representative a dedup pipeline keeps (drop rows where
     id != cluster_id).
 
-    Min-label propagation: each round, every vertex takes the min of its
-    own label and its neighbors' labels (one join + one map-combinable
-    min aggregate per round); converges in O(component diameter) rounds.
-    Near-dup clusters are shallow (stars/cliques around a source doc),
-    so 2-3 rounds is typical; ``max_iter`` bounds adversarial chains —
-    the large-star/small-star contraction (O(log n) rounds) is the
-    upgrade path if chain-shaped components ever dominate.
+    Two interchangeable engines (identical labels, property-tested
+    against each other in tests/test_canonical.py):
 
-    Per-round driver work is ONE scalar (the converged? count); labels
+    - ``method="star"`` (default): alternating large-star/small-star
+      contraction (Kiveris et al., "Connected Components in MapReduce
+      and Beyond") — converges in O(log n) rounds on ANY component
+      shape, so an adversarial 50-link near-dup chain costs ~7 rounds
+      instead of 50. Each round is two bounded joins + two
+      map-combinable mins over the CURRENT edge list, which only ever
+      shrinks toward one star edge per non-root member.
+    - ``method="minlabel"``: min-label propagation (one join + one min
+      per round, O(component diameter) rounds) — marginally cheaper per
+      round for the shallow star/clique clusters real near-dup data
+      produces; kept as the reference twin.
+
+    Per-round driver work is ONE scalar (the converged? probe); frames
     are persisted each round and the previous round unpersisted, so
-    lineage stays flat. The undirected edge list — whose lineage is the
+    lineage stays flat. The input edge list — whose lineage is the
     whole upstream near-dup pipeline (scan + banding + verify) — is
     persisted for the loop's lifetime: without that, every round's
-    message join re-executes pair generation from the corpus scan, the
-    most expensive stage of the pipeline, once per round.
+    join re-executes pair generation from the corpus scan, the most
+    expensive stage of the pipeline, once per round.
     """
+    if method == "star":
+        return _star_clusters(pairs, max_iter=max(max_iter, 8))
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
@@ -511,8 +600,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         und.select(F.col("u").alias("id")).distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    labels.persist()
-    labels.count()
+    # localCheckpoint each round (see _star_clusters): persist alone
+    # leaves the logical plan nesting one level per round, and this loop
+    # references `labels` twice per round — plan size doubles per round
+    # and a deep run (adversarial chain near max_iter) hits GiB-sized
+    # plan strings before any task runs.
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         msgs = (
             und.join(labels, und["u"] == labels["id"])
@@ -522,7 +615,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
             labels.select("id", "cluster_id").unionByName(msgs)
             .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
         )
-        new_labels.persist()
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

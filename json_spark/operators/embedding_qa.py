@@ -188,6 +188,8 @@ def spectrum_moments(df: DataFrame, vec_col: str) -> DataFrame:
 
     def finalize(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                continue  # mapInArrow can hand empty batches on empty partitions
             state = np.asarray(batch.column(0)[0].as_py(),
                                dtype=np.float64)
             if len(state) < 3:

@@ -119,30 +119,47 @@ def kll_partition_states(df: DataFrame, value_col: str,
 
 
 def kll_merge_quantiles(states: DataFrame, probs: list[float],
-                        k: int = 200) -> DataFrame:
+                        k: int = 200, shards: int = 64) -> DataFrame:
     """Fold serialized KLL states into corpus quantiles: (p, value, n)
-    rows. The fold is ONE task over |partitions| state rows (KBs each)
-    — metadata-sized at any corpus scale, the same bounded-merge shape
-    as the PQ codebook and suite-resume folds."""
+    rows, via a TWO-LEVEL deterministic tree (r3 verdict's perf-weak
+    fix): a flat single-task fold over 10^5–10^6 partition states at
+    10^12-row scale is a real serial term, so level 1 shards the states
+    by content (crc32(state) % shards — partitioning-independent and
+    rebuild-stable) and folds each shard in parallel; level 2 folds the
+    <= ``shards`` shard states in one bounded task. Both levels fold in
+    byte order — shuffle arrival order is nondeterministic and KLL
+    merge is order-sensitive (different compaction sequences) — so the
+    whole pipeline stays bit-identical on rebuild over the same scan
+    partitioning. Last-task cost drops from O(P) states to
+    O(P/shards) per level-1 task + O(shards) at the root."""
     import pandas as pd
 
     from ..functions.kll import KLL
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _fold(blobs) -> "KLL":
         acc = KLL(k=k, seed=0)
-        # fold in byte order: shuffle arrival order is nondeterministic
-        # and KLL merge is order-sensitive (different compaction
-        # sequences) — sorting makes the whole pipeline rebuildable
-        for blob in sorted(bytes(b) for b in pdf["state"]):
+        for blob in sorted(bytes(b) for b in blobs):
             acc.merge(KLL.from_bytes(blob))
+        return acc
+
+    def shard_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = _fold(pdf["state"])
+        return pd.DataFrame({"state": [acc.to_bytes()], "n": [acc.n]})
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = _fold(pdf["state"])
         return pd.DataFrame({
             "p": [float(p) for p in probs],
             "value": acc.quantiles(probs),
             "n": [acc.n] * len(probs),
         })
 
-    return (states.withColumn("__g", F.lit(1)).groupBy("__g")
-            .applyInPandas(merge, "p double, value double, n long"))
+    shard_states = (
+        states.withColumn("__shard",
+                          F.pmod(F.crc32("state"), F.lit(shards)))
+        .groupBy("__shard").applyInPandas(shard_merge, KLL_STATE_SCHEMA))
+    return (shard_states.withColumn("__g", F.lit(1)).groupBy("__g")
+            .applyInPandas(finalize, "p double, value double, n long"))
 
 
 def kll_quantiles(df: DataFrame, value_col: str, probs: list[float],

@@ -63,6 +63,29 @@ def ledger_append(spark: SparkSession, path: str, rows: list[dict],
     df.write.mode("append").parquet(path)
 
 
+def ledger_append_frame(verdicts: DataFrame, path: str,
+                        lineage: str, status: str = "DONE") -> None:
+    """Executor-side ledger append (r3 verdict watch item #3): project
+    the suite's verdict frame straight into ledger rows and write it —
+    the rows never materialize on the driver, so a 10^6-partition ×
+    10-check run appends 10^7 rows as an ordinary distributed write
+    instead of a driver collect. Metrics carry the same
+    {n_red, n_rows, verdict} summary the driver-side path wrote (keys
+    in sorted order; ``ledger_trend`` reads them as map<string,double>
+    and ignores the non-numeric verdict either way)."""
+    (verdicts.select(
+        F.col("partition_id").cast("string").alias("partition_id"),
+        F.col("check_name").cast("string").alias("check_name"),
+        F.lit(status).alias("status"),
+        F.to_json(F.struct(
+            F.col("n_red").cast("long").alias("n_red"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("verdict").alias("verdict"))).alias("metrics_json"),
+        F.lit(lineage).alias("lineage"),
+        F.current_timestamp().alias("updated_at"))
+     .write.mode("append").parquet(path))
+
+
 def pending_partitions(all_partitions: DataFrame, ledger: DataFrame,
                        check_name: str) -> DataFrame:
     """Partitions not yet DONE for this check (broadcast anti-join)."""

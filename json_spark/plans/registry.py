@@ -485,7 +485,10 @@ c AS (
       WHEN 0 THEN try_strptime(raw, '%Y-%m-%dT%H:%M:%S')
       WHEN 1 THEN try_strptime(raw, '%Y-%m-%d')
       WHEN 2 THEN try_strptime(raw, '%d %b %Y')
-      WHEN 3 THEN to_timestamp(CAST(raw AS BIGINT))::TIMESTAMP
+      -- make_timestamp(us): epoch-µs -> naive TIMESTAMP with NO zone
+      -- conversion (to_timestamp(..)::TIMESTAMP would round-trip through
+      -- DuckDB's session TimeZone and shift under a non-UTC driver env)
+      WHEN 3 THEN make_timestamp(CAST(raw AS BIGINT) * 1000000)
       ELSE NULL END AS coerced
   FROM r)
 SELECT fmt_id, verdict, count(*) AS n,
@@ -552,18 +555,19 @@ parsed AS (
             WHEN 5 THEN 'RED' ELSE 'YELLOW' END AS verdict
   FROM vals),
 modes AS (
-  SELECT 'utc' AS mode, verdict, utc_us AS us FROM parsed
+  SELECT 'utc' AS mode, verdict, z, utc_us AS us FROM parsed
   UNION ALL
-  SELECT 'zoned', verdict,
+  SELECT 'zoned', verdict, z,
          CASE WHEN utc_us IS NULL THEN NULL
               ELSE epoch_us(timezone(z, timezone('UTC',
                             make_timestamp(utc_us)))) END
   FROM parsed)
-SELECT mode, verdict, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(us) AS DECIMAL(38,0)) AS sum_us,
+SELECT mode, verdict, z, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(((us % 1000003) + 1000003) % 1000003) AS BIGINT)
+           AS digest_us,
        CAST(min(us) AS BIGINT) AS min_us,
        CAST(max(us) AS BIGINT) AS max_us
-FROM modes GROUP BY mode, verdict
+FROM modes GROUP BY mode, verdict, z
 """)
 def q_coercion_date_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date.Timezone.Fields + ForceConvertingInto (reference
@@ -598,7 +602,13 @@ def q_coercion_date_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m4 == 3, F.lit("UTC")))
     timezone_sib = F.when(m5 == 0, F.lit("Europe/Berlin"))
     base = ev.select(raw.alias("raw"), tz_sib.alias("tz"),
-                     timezone_sib.alias("timezone"))
+                     timezone_sib.alias("timezone"),
+                     # the effective zone, resolved with the same
+                     # 'timezone'-outranks-'tz' precedence the coercer
+                     # applies — carried to the output so a driver-side
+                     # IANA zone-DB divergence localizes to ONE row
+                     F.coalesce(timezone_sib, tz_sib, F.lit("UTC"))
+                     .alias("z"))
     epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     frames = []
     for force in (False, True):
@@ -611,14 +621,18 @@ def q_coercion_date_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.append(base.select(
             F.lit("zoned" if force else "utc").alias("mode"),
             r.verdict.alias("verdict"),
+            F.col("z"),
             F.timestamp_diff("MICROSECOND", epoch_ntz, r.coerced)
             .alias("us")))
     u = frames[0].unionByName(frames[1])
-    return u.groupBy("mode", "verdict").agg(
+    return u.groupBy("mode", "verdict", "z").agg(
         F.count(F.lit(1)).alias("n"),
-        # decimal(38,0): epoch-µs sums overflow int64 past ~5k rows/group
-        # under ANSI — a 128-bit sum survives any corpus size
-        F.sum(F.col("us").cast("decimal(38,0)")).alias("sum_us"),
+        # mod-prime BIGINT digest instead of a DECIMAL(38,0) sum: the
+        # per-row residues are < 1e6 so the int64 sum cannot overflow,
+        # and the value hash-normalizes identically in every engine
+        # (r3's only driver-red was a >int64 DECIMAL string-form
+        # divergence suspect — see VERDICT r3 "What's wrong" #1)
+        F.sum(F.pmod(F.col("us"), F.lit(1000003))).alias("digest_us"),
         F.min("us").alias("min_us"),
         F.max("us").alias("max_us"))
 
@@ -8314,7 +8328,7 @@ m AS (
          CASE doc_id % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub'
               WHEN 2 THEN 'del' ELSE 'ins' END AS mode,
          CASE WHEN doc_id % 4 = 0 THEN 0
-              ELSE 1 + (doc_id // 4) % 3 END AS k
+              ELSE least(1 + (doc_id // 4) % 3, greatest(n - 1, 0)) END AS k
   FROM d)
 SELECT mode,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -8363,17 +8377,22 @@ def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text",
         F.expr("CASE doc_id % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub' "
                "WHEN 2 THEN 'del' ELSE 'ins' END").alias("mode"),
+        # k clamped to n-1 so the planted-edit surgery below is safe
+        # (no modulo-by-zero, no negative slice) on ANY fixture, not
+        # just this generator's >=10-words-per-doc guarantee
         F.expr("CASE WHEN doc_id % 4 = 0 THEN 0 "
-               "ELSE 1 + (doc_id div 4) % 3 END").cast("int").alias("k"),
+               "ELSE least(1 + (doc_id div 4) % 3, "
+               "           greatest(size(split(text, ' ')) - 1, 0)) END")
+        .cast("int").alias("k"),
         F.size(F.split("text", " ")).alias("n"))
     hyp = prepared.withColumn("hyp", F.expr("""
-        CASE mode
-          WHEN 'clean' THEN text
-          WHEN 'sub' THEN array_join(
+        CASE
+          WHEN mode = 'clean' OR k = 0 THEN text
+          WHEN mode = 'sub' THEN array_join(
             transform(split(text, ' '), (x, i) ->
               CASE WHEN i % (n div k) = 0 AND (i div (n div k)) < k
                    THEN concat('#s', i, '#') ELSE x END), ' ')
-          WHEN 'del' THEN array_join(
+          WHEN mode = 'del' THEN array_join(
             slice(split(text, ' '), 1, n - k), ' ')
           ELSE concat(text, ' ', array_join(
             slice(array('#i0#', '#i1#', '#i2#'), 1, k), ' '))

@@ -41,7 +41,8 @@ from ..operators.domain import domain_rollup, domain_violations
 from ..operators.snr import pcm_scan, snr_check, snr_partition_rollup
 from ..operators.stats import column_stats
 from ..operators.uniqueness import exact_duplicates
-from .ledger import ledger_append, ledger_read, make_lineage, pending_partitions
+from .ledger import (ledger_append_frame, ledger_read, make_lineage,
+                     pending_partitions)
 
 VERDICT_COLS = ["partition_id", "check_name", "verdict", "n_rows",
                 "n_green", "n_yellow", "n_red", "metrics_json"]
@@ -1083,18 +1084,11 @@ class ValidationSuite:
 
         if ledger_path:
             lineage = make_lineage(input_path, __version__)
-            rows = [
-                {
-                    "partition_id": r["partition_id"],
-                    "check_name": r["check_name"],
-                    "status": "DONE",
-                    "metrics": {"verdict": r["verdict"], "n_rows": r["n_rows"],
-                                "n_red": r["n_red"]},
-                }
-                for r in verdicts.collect()
-            ]
-            if rows:
-                ledger_append(spark, ledger_path, rows, lineage)
+            # executor-side append: verdict rows are projected into
+            # ledger rows and written distributed — no driver
+            # materialization however many partitions×checks the run
+            # covers (r3 verdict watch item #3)
+            ledger_append_frame(verdicts, ledger_path, lineage)
 
         return SuiteResult(partition_verdicts=verdicts, violations=viols,
                            cached=list(self._cache))

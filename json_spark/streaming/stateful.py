@@ -211,10 +211,14 @@ def _make_cusum(target: float, k: float, h: float):
         else:
             sp, sn, n, na = 0.0, 0.0, 0, 0
         alerts = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__seq")
+        # A large group's micro-batch can span multiple pandas chunks;
+        # sorting each chunk independently would interleave rows out of
+        # __seq order. Concatenate the whole micro-batch for this group
+        # and sort ONCE so replay is deterministic regardless of chunking.
+        chunks = [p for p in pdf_iter if len(p) > 0]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values("__seq"))
             for x, seq in zip(pdf["__v"].astype(float),
                               pdf["__seq"].astype("int64")):
                 n += 1

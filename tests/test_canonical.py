@@ -57,3 +57,41 @@ def test_registry_invariants(spark, sf_dir):
     assert all(r["n_members"] >= 2 for r in rows)
     assert all(r["n_dropped"] == r["n_members"] - 1 for r in rows)
     assert all(r["kept_id"] >= r["cluster_id"] for r in rows)
+
+
+def test_star_contraction_matches_minlabel_on_planted_shapes(spark):
+    """The O(log n) large-star/small-star engine (r3 verdict directive
+    6) and the min-label reference produce IDENTICAL labels on a
+    50-link chain (diameter >= minlabel's default round cap), a star, a
+    clique, and random clutter."""
+    import random
+
+    from json_spark.operators.dedup import duplicate_clusters as dc
+
+    rng = random.Random(7)
+    edges = [(i + 1, i) for i in range(100, 150)]          # 50-link chain
+    edges += [(200, 200 + i) for i in range(1, 8)]          # star
+    edges += [(300 + i, 300 + j) for i in range(5) for j in range(i)]
+    edges += [(rng.randint(400, 430), rng.randint(400, 430))
+              for _ in range(40)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long")
+    star = {r["id"]: r["cluster_id"]
+            for r in dc(pairs, method="star").collect()}
+    ml = {r["id"]: r["cluster_id"]
+          for r in dc(pairs, max_iter=60, method="minlabel").collect()}
+    assert star == ml
+    assert all(star[i] == 100 for i in range(100, 151))
+
+
+def test_star_bounded_rounds_on_50_link_chain(spark):
+    """Correct labels within 10 rounds on a diameter-50 chain — the
+    round count is logarithmic, not diameter-bound (minlabel would need
+    50 rounds here)."""
+    from json_spark.operators.dedup import _star_clusters
+
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(50)], "id_a long, id_b long")
+    labels = {r["id"]: r["cluster_id"]
+              for r in _star_clusters(pairs, max_iter=10).collect()}
+    assert labels == {i: 0 for i in range(51)}

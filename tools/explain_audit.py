@@ -490,12 +490,14 @@ CHECKS = {
          and len(m.group(1).split(",")) <= 2),
     ],
     "stats_quantiles_kll": [
-        # per-partition sketch states + ONE bounded merge task: raw
-        # values never shuffle, only KB-sized states do
-        ("exactly two Python stages (state build + merge fold)", True,
+        # per-partition sketch states + TWO-LEVEL tree fold (parallel
+        # shard merges, then one bounded root task over <= shards
+        # states): raw values never shuffle, only KB-sized states do
+        ("exactly three Python stages (state build + shard fold + root fold)",
+         True,
          lambda p: len(re.findall(r"MapInPandas|MapInArrow|EvalPython|"
                                   r"FlatMapGroupsInPandas",
-                                  p.split("\n\n")[0])) == 2),
+                                  p.split("\n\n")[0])) == 3),
         ("scan pruned to the value column only", True,
          lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
          and m.group(1).count(",") == 0),
