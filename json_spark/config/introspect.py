@@ -335,6 +335,8 @@ _TREE: list[tuple] = [
         ("Disabled", "array_rules.disabled", "checkbox"),
         ("AutoWrapSingleValues",
          "array_rules.auto_wrap_single_values", "checkbox"),
+        ("StringifiedContainers",
+         "array_rules.stringified_containers", "checkbox"),
     ], []),
 ]
 

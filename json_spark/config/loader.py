@@ -63,6 +63,7 @@ _KEYMAPS: dict[type, dict[str, str]] = {
     ArrayRules: {
         "Disabled": "disabled",
         "AutoWrapSingleValues": "auto_wrap_single_values",
+        "StringifiedContainers": "stringified_containers",
     },
 }
 

@@ -109,5 +109,6 @@ def random_config(seed: int) -> RuleConfig:
             chameleon_case=(not fk_disabled) and flip(),
         ),
         array_rules=ArrayRules(disabled=flip(),
-                               auto_wrap_single_values=flip()),
+                               auto_wrap_single_values=flip(),
+                               stringified_containers=flip()),
     )

@@ -191,10 +191,14 @@ class FlexKeys:
 
 @dataclass(frozen=True)
 class ArrayRules:
-    """config.go:141-146 — AutoWrapSingleValues declared-only in reference."""
+    """config.go:141-146 — AutoWrapSingleValues declared-only in reference;
+    StringifiedContainers implements the reference's declared-only TODO
+    (dirtytypes.go:74, issue 5): containers arriving as JSON-escaped
+    strings are unwrapped (up to two levels) before coercion, at YELLOW."""
 
     disabled: bool = False
     auto_wrap_single_values: bool = False
+    stringified_containers: bool = False
 
 
 @dataclass(frozen=True)

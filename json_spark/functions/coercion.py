@@ -468,6 +468,119 @@ def coerce_time_of_day(c: Column, cfg: RuleConfig) -> CoercionResult:
 # arrays / objects (embedded JSON in string columns)
 # --------------------------------------------------------------------------
 
+def _json_string_value(t: Column) -> Column:
+    """Parse a JSON STRING token (``"..."`` with escapes) to its value.
+    Spark's from_json only accepts container schemas, so the token is
+    wrapped in a one-element array; a malformed token nulls out."""
+    return F.from_json(F.concat(F.lit("["), t, F.lit("]")),
+                       "array<string>")[0]
+
+
+def unwrap_stringified(c: Column) -> tuple[Column, Column]:
+    """StringifiedContainers (reference dirtytypes.go:74, issue 5 —
+    declared-only TODO, implemented here like the rounding/auto-wrap/zone
+    precedents): a container that arrives as a JSON-ESCAPED STRING —
+    ``"[1,2]"`` or ``"{\\"a\\":1}"`` — is unwrapped to the inner JSON
+    text before coercion. Two levels are peeled (double-stringified
+    payloads are the common relay-through-two-services artifact); deeper
+    nesting stays a string and falls out as RED at the container
+    coercion. Returns (unwrapped token, was_unwrapped flag) — callers
+    cap the verdict at YELLOW whenever the flag is set, because the
+    spelling needed tolerance even if the inner JSON is pristine."""
+    def peel(col: Column) -> Column:
+        # unwrap ONE level of JSON string quoting (no container check:
+        # a double-stringified payload peels to another STRING token)
+        t = F.trim(col)
+        inner = _json_string_value(t)
+        return F.when(t.rlike(r'^"') & inner.isNotNull(), inner)
+
+    def is_container(col: Column) -> Column:
+        return F.trim(col).rlike(r"^[\[{]")
+
+    once = peel(c)
+    twice = peel(once)
+    # deepest peel that lands on a container wins; a peel chain that
+    # never reaches a container leaves the token untouched (plain
+    # quoted strings keep their original coercion semantics)
+    unwrapped = (
+        F.when(twice.isNotNull() & is_container(twice), twice)
+        .when(once.isNotNull() & is_container(once), once))
+    return F.coalesce(unwrapped, c), unwrapped.isNotNull()
+
+
+def coerce_smart_scalar(c: Column, cfg: RuleConfig) -> dict[str, Column]:
+    """SmartScalar (reference dirtytypes.go:73, issue 4 — declared-only
+    TODO): a decode target that accepts ANY scalar spelling and infers
+    the best type, as a typed union of Columns.
+
+    Ladder (first match wins):
+    - strict JSON spellings → GREEN: null / ``true|false`` / integer
+      token / number token / quoted string;
+    - dirty spellings → YELLOW: the config's bool token lists
+      (case-insensitivity and custom lists respected), then
+      space/comma-cleaned integers and numbers, then any bare
+      non-container text as a string;
+    - containers → RED (scalars only — dirtytypes.go:171-173's stance).
+
+    Returns {stype, bool_v, long_v, double_v, str_v, verdict}: exactly
+    one value slot is non-null per row (none for null/RED). All pure
+    Column expressions — codegen-friendly, no Python.
+    """
+    t = F.trim(c)
+    is_container = t.rlike(r"^[\[{]")
+    quoted_inner = F.when(t.rlike(r'^".*"$'), _json_string_value(t))
+
+    # dirty-bool via the config's TOKEN LISTS only — deliberately NOT
+    # coerce_bool, whose FallbackValue rule coerces ANY string to a
+    # bool and would absorb the whole dirty tier into 'bool'
+    fs = cfg.bool_rules.from_strings
+    if cfg.bool_rules.disabled or fs.disabled:
+        bool_dirty = F.lit(None).cast("boolean")
+    else:
+        probe = F.lower(t) if fs.case_insensitive else t
+        true_list = [s.lower() if fs.case_insensitive else s
+                     for s in fs.true_list]
+        false_list = [s.lower() if fs.case_insensitive else s
+                      for s in fs.false_list]
+        bool_dirty = (F.when(probe.isin(true_list), F.lit(True))
+                      .when(probe.isin(false_list), F.lit(False)))
+    cleaned = _cleaned_numeric_string(c, cfg)
+
+    stype = (
+        F.when(c.isNull(), F.lit("null"))
+        .when(is_container, F.lit(None).cast("string"))
+        .when(t.isin("true", "false"), F.lit("bool"))
+        .when(t.rlike(_JSON_INT_RE), F.lit("integer"))
+        .when(t.rlike(_JSON_NUMBER_RE), F.lit("number"))
+        .when(quoted_inner.isNotNull(), F.lit("string"))
+        # ---- dirty tier ----
+        .when(bool_dirty.isNotNull(), F.lit("bool"))
+        .when(cleaned.rlike(_JSON_INT_RE), F.lit("integer"))
+        .when(cleaned.rlike(_JSON_NUMBER_RE), F.lit("number"))
+        .otherwise(F.lit("string")))
+    strict = (
+        c.isNull() | t.isin("true", "false") | t.rlike(_JSON_NUMBER_RE)
+        | quoted_inner.isNotNull())
+    verdict = (
+        F.when(is_container, RED())
+        .when(strict, GREEN())
+        .otherwise(YELLOW()))
+    bool_v = F.when(stype == "bool",
+                    F.when(t.isin("true", "false"), t == "true")
+                    .otherwise(bool_dirty))
+    long_v = F.when(stype == "integer",
+                    F.coalesce(
+                        F.when(t.rlike(_JSON_INT_RE), t),
+                        cleaned).try_cast("long"))
+    double_v = F.when(stype == "number",
+                      F.coalesce(
+                          F.when(t.rlike(_JSON_NUMBER_RE), t),
+                          cleaned).try_cast("double"))
+    str_v = F.when(stype == "string", F.coalesce(quoted_inner, t))
+    return {"stype": stype, "bool_v": bool_v, "long_v": long_v,
+            "double_v": double_v, "str_v": str_v, "verdict": verdict}
+
+
 def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string",
                  fixed_len: int | None = None) -> CoercionResult:
     """Strict: JSON array or null (dirtytypes.go:457-482). AutoWrapSingleValues
@@ -477,7 +590,14 @@ def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string",
     (decoder.go:302-341): too few elements is an error (RED); extra
     elements are dropped — the reference skips them silently, a validator
     reports the tolerance, so a truncated array is YELLOW.
+
+    With ``array_rules.stringified_containers`` on, a JSON-escaped
+    container string is unwrapped first (issue 5; see
+    :func:`unwrap_stringified`) and the row caps at YELLOW.
     """
+    was_stringified = F.lit(False)
+    if not cfg.array_rules.disabled and cfg.array_rules.stringified_containers:
+        c, was_stringified = unwrap_stringified(c)
     parsed = F.from_json(c, f"array<{element_type}>")
     is_array_token = c.rlike(r"^\s*\[")
     strict_ok = c.isNull() | (is_array_token & parsed.isNotNull())
@@ -507,6 +627,11 @@ def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string",
             .when(truncated, YELLOW())
             .otherwise(verdict)
         )
+    # a stringified spelling needed tolerance even if the inner JSON is
+    # pristine: strict fails, verdict caps at YELLOW
+    strict = F.when(~was_stringified, strict)
+    verdict = F.when(was_stringified & (verdict == "GREEN"),
+                     YELLOW()).otherwise(verdict)
     return CoercionResult(strict=strict, coerced=coerced, verdict=verdict)
 
 
@@ -518,24 +643,33 @@ def coerce_object(c: Column, cfg: RuleConfig,
     the reference re-parses each JSON key string as the target type and
     errors when any key fails — here any non-castable key makes the whole
     object RED, castable keys yield map<key_type,string>.
+
+    ``array_rules.stringified_containers`` (the containers-family toggle)
+    applies here too: a JSON-escaped object string unwraps to the inner
+    JSON at YELLOW (issue 5).
     """
+    was_stringified = F.lit(False)
+    if not cfg.array_rules.disabled and cfg.array_rules.stringified_containers:
+        c, was_stringified = unwrap_stringified(c)
     parsed = F.from_json(c, "map<string,string>")
     is_obj_token = c.rlike(r"^\s*\{")
     strict_ok = c.isNull() | (is_obj_token & parsed.isNotNull())
-    strict = F.when(strict_ok, parsed)
-    verdict = F.when(strict_ok, GREEN()).otherwise(RED())
+    strict = F.when(strict_ok & ~was_stringified, parsed)
+    coerced = F.when(strict_ok, parsed)
+    verdict = (F.when(strict_ok & ~was_stringified, GREEN())
+               .when(strict_ok, YELLOW()).otherwise(RED()))
     if key_type == "string":
-        return CoercionResult(strict=strict, coerced=strict, verdict=verdict)
+        return CoercionResult(strict=strict, coerced=coerced, verdict=verdict)
 
     keys_ok = F.size(F.filter(
-        F.map_keys(strict),
+        F.map_keys(coerced),
         lambda k: k.try_cast(key_type).isNull())) == 0
     typed = F.when(
-        strict.isNotNull() & keys_ok,
-        F.transform_keys(strict, lambda k, _v: k.cast(key_type)))
-    bad_keys = strict.isNotNull() & ~keys_ok
+        coerced.isNotNull() & keys_ok,
+        F.transform_keys(coerced, lambda k, _v: k.cast(key_type)))
+    bad_keys = coerced.isNotNull() & ~keys_ok
     return CoercionResult(
-        strict=typed,
+        strict=F.when(strict.isNotNull(), typed),
         coerced=typed,
         verdict=F.when(bad_keys, RED()).otherwise(verdict),
     )

@@ -8,12 +8,15 @@ libraries, so:
 - WAV/PCM (the fixture codec) is decoded for real (fixtures/signal.py);
 - FLAC is decoded for real too — the pure-Python verbatim-subframe codec
   in functions/flac.py (CRC-8/CRC-16/MD5 enforced);
-- opus/mp3 route through :func:`decode_external`, which uses a real
-  codec library when one is importable and otherwise raises
-  ``NotImplementedError`` — callers choose between failing the row
-  (verdict RED) or the deterministic fake used by the feature stages so
-  the Spark-side plumbing (schema, partitioning, batch shape) stays
-  fully exercised and tested.
+- IMA ADPCM (WAV fmt 0x11) is the real COMPRESSED lossy path at 4.1:1 —
+  functions/adpcm.py, lockstep-vectorized block codec (plus Sun AU /
+  AIFF containers and G.711 µ-law in functions/au.py, aiff.py);
+- only genuinely external codecs (opus/mp3) route through
+  :func:`decode_external`, which uses a real codec library when one is
+  importable and otherwise raises ``NotImplementedError`` — callers
+  choose between failing the row (verdict RED) or the deterministic
+  fake used by the feature stages so the Spark-side plumbing (schema,
+  partitioning, batch shape) stays fully exercised and tested.
 
 Scale shape: every stage is ``mapInArrow`` map-only over the source
 partitioning — payload bytes never shuffle; outputs are scalar features
@@ -92,6 +95,12 @@ def _decode(clip_id: str, payload, codec: str) -> tuple[np.ndarray, bool]:
         pass
     try:
         sig, _sr = decode_flac(bytes(payload.as_buffer()))
+        return sig, True
+    except (ValueError, struct.error):
+        pass
+    try:
+        from ..functions.adpcm import decode_adpcm_wav
+        sig, _sr = decode_adpcm_wav(bytes(payload.as_buffer()))
         return sig, True
     except (ValueError, struct.error):
         pass
@@ -851,6 +860,50 @@ def transcode_aiff(clips: DataFrame) -> DataFrame:
                     out.append(encode_aiff(ints, sr))
                 except (ValueError, struct.error, AttributeError, TypeError):
                     out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),
+                 pa.array(out, pa.binary())],
+                ["clip_id", "codec", "sr_hz", "dur_ms", "bytes"])
+
+    return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
+                        "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
+def transcode_adpcm(clips: DataFrame) -> DataFrame:
+    """WAV→IMA-ADPCM transcode keeping the clips-table shape — the
+    engine's first COMPRESSED lossy path (4.1:1; functions/adpcm.py).
+    Unlike the per-row AU/AIFF transcodes, the whole Arrow batch is
+    encoded in ONE lockstep pass (`encode_adpcm_wav_batch`: every block
+    of every clip stacked into a single matrix, one 504-step vector
+    loop) because ADPCM's per-sample recurrence would otherwise cost a
+    Python iteration per sample. Map-only over the source partitioning;
+    undecodable payloads pass through as null bytes; nothing shuffles."""
+    from ..functions.adpcm import encode_adpcm_wav_batch
+
+    def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            sigs, sig_srs, ok = [], [], []
+            for j in range(batch.num_rows):
+                try:
+                    wav = memoryview(payloads[j].as_buffer())
+                    n_bytes = struct.unpack("<I", wav[40:44])[0]
+                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
+                    sr = struct.unpack("<I", wav[24:28])[0]
+                    if len(ints) == 0:
+                        raise ValueError("empty data chunk")
+                    sigs.append(ints)
+                    sig_srs.append(sr)
+                    ok.append(True)
+                except (ValueError, struct.error, AttributeError, TypeError):
+                    ok.append(False)
+            encoded = iter(encode_adpcm_wav_batch(sigs, sig_srs))
+            out = [next(encoded) if good else None for good in ok]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
                  pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),

@@ -2,11 +2,13 @@
 
 North-rule check (BASELINE.json input_hint): decoded PCM must match the
 reference signal with SNR >= 30 dB ("allclose"). Container-agnostic:
-WAV decodes first; non-RIFF payloads fall through to the real FLAC
-codec (functions/flac.py), then to the big-endian Sun AU container
-(functions/au.py) — each rejects foreign payloads at its 4-byte magic,
-so per-row dispatch costs two byte comparisons and the same invariant
-runs over any of the three containers. This is the one operator that genuinely cannot be a Column
+PCM16 WAV decodes first; foreign payloads fall through to the real FLAC
+codec (functions/flac.py), the big-endian Sun AU container
+(functions/au.py), IFF-chunked AIFF (functions/aiff.py), and finally
+IMA-ADPCM WAV (functions/adpcm.py — the compressed lossy codec; RIFF
+magic but fmt tag 0x11) — each rejects foreign payloads at its magic or
+format tag, so per-row dispatch costs a few byte comparisons and the
+same invariant runs over any of the five formats. This is the one operator that genuinely cannot be a Column
 expression (byte-level container decode + numpy math), so it is an
 Arrow-batched ``mapInArrow`` stage: Arrow moves
 binary batches to the Python worker, numpy does vectorized math per clip,
@@ -39,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.signal import decode_wav_pcm16, reference_signal, snr_db
+from ..functions.adpcm import decode_adpcm_wav
 from ..functions.aiff import decode_aiff
 from ..functions.au import decode_au
 from ..functions.flac import decode_flac
@@ -232,9 +235,18 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                                 # (functions/au.py); rejects at magic too
                                 decoded, sr = decode_au(buf)
                             except (ValueError, struct.error):
-                                # fourth container: IFF-chunked AIFF with
-                                # the 80-bit-float rate (functions/aiff.py)
-                                decoded, sr = decode_aiff(buf)
+                                try:
+                                    # fourth container: IFF-chunked AIFF
+                                    # with the 80-bit-float rate
+                                    # (functions/aiff.py)
+                                    decoded, sr = decode_aiff(buf)
+                                except (ValueError, struct.error):
+                                    # fifth: IMA-ADPCM WAV — the
+                                    # compressed lossy codec
+                                    # (functions/adpcm.py); RIFF but
+                                    # fmt tag 0x11, so the PCM16 branch
+                                    # rejected it at the tag check
+                                    decoded, sr = decode_adpcm_wav(buf)
                     dur = int(durs[j]) if durs[j] is not None else 100
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)

@@ -4609,6 +4609,7 @@ from ..functions.coercion import (  # noqa: E402
     coerce_array,
     coerce_integer,
     coerce_object,
+    coerce_smart_scalar,
     coerce_string,
     coerce_time_of_day,
 )
@@ -4816,6 +4817,130 @@ def q_coercion_object(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sz") >= 0, F.col("sz")).cast("long").alias("n_keys"),
         "verdict",
     ).groupBy("verdict", "n_keys").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("coercion_smart_scalar", oracle="""
+WITH m AS (SELECT event_id % 8 AS m8 FROM events),
+g AS (SELECT m8, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY m8)
+SELECT * FROM (
+  SELECT 'bool' AS stype, 'GREEN' AS verdict, n,
+         CAST(NULL AS BIGINT) AS long_digest,
+         CAST(NULL AS BIGINT) AS dbl_digest,
+         n AS n_true, CAST(NULL AS BIGINT) AS str_chars
+  FROM g WHERE m8 = 0
+  UNION ALL
+  SELECT 'integer', 'GREEN', n, n * (((-42 % 1000003) + 1000003) % 1000003),
+         NULL, NULL, NULL FROM g WHERE m8 = 1
+  UNION ALL
+  SELECT 'number', 'GREEN', n, NULL, n * 350, NULL, NULL
+  FROM g WHERE m8 = 2
+  UNION ALL
+  SELECT 'string', 'GREEN', n, NULL, NULL, NULL, n * 11
+  FROM g WHERE m8 = 3
+  UNION ALL
+  SELECT 'bool', 'YELLOW', n, NULL, NULL, n, NULL FROM g WHERE m8 = 4
+  UNION ALL
+  SELECT 'integer', 'YELLOW', n, n * (1234567 % 1000003), NULL, NULL, NULL
+  FROM g WHERE m8 = 5
+  UNION ALL
+  SELECT 'string', 'YELLOW', n, NULL, NULL, NULL, n * 10
+  FROM g WHERE m8 = 6
+  UNION ALL
+  SELECT NULL, 'RED', n, NULL, NULL, NULL, NULL FROM g WHERE m8 = 7
+) t(stype, verdict, n, long_digest, dbl_digest, n_true, str_chars)
+""")
+def q_coercion_smart_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SmartScalar (reference dirtytypes.go:73, issue 4 — the
+    second-to-last declared-only reference behavior, implemented per the
+    rounding/auto-wrap/zone precedent; functions/coercion.py:
+    coerce_smart_scalar): each event row derives one scalar spelling —
+    strict JSON bool/integer/number/quoted-string (GREEN), the config's
+    CI bool token list / comma-and-space-grouped integers / bare text
+    (YELLOW), or a container (RED, scalars-only stance of
+    dirtytypes.go:171-173) — and the typed-union inference is pinned by
+    per-(stype, verdict) counts plus exact value digests: mod-prime sum
+    of the long slot, integer sum of the rounded double slot, true-count
+    of the bool slot, character count of the string slot. Pure Column
+    expressions; the rollup is one map-combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(8))
+    raw = (
+        F.when(m == 0, F.lit("true"))
+        .when(m == 1, F.lit("-42"))
+        .when(m == 2, F.lit("3.5e2"))
+        .when(m == 3, F.lit('"hello world"'))
+        .when(m == 4, F.lit("YES"))
+        .when(m == 5, F.lit("1,234 567"))
+        .when(m == 6, F.lit("plain text"))
+        .otherwise(F.lit("[1, 2]")))
+    s = coerce_smart_scalar(raw, CFG)
+    return (ev.select(s["stype"].alias("stype"),
+                      s["verdict"].alias("verdict"),
+                      s["bool_v"].alias("b"), s["long_v"].alias("l"),
+                      s["double_v"].alias("d"), s["str_v"].alias("t"))
+            .groupBy("stype", "verdict")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.pmod(F.col("l"), F.lit(1000003)))
+                 .alias("long_digest"),
+                 F.sum(F.round(F.col("d")).cast("long")).alias("dbl_digest"),
+                 F.sum(F.col("b").cast("long")).alias("n_true"),
+                 F.sum(F.length("t")).cast("long").alias("str_chars")))
+
+
+@register("coercion_stringified", oracle="""
+WITH m AS (SELECT event_id % 6 AS m6 FROM events),
+g AS (SELECT m6, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY m6)
+SELECT * FROM (
+  SELECT 'array' AS mode, 'GREEN' AS verdict, n,
+         3 * n AS sum_size FROM g WHERE m6 = 0
+  UNION ALL
+  SELECT 'array', 'YELLOW', CAST(sum(n) AS BIGINT),
+         CAST(2 * sum(n) AS BIGINT)
+  FROM g WHERE m6 IN (1, 2)
+  UNION ALL
+  SELECT 'array', 'RED', n, CAST(NULL AS BIGINT) FROM g WHERE m6 = 5
+  UNION ALL
+  SELECT 'object', 'GREEN', n, 2 * n FROM g WHERE m6 = 3
+  UNION ALL
+  SELECT 'object', 'YELLOW', n, 1 * n FROM g WHERE m6 = 4
+) t(mode, verdict, n, sum_size)
+""")
+def q_coercion_stringified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringifiedContainers (reference dirtytypes.go:74, issue 5 — the
+    LAST declared-only reference behavior; functions/coercion.py:
+    unwrap_stringified): containers arriving as JSON-ESCAPED STRINGS —
+    single- and double-stringified arrays, a stringified object — are
+    peeled (two levels max) before coercion and capped at YELLOW, while
+    natively-spelled containers stay GREEN and non-JSON text stays RED.
+    Element/key counts of the unwrapped values pin that the inner JSON
+    really parsed (a fake unwrap would null the size). Pure Column
+    expressions; one map-combinable rollup."""
+    import dataclasses as _dc
+    import json as _json
+    b0 = '["a","b","c"]'
+    b1 = _json.dumps('["a","b"]')          # stringified array
+    b2 = _json.dumps(b1)                   # double-stringified
+    b3 = '{"k":"v","j":"w"}'
+    b4 = _json.dumps('{"k":"v"}')          # stringified object
+    cfg = _dc.replace(CFG, array_rules=_dc.replace(
+        CFG.array_rules, stringified_containers=True))
+    ev = load_table(spark, sf_dir, "events")
+    m = F.pmod("event_id", F.lit(6))
+    raw = (
+        F.when(m == 0, F.lit(b0)).when(m == 1, F.lit(b1))
+        .when(m == 2, F.lit(b2)).when(m == 3, F.lit(b3))
+        .when(m == 4, F.lit(b4)).otherwise(F.lit("not json")))
+    arr = coerce_array(raw, cfg)
+    obj = coerce_object(raw, cfg)
+    mode = F.when(m.isin(3, 4), F.lit("object")).otherwise(F.lit("array"))
+    verdict = F.when(m.isin(3, 4), obj.verdict).otherwise(arr.verdict)
+    sz = F.when(m.isin(3, 4), F.size(F.map_keys(obj.coerced))) \
+        .otherwise(F.size(arr.coerced))
+    return (ev.select(mode.alias("mode"), verdict.alias("verdict"),
+                      F.when(sz >= 0, sz).alias("sz"))
+            .groupBy("mode", "verdict")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("sz").cast("long").alias("sum_size")))
 
 
 # NB: time-of-day truth is derived arithmetically from o_orderkey in BOTH
@@ -5307,7 +5432,9 @@ SELECT * FROM (VALUES
   ('FlexKeys.CaseInsensitive', 'CaseInsensitive', 'checkbox', 'false'),
   ('FlexKeys.ChameleonCase', 'ChameleonCase', 'checkbox', 'false'),
   ('Array.Disabled', 'Disabled', 'checkbox', 'false'),
-  ('Array.AutoWrapSingleValues', 'AutoWrapSingleValues', 'checkbox', 'false')
+  ('Array.AutoWrapSingleValues', 'AutoWrapSingleValues', 'checkbox', 'false'),
+  ('Array.StringifiedContainers', 'StringifiedContainers', 'checkbox',
+   'false')
 ) AS t(name, label, ftype, value)
 """)
 def q_config_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9105,3 +9232,57 @@ def q_audio_ulaw_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = snr_partition_rollup(snr_check(ulaw, extra_cols=["codec"]),
                                 ["codec"])
     return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
+
+
+@register("audio_adpcm_snr", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+sized AS (
+  SELECT i, codec,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n_samples
+  FROM full_ WHERE codec = 'opus')
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict,
+       CAST(sum(60 + 256 * ((n_samples + 504) // 505)) AS BIGINT)
+         AS sum_adpcm_bytes
+FROM sized GROUP BY codec
+""")
+def q_audio_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNR>=30dB invariant through the engine's first COMPRESSED
+    lossy codec: IMA ADPCM in the WAV container at 4.1:1
+    (functions/adpcm.py — from-scratch block codec, lockstep-vectorized
+    so the per-sample recurrence costs one 504-step numpy loop per
+    Arrow BATCH, not per clip; r3 verdict directive 4). The transcode
+    targets the drifted high-rate partition (codec 'opus', sr 44.1/48
+    kHz) where 4-bit adaptive quantization of the band-limited fixture
+    tones measures a worst-case 32.6 dB clean — above the gate — while
+    the planted ±0.3-noise corruption stays ~7 dB: the closed-form
+    plant arithmetic (i %% 997) classifies through a codec that keeps
+    only a quarter of the bits. ``sum_adpcm_bytes`` additionally pins
+    the container layout byte-for-byte: 60 header bytes + 256 per
+    505-sample block, re-derived by the oracle from the generator
+    contract without reading a payload.
+
+    Scale shape: two map-only Arrow stages (render + one lockstep batch
+    encode, payload QUARTERED in flight) + a one-key rollup.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import transcode_adpcm
+    from ..operators.snr import pcm_scan
+    clips = generate_clips(spark, _SNR_N, partitions=8) \
+        .filter(F.col("codec") == "opus")
+    adpcm = transcode_adpcm(clips)
+    scan = pcm_scan(adpcm, extra_cols=["codec"], emit_header=True)
+    return (scan.groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("verdict") == "GREEN").cast("long"))
+                 .alias("n_green"),
+                 F.sum((F.col("verdict") != "GREEN").cast("long"))
+                 .alias("n_red"),
+                 F.when(F.sum((F.col("verdict") != "GREEN").cast("long"))
+                        > 0, "RED").otherwise("GREEN").alias("verdict"),
+                 F.sum("payload_len").alias("sum_adpcm_bytes")))

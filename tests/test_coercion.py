@@ -370,3 +370,93 @@ def test_timezone_config_loads_from_toml(tmp_path):
     d = default_config().date_rules
     assert d.timezone_fields == ("timezone", "tz")
     assert d.force_converting_into is False
+
+
+# ---------------------------------------------------------------- issue 4/5
+
+
+def test_smart_scalar_ladder(spark):
+    """SmartScalar (dirtytypes.go:73, issue 4): strict spellings GREEN,
+    dirty spellings YELLOW with the right inferred type, containers RED
+    — exactly one value slot populated per row."""
+    from json_spark.config import default_config
+    from json_spark.functions.coercion import coerce_smart_scalar
+
+    rows = [("true",), ("-42",), ("3.5e2",), ('"hi there"',), ("YES",),
+            ("Off",), ("1,234 567",), ("12.5 0",), ("plain text",),
+            ("[1]",), ('{"a":1}',), (None,)]
+    df = spark.createDataFrame(rows, "raw string")
+    s = coerce_smart_scalar(F.col("raw"), default_config())
+    got = {r["raw"]: r for r in df.select(
+        "raw", s["stype"].alias("stype"), s["verdict"].alias("verdict"),
+        s["bool_v"].alias("b"), s["long_v"].alias("l"),
+        s["double_v"].alias("d"), s["str_v"].alias("t")).collect()}
+    assert (got["true"]["stype"], got["true"]["verdict"],
+            got["true"]["b"]) == ("bool", "GREEN", True)
+    assert (got["-42"]["stype"], got["-42"]["verdict"],
+            got["-42"]["l"]) == ("integer", "GREEN", -42)
+    assert (got["3.5e2"]["stype"], got["3.5e2"]["verdict"],
+            got["3.5e2"]["d"]) == ("number", "GREEN", 350.0)
+    assert (got['"hi there"']["stype"], got['"hi there"']["verdict"],
+            got['"hi there"']["t"]) == ("string", "GREEN", "hi there")
+    assert (got["YES"]["stype"], got["YES"]["verdict"],
+            got["YES"]["b"]) == ("bool", "YELLOW", True)
+    assert (got["Off"]["stype"], got["Off"]["verdict"],
+            got["Off"]["b"]) == ("bool", "YELLOW", False)
+    assert (got["1,234 567"]["stype"], got["1,234 567"]["l"]) == \
+        ("integer", 1234567)
+    assert (got["12.5 0"]["stype"], got["12.5 0"]["d"]) == ("number", 12.50)
+    assert (got["plain text"]["stype"], got["plain text"]["verdict"],
+            got["plain text"]["t"]) == ("string", "YELLOW", "plain text")
+    for tok in ("[1]", '{"a":1}'):
+        assert got[tok]["verdict"] == "RED" and got[tok]["stype"] is None
+    assert got[None]["stype"] == "null" and got[None]["verdict"] == "GREEN"
+    # exactly one slot per classified row
+    for tok, r in got.items():
+        slots = [r["b"], r["l"], r["d"], r["t"]]
+        n_set = sum(v is not None for v in slots)
+        assert n_set == (0 if r["stype"] in (None, "null") else 1), tok
+
+
+def test_stringified_containers_unwrap(spark):
+    """StringifiedContainers (dirtytypes.go:74, issue 5): single- and
+    double-stringified containers parse at YELLOW; native containers
+    stay GREEN; plain quoted strings keep their old semantics; with the
+    toggle OFF nothing unwraps."""
+    import dataclasses
+    import json
+
+    from json_spark.config import default_config
+    from json_spark.functions.coercion import coerce_array, coerce_object
+
+    base = default_config()
+    on = dataclasses.replace(base, array_rules=dataclasses.replace(
+        base.array_rules, stringified_containers=True))
+
+    b_arr = json.dumps('["a","b"]')
+    b_arr2 = json.dumps(b_arr)
+    b_obj = json.dumps('{"k":"v"}')
+    df = spark.createDataFrame(
+        [('["x"]',), (b_arr,), (b_arr2,), (b_obj,), ('"zed"',)],
+        "raw string")
+
+    res = coerce_array(F.col("raw"), on)
+    rows = {r["raw"]: r for r in df.select(
+        "raw", res.coerced.alias("v"), res.verdict.alias("verdict"),
+        res.strict.alias("s")).collect()}
+    assert rows['["x"]']["verdict"] == "GREEN" and rows['["x"]']["v"] == ["x"]
+    assert rows[b_arr]["verdict"] == "YELLOW" and rows[b_arr]["v"] == ["a", "b"]
+    assert rows[b_arr]["s"] is None          # tolerance => strict fails
+    assert rows[b_arr2]["verdict"] == "YELLOW" and rows[b_arr2]["v"] == ["a", "b"]
+
+    ores = coerce_object(F.col("raw"), on)
+    orows = {r["raw"]: r for r in df.select(
+        "raw", ores.coerced.alias("v"),
+        ores.verdict.alias("verdict")).collect()}
+    assert orows[b_obj]["verdict"] == "YELLOW" and orows[b_obj]["v"] == {"k": "v"}
+
+    # toggle off: stringified spellings are NOT containers -> RED
+    off_res = coerce_array(F.col("raw"), base)
+    off = {r["raw"]: r["verdict"] for r in df.select(
+        "raw", off_res.verdict.alias("verdict")).collect()}
+    assert off[b_arr] == "RED" and off[b_arr2] == "RED"
