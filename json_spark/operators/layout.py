@@ -104,7 +104,12 @@ def layout_compare(df: DataFrame, col_a: str, col_b: str,
         F.count(F.lit(1)).alias("n_files"),
         F.sum((F.col("maxa") - F.col("mina") + 1)
               * (F.col("maxb") - F.col("minb") + 1)).alias("sum_bbox_area"))
-    return (per_layout_area.join(per_layout_hits, "layout")
+    # both sides are |layouts| = 2 rows, but they are AGGREGATES whose
+    # size Catalyst can't estimate — without the hint the planner falls
+    # back to SortMergeJoin (two sorts + an exchange) once the input
+    # outgrows the auto-broadcast stats, exactly the degeneration the
+    # stress plan-audit exists to catch
+    return (per_layout_area.join(F.broadcast(per_layout_hits), "layout")
             .select("layout", "n_files", "sum_bbox_area",
                     F.round("avg_files_hit_a", 6).alias("avg_files_hit_a"),
                     F.round("avg_files_hit_b", 6).alias("avg_files_hit_b")))

@@ -55,121 +55,64 @@ ORACLE_SQL: dict[str, str] = {}
 #: round so every oracle-backed query lands in the window at least once
 #: every two rounds.
 #:
-#: ROUND-4 ROTATION: unless their code changes again, swap this round's
-#: list out for the queries that sat beyond slot 50 in r3 — FIRST the
-#: oracle-backed queries added after the r3 window filled
-#: (audio_dynamic_range, audio_silence_trim, dedup_substring,
-#: dedup_audio_span, domain_constraints, partition_anomaly,
-#: coverage_gaps, sequence_inversions, audio_zcr_check, text_tfidf,
-#: key_emergence, drift_wasserstein, join_fanout_profile,
-#: benford_check, truncation_report, hash_uniformity, and the
-#: late-r3 additions drift_changepoint / dedup_incremental /
-#: class_balance / audio_goertzel_check / embedding_drift /
-#: embedding_quantization, the association family corr_profile /
-#: categorical_association / zipf_conformity / skew_profile /
-#: key_comissingness, the consistency family snapshot_diff /
-#: approx_fd / transcript_conflicts, the batch-B trio
-#: label_agreement / key_set_overlap / weighted_sample,
-#: dup_content_conflicts, source_cap, the batch-C quartet
-#: dup_transcript_distance / corpus_mix / file_skew_audit /
-#: text_encoding_check, the batch-D pair packing_efficiency /
-#: vocab_coverage, text_lexical_diversity, incremental_quantile_merge,
-#: manifest_dangling, the late session-2 family sentinel_scan /
-#: event_autocorr / key_type_drift / size_model_conformance /
-#: schema_contract / audio_polarity / quarantine_rows / data_freshness /
-#: agg_reconciliation / orphan_value_mass / duration_balance /
-#: split_divergence / unit_mixture / vocab_growth /
-#: seasonal_volume_anomaly
-#: (oracle-backed, replica-green, never driver-checked) plus multimodal_meta
-#: (oracle-backed since mid-r3, replica-green; displaced by
-#: audio_bit_depth),
-#: and the entries displaced from the r3 window late in the round
-#: (temperature_sample, audio_content_dedup, ledger_trend, plus
-#: coercion_integer / coercion_string / coercion_time /
-#: case_detection — r1 driver-green, code unchanged, displaced by
-#: the AU container, compaction-plan, and constraint-suggestion
-#: queries) —
-#: all judge-replica green at
-#: sf0.01, no driver row yet), then the four rows-only queries cycled out
-#: late in r3 to make room for oracle-backed ones
-#: (uniqueness_incremental, uniqueness_approx, ledger_resume,
-#: stats_quantiles_sketch — pytest-pinned, code unchanged since their
-#: last rows-only driver row), then the families
-#: never rotated in: text_token_stats/quality/langid/fingerprint, the
-#: dedup_* family, contamination_check, ann_cosine_topk,
-#: audio_header_integrity, audio_rms_check, event_sessions,
-#: events_asof_join/range_join/rollup, dataset_split, doc_pack_batches,
-#: verdict_rollup, fd_profile — plus the session-3 families
-#: (transcript_wer, audio_spectral_flatness, text_script_mix,
-#: text_unicode_norm, aiff_header_integrity, audio_aiff_snr,
-#: audio_ulaw_snr, embedding_label_coherence, embedding_spectrum,
-#: token_heavy_hitters_cms, distinct_hll_explicit, zorder_layout,
-#: kmv_set_overlap — all oracle-backed, replica-green at sf0.01 and at
-#: sf0.001/sf0.1 where additionally run, never driver-checked)
-#: and whatever r4 adds or changes.
+#: ROUND-5 ROTATION: unless their code changes again, swap this round's
+#: window out for the ~45 still-never-driver-checked queries named in
+#: the queue comment inside the list below, plus whatever r5 adds or
+#: changes. After r4's window lands, cumulative driver coverage should
+#: be ~140/183; the r5 window closes the rest.
 GATE_FRONT: list[str] = [
-    # changed after their last driver check — stale green, check first
-    "embedded_decode", "coercion_array", "coercion_object",
-    "column_profile", "fuzzy_referential", "text_surprisal",
-    # never driver-checked (registered past slot 50 in r2)
-    "pii_scan", "text_repetition", "embedding_dim_stats",
-    "embedding_norms", "incremental_stats_merge",
-    "stratified_sample", "token_heavy_hitters",
-    "outlier_mad", "curation_pipeline", "violation_samples",
-    "transcript_integrity", "multimodal_frame_sample",
-    "key_style_stats", "unknown_keys",
-    "referential_orphans_large",
-    # third container (Sun AU), compaction planning, and constraint
-    # suggestion, brand-new this round — they displace coercion_integer
-    # / coercion_string / coercion_time / case_detection (all r1
-    # driver-green, code bit-unchanged since that row, r3 judge-replica
-    # green: the only window members whose driver evidence is both real
-    # and current)
-    "au_header_integrity", "audio_au_snr", "compaction_plan",
-    "constraint_suggestion", "drift_incremental",
-    # added/changed late in r3, all oracle-backed — they displace the
-    # four rows-only entries (uniqueness_incremental, uniqueness_approx,
-    # ledger_resume, stats_quantiles_sketch: code unchanged, pytest
-    # invariants already pin them, and a no_oracle driver row adds the
-    # least evidence), which rotate to the r4 front instead.
-    "multimodal_audio_features", "audio_gain_normalize",
-    "audio_perceptual_dedup", "transcript_rate_check",
-    # new/changed THIS round — need a first driver row
-    "pcm_content_exact", "audio_clipping_silence", "audio_amplitude_hist",
-    "audio_chunk_content", "suite_content_verdicts",
-    "snr_partition_verdicts", "suite_partition_verdicts",
-    # (ann_recall_report — rows-only by nature, recall floors pinned in
-    # pytest — rotates out: a no_oracle driver row adds the least
-    # evidence; it queues for r4 with the other waiters)
-    "coercion_date", "coercion_date_zoned",
-    # (config_schema — Spark-free static introspection, oracle is a
-    # constant-table compare, fully pytest-pinned, code unchanged since
-    # its judge-green replica run — rotates out for the new
-    # embedding-geometry query; queues for r4)
-    # audio_bit_depth is brand-new (new emit_bits kernel group in
-    # snr.py = newest content-path code, highest residual risk); it
-    # displaces multimodal_meta (oracle-backed since mid-r3 and
-    # replica-green, code unchanged since — of the window's members
-    # the one whose driver row adds the least NEW evidence; queues
-    # for r4). The other queries added alongside it (sentinel_scan,
-    # event_autocorr, key_type_drift, size_model_conformance,
-    # schema_contract, audio_polarity, quarantine_rows — all
-    # oracle-backed, replica-green at sf0.01, pytest-pinned) queue for
-    # the r4 front rather than displace never-driver-checked entries.
-    "audio_flac_roundtrip", "audio_bit_depth", "embedding_isotropy",
-    # ADVICE edge-case fixes changed these operators' behavior (null
-    # payloads, zero-length data chunks) after their r2 green row; the
-    # drift queries that previously held these slots changed plan-shape
-    # only (broadcast hint dropped from a full outer join — values
-    # identical), so they cycle behind.
-    "audio_chunks", "audio_resample", "audio_dominant_freq",
-    "flac_header_integrity", "contamination_ngram_exact",
-    # brand-new late-r3 families (never any driver row, newest code =
-    # highest residual risk): they take the last three slots, displacing
-    # temperature_sample / audio_content_dedup / ledger_trend
-    # (oracle-backed, replica-green, code unchanged — rotate to the r4
-    # front alongside the other waiters).
-    "metadata_consistency", "metadata_repair", "drift_quantile_shift",
+    # ---- r4 window ----------------------------------------------------
+    # Brand-new or changed THIS round — each needs a (first or fresh)
+    # driver row:
+    # the r3 gate's only red, rebuilt with mod-prime digests and
+    # per-zone-branch rows (verdict directive 1)
+    "coercion_date_zoned",
+    # its oracle swapped to_timestamp(..)::TIMESTAMP for make_timestamp
+    # (session-TimeZone-proof under a non-UTC driver env)
+    "coercion_date",
+    # new operators: compressed lossy codec, SmartScalar, Stringified-
+    # Containers (verdict directives 4 and 7)
+    "audio_adpcm_snr", "coercion_smart_scalar", "coercion_stringified",
+    # changed code paths: planted-edit clamp; single-pass CMS build;
+    # star-contraction clustering; stringified-aware array/object
+    # coercion; config schema gained Array.StringifiedContainers;
+    # executor-side ledger append feeds ledger_trend's metrics rows
+    "transcript_wer", "token_heavy_hitters_cms", "dedup_clusters",
+    "dedup_canonical", "coercion_array", "coercion_object",
+    "config_schema", "ledger_trend", "suite_partition_verdicts",
+    "embedding_spectrum",
+    # ---- never-driver-checked queue (r3 verdict directive 2) ----------
+    # oracle-backed, replica-green at sf0.01, rotated in by family;
+    # the remainder queues for r5: drift_wasserstein,
+    # audio_dynamic_range, audio_silence_trim, audio_zcr_check,
+    # audio_bandwidth_check, text_tfidf, dedup_canonical(done above),
+    # dedup_substring, dedup_audio_span, audio_content_dedup,
+    # dup_content_conflicts, hash_uniformity, truncation_report,
+    # key_emergence, join_fanout_profile, uniqueness_incremental,
+    # stats_quantiles_kll (rows-only), drift_changepoint,
+    # dedup_incremental, class_balance, embedding_drift,
+    # embedding_quantization, corr_profile, zipf_conformity,
+    # key_comissingness, snapshot_diff, approx_fd, weighted_sample,
+    # source_cap, dup_transcript_distance, corpus_mix, file_skew_audit,
+    # text_encoding_check, packing_efficiency, vocab_coverage,
+    # text_lexical_diversity, incremental_quantile_merge,
+    # manifest_dangling, event_autocorr, key_type_drift,
+    # size_model_conformance, audio_polarity, data_freshness,
+    # agg_reconciliation, orphan_value_mass, duration_balance,
+    # split_divergence, unit_mixture, vocab_growth, text_script_mix,
+    # embedding_label_coherence, text_unicode_norm, ann_recall_report
+    "transcript_wer_manifest", "audio_aiff_snr", "aiff_header_integrity",
+    "audio_ulaw_snr", "kmv_set_overlap", "zorder_layout",
+    "distinct_hll_explicit", "audio_spectral_flatness",
+    "sentinel_scan", "schema_contract", "quarantine_rows",
+    "multimodal_meta", "temperature_sample", "seasonal_volume_anomaly",
+    "benford_check", "domain_constraints", "partition_anomaly",
+    "coverage_gaps", "sequence_inversions", "audio_goertzel_check",
+    "categorical_association", "skew_profile", "transcript_conflicts",
+    "label_agreement", "key_set_overlap", "drift_changepoint",
+    "dedup_incremental", "class_balance", "embedding_drift",
+    "embedding_quantization", "corr_profile", "zipf_conformity",
+    "snapshot_diff", "approx_fd", "manifest_dangling",
 ]
 
 

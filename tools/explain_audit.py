@@ -1376,9 +1376,22 @@ def main() -> int:
     # AQE off for the audit ONLY: pre-execution AdaptiveSparkPlan hides
     # codegen subtrees and final join strategies; production sessions keep
     # AQE on (session.py) — the static plan is what we assert on here.
-    spark = get_spark("explain-audit", cores=4, shuffle_partitions=8,
-                      extra_conf={"spark.ui.showConsoleProgress": "false",
-                                  "spark.sql.adaptive.enabled": "false"})
+    #
+    # SPARK_GRAFT_STRESS=1 is the 100x-scale plan-shape proxy (r3 verdict
+    # directive 8): shuffle partitions >> cores and tiny input splits,
+    # the way a 1000-executor cluster over 100 TB would be configured.
+    # Every CHECK must hold in BOTH shapes — a broadcast that flips to
+    # SMJ, a new global window, or a duplicated Python stage under the
+    # stressed planner is a scale bug the small-SF plan hid.
+    stress = os.environ.get("SPARK_GRAFT_STRESS") == "1"
+    extra = {"spark.ui.showConsoleProgress": "false",
+             "spark.sql.adaptive.enabled": "false"}
+    if stress:
+        extra["spark.sql.files.maxPartitionBytes"] = "1m"
+        extra["spark.sql.files.openCostInBytes"] = "65536"
+    spark = get_spark("explain-audit", cores=4,
+                      shuffle_partitions=512 if stress else 8,
+                      extra_conf=extra)
     queries = e.queries()
     failed = 0
     for name, checks in CHECKS.items():
