@@ -192,6 +192,11 @@ HEADLINE = [
     "zorder_layout",
     "kmv_set_overlap",
     "transcript_wer_manifest",
+    # r4 additions: compressed lossy codec + the last declared-only
+    # reference coercions
+    "audio_adpcm_snr",
+    "coercion_smart_scalar",
+    "coercion_stringified",
 ]
 
 #: timed attempts per query; the first clean pair usually suffices, the

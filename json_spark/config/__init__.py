@@ -13,6 +13,7 @@ from .rules import (
     default_config,
     strict_config,
 )
+from .context import current_config, scoped_config
 from .loader import load_config, config_from_dict
 from .random import random_config
 
@@ -33,4 +34,6 @@ __all__ = [
     "load_config",
     "config_from_dict",
     "random_config",
+    "current_config",
+    "scoped_config",
 ]

@@ -98,6 +98,24 @@ def _result(strict: Column, tolerant: Column, red_forced: Column | None = None) 
     )
 
 
+
+
+def _ambient_cfg(fn):
+    """Resolve ``cfg=None`` to the thread-scoped ambient config
+    (config/context.py) — the engine's getConfig(ctx): an explicit cfg
+    always outranks the scope, mirroring the reference's precedence."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(c, cfg=None, *args, **kwargs):
+        if cfg is None:
+            from ..config.context import current_config
+            cfg = current_config()
+        return fn(c, cfg, *args, **kwargs)
+
+    return wrap
+
+
 # --------------------------------------------------------------------------
 # numbers
 # --------------------------------------------------------------------------
@@ -113,7 +131,8 @@ def _cleaned_numeric_string(c: Column, cfg: RuleConfig) -> Column:
     return out
 
 
-def coerce_number(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_number(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     """Target DoubleType. Strict = JSON number token; tolerances per config."""
     nr = cfg.number_rules
     strict = F.when(c.rlike(_JSON_NUMBER_RE), c).otherwise(F.lit(None)).try_cast("double")
@@ -138,7 +157,8 @@ def coerce_number(c: Column, cfg: RuleConfig) -> CoercionResult:
     return _result(strict, tolerant, red_forced=c.rlike(_CONTAINER_RE))
 
 
-def coerce_integer(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_integer(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     """Target LongType. Strict = JSON integer token (ParseInt base 10,
     dirtytypes.go:233,275); float strings go through RoundingAlgorithm."""
     nr = cfg.number_rules
@@ -189,7 +209,8 @@ def _bool_from_number_expr(n: Column, parse_func: str) -> Column:
     return F.when(n == 1, F.lit(True)).when(n == 0, F.lit(False))
 
 
-def coerce_bool(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_bool(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     """Target BooleanType. Order mirrors dirtytypes.go:338-418:
     custom lists → numbers logic (if RespectFromNumbersLogic) → fallback."""
     br = cfg.bool_rules
@@ -242,7 +263,8 @@ def coerce_bool(c: Column, cfg: RuleConfig) -> CoercionResult:
 # strings
 # --------------------------------------------------------------------------
 
-def coerce_string(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_string(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     """Strict accepts any string; surrounding whitespace is recoverable
     (trimmed) per helpers.go:29-41. Null is RED (no String.FromNull rule)."""
     trimmed = F.trim(c)
@@ -322,7 +344,8 @@ def _date_red_forced(c: Column) -> Column:
     return c.rlike(_CONTAINER_RE) | F.lower(F.trim(c)).isin("true", "false")
 
 
-def coerce_timestamp(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_timestamp(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     if cfg.date_rules.disabled:
         return _result(_timestamp_strict(c), F.lit(None).cast("timestamp"),
                        red_forced=_date_red_forced(c))
@@ -351,8 +374,10 @@ def _wall_ntz(parsed: Column) -> Column:
         F.date_format(parsed, "yyyy-MM-dd HH:mm:ss"))
 
 
-def coerce_timestamp_zoned(c: Column, cfg: RuleConfig,
-                           siblings: dict[str, Column]) -> CoercionResult:
+@_ambient_cfg
+def coerce_timestamp_zoned(c: Column, cfg: RuleConfig | None = None,
+                           siblings: dict[str, Column] | None = None
+                           ) -> CoercionResult:
     """Timestamp coercion with the reference's Date.Timezone semantics
     (config.go:112-117 — declared-only there; implemented here, like
     RoundingAlgorithm and AutoWrapSingleValues before it):
@@ -372,7 +397,7 @@ def coerce_timestamp_zoned(c: Column, cfg: RuleConfig,
     second (a validator cares about instants, not nanos).
     """
     dr = cfg.date_rules
-    tz = effective_timezone(cfg, siblings)
+    tz = effective_timezone(cfg, siblings or {})
     s = F.regexp_replace(F.trim(c), r"\.\d+", "")  # drop fractions
     epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
@@ -426,7 +451,8 @@ def coerce_timestamp_zoned(c: Column, cfg: RuleConfig,
                    red_forced=_date_red_forced(c))
 
 
-def coerce_date(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_date(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     """Date truncates to day (dirtytypes.go:534-539)."""
     ts = coerce_timestamp(c, cfg)
     return CoercionResult(
@@ -436,7 +462,8 @@ def coerce_date(c: Column, cfg: RuleConfig) -> CoercionResult:
     )
 
 
-def coerce_time_of_day(c: Column, cfg: RuleConfig) -> CoercionResult:
+@_ambient_cfg
+def coerce_time_of_day(c: Column, cfg: RuleConfig | None = None) -> CoercionResult:
     """Time drops the date (dirtytypes.go:553-557); no native Spark TimeType,
     so the value is seconds-of-day (long)."""
     dr = cfg.date_rules
@@ -508,7 +535,8 @@ def unwrap_stringified(c: Column) -> tuple[Column, Column]:
     return F.coalesce(unwrapped, c), unwrapped.isNotNull()
 
 
-def coerce_smart_scalar(c: Column, cfg: RuleConfig) -> dict[str, Column]:
+@_ambient_cfg
+def coerce_smart_scalar(c: Column, cfg: RuleConfig | None = None) -> dict[str, Column]:
     """SmartScalar (reference dirtytypes.go:73, issue 4 — declared-only
     TODO): a decode target that accepts ANY scalar spelling and infers
     the best type, as a typed union of Columns.
@@ -581,7 +609,9 @@ def coerce_smart_scalar(c: Column, cfg: RuleConfig) -> dict[str, Column]:
             "double_v": double_v, "str_v": str_v, "verdict": verdict}
 
 
-def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string",
+@_ambient_cfg
+def coerce_array(c: Column, cfg: RuleConfig | None = None,
+                 element_type: str = "string",
                  fixed_len: int | None = None) -> CoercionResult:
     """Strict: JSON array or null (dirtytypes.go:457-482). AutoWrapSingleValues
     (config-declared only in the reference, config.go:141-146) wraps scalars.
@@ -635,7 +665,8 @@ def coerce_array(c: Column, cfg: RuleConfig, element_type: str = "string",
     return CoercionResult(strict=strict, coerced=coerced, verdict=verdict)
 
 
-def coerce_object(c: Column, cfg: RuleConfig,
+@_ambient_cfg
+def coerce_object(c: Column, cfg: RuleConfig | None = None,
                   key_type: str = "string") -> CoercionResult:
     """Strict: JSON object or null (dirtytypes.go:485-510) → map<string,string>.
 

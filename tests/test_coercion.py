@@ -460,3 +460,29 @@ def test_stringified_containers_unwrap(spark):
     off = {r["raw"]: r["verdict"] for r in df.select(
         "raw", off_res.verdict.alias("verdict")).collect()}
     assert off[b_arr] == "RED" and off[b_arr2] == "RED"
+
+
+def test_per_context_config_scope(spark):
+    """Per-context configs (reference dirtytypes.go:85, issue 6 — the
+    final declared-only TODO): inside scoped_config the coercions
+    resolve the ambient config; an explicit cfg= still outranks it;
+    scopes nest and unwind."""
+    from json_spark.config import (current_config, default_config,
+                                   scoped_config, strict_config)
+    from json_spark.functions.coercion import coerce_number
+
+    df = spark.createDataFrame([("1,234",)], "raw string")
+
+    def verdict(cfg=None):
+        res = coerce_number(F.col("raw"), cfg)
+        return df.select(res.verdict.alias("v")).collect()[0]["v"]
+
+    assert verdict() == "YELLOW"                    # ambient default
+    with scoped_config(strict_config()):
+        assert current_config() == strict_config()
+        assert verdict() == "RED"                   # ambient strict
+        assert verdict(default_config()) == "YELLOW"  # explicit outranks
+        with scoped_config(default_config()):
+            assert verdict() == "YELLOW"            # innermost wins
+        assert verdict() == "RED"
+    assert verdict() == "YELLOW"                    # unwound
