@@ -4867,20 +4867,32 @@ def q_coercion_stringified(spark: SparkSession, sf_dir: str) -> DataFrame:
     b4 = _json.dumps('{"k":"v"}')          # stringified object
     cfg = _dc.replace(CFG, array_rules=_dc.replace(
         CFG.array_rules, stringified_containers=True))
+    # The spelling space is SIX distinct tokens, so the coercion runs
+    # on a 6-row dimension and the corpus broadcast-joins the verdicts
+    # by branch key. This is not just the scale-correct shape for a
+    # bounded token space — it is a plan-size necessity: inlining the
+    # 6-branch literal CASE into every from_json/rlike site of the
+    # two-level unwrap tree produced a 330 KB plan that cost ~20s of
+    # driver-side analysis+codegen per build (measured at sf0.1), vs
+    # milliseconds with the coercion anchored on a plain column.
+    dim = spark.createDataFrame(
+        [(0, b0), (1, b1), (2, b2), (3, b3), (4, b4), (5, "not json")],
+        "m6 bigint, raw string")
+    arr = coerce_array(F.col("raw"), cfg)
+    obj = coerce_object(F.col("raw"), cfg)
+    is_obj = F.col("m6").isin(3, 4)
+    dim2 = dim.select(
+        "m6",
+        F.when(is_obj, F.lit("object")).otherwise(F.lit("array"))
+        .alias("mode"),
+        F.when(is_obj, obj.verdict).otherwise(arr.verdict).alias("verdict"),
+        F.when(is_obj, F.size(F.map_keys(obj.coerced)))
+        .otherwise(F.size(arr.coerced)).alias("sz"))
     ev = load_table(spark, sf_dir, "events")
-    m = F.pmod("event_id", F.lit(6))
-    raw = (
-        F.when(m == 0, F.lit(b0)).when(m == 1, F.lit(b1))
-        .when(m == 2, F.lit(b2)).when(m == 3, F.lit(b3))
-        .when(m == 4, F.lit(b4)).otherwise(F.lit("not json")))
-    arr = coerce_array(raw, cfg)
-    obj = coerce_object(raw, cfg)
-    mode = F.when(m.isin(3, 4), F.lit("object")).otherwise(F.lit("array"))
-    verdict = F.when(m.isin(3, 4), obj.verdict).otherwise(arr.verdict)
-    sz = F.when(m.isin(3, 4), F.size(F.map_keys(obj.coerced))) \
-        .otherwise(F.size(arr.coerced))
-    return (ev.select(mode.alias("mode"), verdict.alias("verdict"),
-                      F.when(sz >= 0, sz).alias("sz"))
+    return (ev.select(F.pmod("event_id", F.lit(6)).alias("m6"))
+            .join(F.broadcast(dim2), "m6")
+            .select("mode", "verdict",
+                    F.when(F.col("sz") >= 0, F.col("sz")).alias("sz"))
             .groupBy("mode", "verdict")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("sz").cast("long").alias("sum_size")))
