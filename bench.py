@@ -195,6 +195,7 @@ HEADLINE = [
     # r4 additions: compressed lossy codec + the last declared-only
     # reference coercions
     "audio_adpcm_snr",
+    "adpcm_header_integrity",
     "coercion_smart_scalar",
     "coercion_stringified",
 ]

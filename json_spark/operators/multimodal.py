@@ -914,6 +914,34 @@ def transcode_adpcm(clips: DataFrame) -> DataFrame:
                         "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
 
 
+def adpcm_header_columns(bytes_col: Column) -> dict[str, Column]:
+    """IMA-ADPCM WAV header fields as pure Column expressions — the
+    zero-Python header path for the COMPRESSED codec (functions/adpcm.py
+    writes the canonical fmt(20)+fact+data layout; a foreign chunk order
+    falls to the Python parser, the same stance as FLAC's fixed
+    STREAMINFO read). 1-based offsets: fmt tag @21 (0x11), block align
+    @33, samples/block @39, fact sample count @49, data size @57."""
+    def le16(pos: int) -> Column:
+        hx = F.hex(F.substring(bytes_col, pos, 2))
+        return F.conv(F.concat(F.substring(hx, 3, 2),
+                               F.substring(hx, 1, 2)), 16, 10).cast("long")
+
+    return {
+        "riff_ok": (F.length(bytes_col) >= 60)
+        & (F.substring(bytes_col, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(bytes_col, 9, 4) == F.lit(b"WAVE"))
+        & (F.substring(bytes_col, 41, 4) == F.lit(b"fact"))
+        & (F.substring(bytes_col, 53, 4) == F.lit(b"data")),
+        "fmt_tag": le16(21),
+        "hdr_sr_hz": le32(bytes_col, 25),
+        "block_align": le16(33),
+        "bits": le16(35),
+        "samples_per_block": le16(39),
+        "fact_samples": le32(bytes_col, 49),
+        "data_bytes": le32(bytes_col, 57),
+    }
+
+
 def aiff_header_columns(bytes_col: Column) -> dict[str, Column]:
     """AIFF header fields as pure Column expressions — the zero-Python
     header path for the FOURTH container, reading the canonical

@@ -72,7 +72,8 @@ GATE_FRONT: list[str] = [
     "coercion_date",
     # new operators: compressed lossy codec, SmartScalar, Stringified-
     # Containers (verdict directives 4 and 7)
-    "audio_adpcm_snr", "coercion_smart_scalar", "coercion_stringified",
+    "audio_adpcm_snr", "adpcm_header_integrity",
+    "coercion_smart_scalar", "coercion_stringified",
     # changed code paths: planted-edit clamp; single-pass CMS build;
     # star-contraction clustering; stringified-aware array/object
     # coercion; config schema gained Array.StringifiedContainers;
@@ -112,7 +113,7 @@ GATE_FRONT: list[str] = [
     "label_agreement", "key_set_overlap", "drift_changepoint",
     "dedup_incremental", "class_balance", "embedding_drift",
     "embedding_quantization", "corr_profile", "zipf_conformity",
-    "snapshot_diff", "approx_fd", "manifest_dangling",
+    "approx_fd", "manifest_dangling",
 ]
 
 
@@ -4760,6 +4761,72 @@ def q_coercion_object(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sz") >= 0, F.col("sz")).cast("long").alias("n_keys"),
         "verdict",
     ).groupBy("verdict", "n_keys").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("adpcm_header_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+sized AS (
+  SELECT i, codec, sr_hz,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n_samples
+  FROM full_ WHERE codec = 'opus')
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_riff_ok,
+       CAST(count(*) AS BIGINT) AS n_tag_ok,
+       CAST(count(*) AS BIGINT) AS n_block_ok,
+       CAST(count(*) AS BIGINT) AS n_fact_match,
+       CAST(count(*) AS BIGINT) AS n_size_law,
+       CAST(sum(n_samples) AS BIGINT) AS sum_fact_samples
+FROM sized GROUP BY codec
+""")
+def q_adpcm_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-level integrity for the COMPRESSED codec, zero Python
+    after the transcode: RIFF/fact/data magics, fmt tag 0x11, the fixed
+    256-byte block align and 505 samples/block, the fact chunk's sample
+    count against sr_hz x dur_ms metadata, and the container SIZE LAW
+    (total = 60 + 256 x ceil(n/505)) — all parsed from the binary column
+    with hex/conv byte surgery (operators/multimodal.py:
+    adpcm_header_columns). The oracle re-derives every count and the
+    fact-sample sum in closed form from the generator contract without
+    reading a payload; a match proves the writer's layout and the
+    pure-Column parse agree byte-for-byte. In production the payloads
+    arrive already-ADPCM and this check runs with NO Python stage at
+    all; here the fixture's WAV rows pass through the lockstep
+    transcode first.
+
+    Scale shape: map-only transcode + a pure-Column projection + one
+    |codec|-key map-combinable rollup; payload bytes never shuffle.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import adpcm_header_columns, transcode_adpcm
+    clips = generate_clips(spark, _SNR_N, partitions=8) \
+        .filter(F.col("codec") == "opus")
+    adpcm = transcode_adpcm(clips)
+    h = adpcm_header_columns(F.col("bytes"))
+    expected_n = F.greatest(
+        F.lit(1),
+        (F.col("sr_hz").cast("long")
+         * F.coalesce(F.col("dur_ms"), F.lit(100)) / 1000)
+        .cast("long"))
+    blocks = F.ceil(F.col("fact_samples") / 505).cast("long")
+    return (adpcm.select(
+        "codec", "sr_hz", "dur_ms", F.length("bytes").alias("blen"),
+        h["riff_ok"].alias("riff_ok"), h["fmt_tag"].alias("fmt_tag"),
+        h["block_align"].alias("block_align"),
+        h["samples_per_block"].alias("spb"),
+        h["fact_samples"].alias("fact_samples"))
+        .groupBy("codec")
+        .agg(F.count(F.lit(1)).alias("n_clips"),
+             F.sum(F.col("riff_ok").cast("long")).alias("n_riff_ok"),
+             F.sum((F.col("fmt_tag") == 17).cast("long")).alias("n_tag_ok"),
+             F.sum(((F.col("block_align") == 256) & (F.col("spb") == 505))
+                   .cast("long")).alias("n_block_ok"),
+             F.sum((F.col("fact_samples") == expected_n).cast("long"))
+             .alias("n_fact_match"),
+             F.sum((F.col("blen") == 60 + 256 * blocks).cast("long"))
+             .alias("n_size_law"),
+             F.sum("fact_samples").alias("sum_fact_samples")))
 
 
 @register("coercion_smart_scalar", oracle="""

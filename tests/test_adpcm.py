@@ -174,3 +174,82 @@ def test_transcode_null_payload_passthrough(spark):
         "codec string, transcript string")
     out = {r["clip_id"]: r["bytes"] for r in transcode_adpcm(df).collect()}
     assert out["c1"] is None and out["c2"] is None
+
+
+def test_adpcm_header_columns_pure_column(spark):
+    """The zero-Python header parse (multimodal.py:adpcm_header_columns)
+    recovers exactly what the writer emitted: fmt tag 0x11, block
+    geometry, the fact sample count, and the size law."""
+    from pyspark.sql import functions as F
+
+    from json_spark.operators.multimodal import adpcm_header_columns
+
+    sig = reference_signal("clip-000000000021", 48000, 137)
+    ints = np.round(sig.astype(np.float64) * 32767).astype(np.int16)
+    wav = encode_adpcm_wav(ints, 48000)
+    df = spark.createDataFrame([(bytearray(wav),)], "bytes binary")
+    h = adpcm_header_columns(F.col("bytes"))
+    r = df.select(h["riff_ok"].alias("ok"), h["fmt_tag"].alias("tag"),
+                  h["hdr_sr_hz"].alias("sr"),
+                  h["block_align"].alias("ba"),
+                  h["samples_per_block"].alias("spb"),
+                  h["fact_samples"].alias("n"),
+                  h["data_bytes"].alias("db"),
+                  F.length("bytes").alias("blen")).collect()[0]
+    n_blocks = (len(ints) + SAMPLES_PER_BLOCK - 1) // SAMPLES_PER_BLOCK
+    assert (r["ok"], r["tag"], r["sr"]) == (True, 0x11, 48000)
+    assert (r["ba"], r["spb"]) == (BLOCK_ALIGN, SAMPLES_PER_BLOCK)
+    assert r["n"] == len(ints)
+    assert r["db"] == n_blocks * BLOCK_ALIGN
+    assert r["blen"] == 60 + r["db"]
+
+
+def test_streaming_content_verdicts_decode_adpcm(spark, tmp_path):
+    """The streaming content surface decodes the COMPRESSED codec via
+    the same fused kernel: a clean high-rate ADPCM payload is GREEN in
+    its window, a wrong-signal ADPCM payload is RED — the fifth
+    container needs no streaming-side changes at all."""
+    from pyspark.sql import functions as F
+
+    from json_spark.streaming import streaming_content_verdicts
+
+    def adpcm_of(clip_id, sr=48000, dur=100):
+        s = reference_signal(clip_id, sr, dur)
+        return encode_adpcm_wav(
+            np.round(s.astype(np.float64) * 32767).astype(np.int16), sr)
+
+    good = adpcm_of("c-good")
+    wrong_sig = adpcm_of("c-other")  # decodes fine, SNR vs c-good fails
+    schema = ("ts timestamp, clip_id string, bytes binary, "
+              "dur_ms int, codec string")
+    src, sink, chk = (str(tmp_path / d) for d in ("asrc", "asink", "achk"))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, clip_id string, bytes binary, "
+                  "dur_ms int, codec string"
+        ).select(F.to_timestamp("ts").alias("ts"), "clip_id", "bytes",
+                 "dur_ms", "codec").coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_content_verdicts(
+            stream, event_time_col="ts", window_duration="1 minute",
+            watermark="2 minutes", group_col="codec")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write([("2026-01-01 00:00:05", "c-good", bytearray(good), 100, "adpcm"),
+           ("2026-01-01 00:00:15", "c-good", bytearray(wrong_sig), 100,
+            "adpcm")])
+    run()
+    write([("2026-01-01 00:04:00", "c-good", bytearray(good), 100,
+            "adpcm")])
+    run()
+    rows = {r["window_start"].strftime("%H:%M"): r
+            for r in spark.read.parquet(sink).collect()}
+    w0 = rows["00:00"]
+    assert w0["n_rows"] == 2 and w0["n_green"] == 1 and w0["n_red"] == 1
