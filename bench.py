@@ -196,6 +196,7 @@ HEADLINE = [
     # reference coercions
     "audio_adpcm_snr",
     "adpcm_header_integrity",
+    "audio_alaw_snr",
     "coercion_smart_scalar",
     "coercion_stringified",
 ]

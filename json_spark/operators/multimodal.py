@@ -942,6 +942,43 @@ def adpcm_header_columns(bytes_col: Column) -> dict[str, Column]:
     }
 
 
+def transcode_alaw(clips: DataFrame) -> DataFrame:
+    """WAV→G.711-A-law transcode keeping the clips-table shape (fmt
+    tag 6, 8 bits/sample, half-size payload; functions/alaw.py). Same
+    scale shape as transcode_au: map-only Arrow stage over the source
+    partitioning, undecodable payloads pass through as null bytes, the
+    payload never shuffles."""
+    from ..functions.alaw import encode_alaw_wav
+
+    def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            out: list[bytes | None] = []
+            for j in range(batch.num_rows):
+                try:
+                    wav = memoryview(payloads[j].as_buffer())
+                    n_bytes = struct.unpack("<I", wav[40:44])[0]
+                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
+                    sr = struct.unpack("<I", wav[24:28])[0]
+                    if len(ints) == 0:
+                        raise ValueError("empty data chunk")
+                    out.append(encode_alaw_wav(ints, sr))
+                except (ValueError, struct.error, AttributeError, TypeError):
+                    out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),
+                 pa.array(out, pa.binary())],
+                ["clip_id", "codec", "sr_hz", "dur_ms", "bytes"])
+
+    return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
+                        "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
 def aiff_header_columns(bytes_col: Column) -> dict[str, Column]:
     """AIFF header fields as pure Column expressions — the zero-Python
     header path for the FOURTH container, reading the canonical

