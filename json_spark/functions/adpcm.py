@@ -26,6 +26,17 @@ multi-tone clips the measured round-trip SNR is well above the 30 dB
 verdict gate (see tests/test_adpcm.py), while planted ±0.3 uniform-noise
 corruption stays ~7 dB — so GREEN/RED classification through this codec
 matches the closed-form plant arithmetic exactly.
+
+SAMPLE-RATE FLOOR (r4 ADVICE): the 30 dB margin is content-dependent.
+At low sample rates the per-sample delta of a full-band tone grows
+(fewer samples per period), and the 4-bit quantizer's round-trip SNR
+shrinks with it — a plain 440 Hz half-amplitude tone at 8 kHz measures
+~29.7 dB, BELOW the gate, while the same tone at 44.1/48 kHz clears it
+with >2 dB margin. Callers running an SNR>=30dB gate through this codec
+must restrict it to >=22.05 kHz partitions (the shipped
+``audio_adpcm_snr`` query filters to the 44.1/48 kHz 'opus' partition
+for exactly this reason); low-rate content belongs behind the lossless
+containers or a relaxed gate.
 """
 
 from __future__ import annotations

@@ -498,9 +498,14 @@ def coerce_time_of_day(c: Column, cfg: RuleConfig | None = None) -> CoercionResu
 def _json_string_value(t: Column) -> Column:
     """Parse a JSON STRING token (``"..."`` with escapes) to its value.
     Spark's from_json only accepts container schemas, so the token is
-    wrapped in a one-element array; a malformed token nulls out."""
-    return F.from_json(F.concat(F.lit("["), t, F.lit("]")),
-                       "array<string>")[0]
+    wrapped in a one-element array; a malformed token nulls out. The
+    parse must land on EXACTLY one element: a multi-token spelling like
+    ``"x","y"`` matches the greedy ``^".*"$`` probe and would otherwise
+    be silently truncated to its first token instead of falling through
+    to the dirty/RED tier (r4 ADVICE)."""
+    arr = F.from_json(F.concat(F.lit("["), t, F.lit("]")),
+                      "array<string>")
+    return F.when(F.size(arr) == 1, arr[0])
 
 
 def unwrap_stringified(c: Column) -> tuple[Column, Column]:

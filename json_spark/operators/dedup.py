@@ -506,11 +506,18 @@ def _star_clusters(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
     # planning O(1) per round. (On a real cluster prefer a reliable
     # checkpoint dir for executor-loss recovery; localCheckpoint trades
     # that for zero-config speed, fine for a bounded CC loop.)
-    edges = (pairs.select(
+    canon = pairs.select(
         F.greatest("id_a", "id_b").alias("a"),
         F.least("id_a", "id_b").alias("b"))
-        .filter(F.col("a") != F.col("b")).distinct()
-        .localCheckpoint(eager=True))
+    # reflexive pairs carry no connectivity but DO assert membership: an
+    # id seen only as (x, x) must still get a singleton label row, as the
+    # minlabel twin produces (r4 ADVICE — the two engines must agree).
+    selfies = (canon.filter(F.col("a") == F.col("b"))
+               .select(F.col("a").alias("id")).distinct()
+               .localCheckpoint(eager=True))
+    edges = (canon
+             .filter(F.col("a") != F.col("b")).distinct()
+             .localCheckpoint(eager=True))
 
     def fingerprint(e: DataFrame):
         # mod-prime residues keep the ANSI int64 sum overflow-proof at
@@ -554,7 +561,10 @@ def _star_clusters(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
     roots = (edges.select(F.col("b").alias("id")).distinct()
              .join(members.select(F.col("id")), "id", "left_anti")
              .withColumn("cluster_id", F.col("id")))
-    labels = members.unionByName(roots)
+    singletons = (selfies.join(members.select("id"), "id", "left_anti")
+                  .join(roots.select("id"), "id", "left_anti")
+                  .withColumn("cluster_id", F.col("id")))
+    labels = members.unionByName(roots).unionByName(singletons)
     labels.persist()
     labels.count()
     edges.unpersist()

@@ -38,6 +38,27 @@ from ..functions.aiff import parse_aiff_header
 from ..functions.au import parse_au_header
 from ..functions.flac import decode_flac, parse_flac_streaminfo
 
+def _pcm16_wav_ints(wav: memoryview) -> tuple[np.ndarray, int]:
+    """Raw int16 samples + sample rate of a canonical PCM16-mono WAV.
+
+    The transcode sources must VALIDATE before ``frombuffer`` (r4
+    ADVICE): without the RIFF/fmt-tag/bits gate, an already-transcoded
+    A-law/ADPCM WAV — or arbitrary >=44-byte binary — would be silently
+    re-encoded as garbage. Raising ValueError routes foreign payloads
+    into each transcode's existing except → null pass-through, the same
+    stance ``decode_wav_pcm16`` takes for the decode path.
+    """
+    if len(wav) < 44 or wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_tag, channels, sr = struct.unpack("<HHI", wav[20:28])
+    bits = struct.unpack("<H", wav[34:36])[0]
+    if fmt_tag != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported wav layout: fmt={fmt_tag} ch={channels} bits={bits}")
+    n_bytes = struct.unpack("<I", wav[40:44])[0]
+    return np.frombuffer(wav[44:44 + n_bytes], dtype="<i2"), sr
+
+
 MEDIA_META_SCHEMA = (
     "clip_id string, container string, sr_hz int, channels int, "
     "bits int, n_samples long, meta_dur_ms double"
@@ -321,10 +342,7 @@ def flac_roundtrip(clips: DataFrame) -> DataFrame:
             for j in range(batch.num_rows):
                 try:
                     wav = memoryview(payloads[j].as_buffer())
-                    n_bytes = struct.unpack("<I", wav[40:44])[0]
-                    ints = np.frombuffer(
-                        wav[44:44 + n_bytes], dtype="<i2")
-                    sr = struct.unpack("<I", wav[24:28])[0]
+                    ints, sr = _pcm16_wav_ints(wav)
                     blob = encode_flac(ints, sr)
                     sig, _sr2 = decode_flac(blob)
                     back = np.round(sig * 32767.0).astype(np.int16)
@@ -779,9 +797,7 @@ def transcode_flac(clips: DataFrame) -> DataFrame:
             for j in range(batch.num_rows):
                 try:
                     wav = memoryview(payloads[j].as_buffer())
-                    n_bytes = struct.unpack("<I", wav[40:44])[0]
-                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
-                    sr = struct.unpack("<I", wav[24:28])[0]
+                    ints, sr = _pcm16_wav_ints(wav)
                     out.append(bytes(encode_flac(ints, sr)))
                 except (ValueError, struct.error, AttributeError, TypeError):
                     out.append(None)
@@ -818,9 +834,7 @@ def transcode_au(clips: DataFrame, encoding: int | None = None) -> DataFrame:
             for j in range(batch.num_rows):
                 try:
                     wav = memoryview(payloads[j].as_buffer())
-                    n_bytes = struct.unpack("<I", wav[40:44])[0]
-                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
-                    sr = struct.unpack("<I", wav[24:28])[0]
+                    ints, sr = _pcm16_wav_ints(wav)
                     out.append(encode_au(ints, sr, encoding=enc))
                 except (ValueError, struct.error, AttributeError, TypeError):
                     out.append(None)
@@ -854,9 +868,7 @@ def transcode_aiff(clips: DataFrame) -> DataFrame:
             for j in range(batch.num_rows):
                 try:
                     wav = memoryview(payloads[j].as_buffer())
-                    n_bytes = struct.unpack("<I", wav[40:44])[0]
-                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
-                    sr = struct.unpack("<I", wav[24:28])[0]
+                    ints, sr = _pcm16_wav_ints(wav)
                     out.append(encode_aiff(ints, sr))
                 except (ValueError, struct.error, AttributeError, TypeError):
                     out.append(None)
@@ -892,9 +904,7 @@ def transcode_adpcm(clips: DataFrame) -> DataFrame:
             for j in range(batch.num_rows):
                 try:
                     wav = memoryview(payloads[j].as_buffer())
-                    n_bytes = struct.unpack("<I", wav[40:44])[0]
-                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
-                    sr = struct.unpack("<I", wav[24:28])[0]
+                    ints, sr = _pcm16_wav_ints(wav)
                     if len(ints) == 0:
                         raise ValueError("empty data chunk")
                     sigs.append(ints)
@@ -961,9 +971,7 @@ def transcode_alaw(clips: DataFrame) -> DataFrame:
             for j in range(batch.num_rows):
                 try:
                     wav = memoryview(payloads[j].as_buffer())
-                    n_bytes = struct.unpack("<I", wav[40:44])[0]
-                    ints = np.frombuffer(wav[44:44 + n_bytes], dtype="<i2")
-                    sr = struct.unpack("<I", wav[24:28])[0]
+                    ints, sr = _pcm16_wav_ints(wav)
                     if len(ints) == 0:
                         raise ValueError("empty data chunk")
                     out.append(encode_alaw_wav(ints, sr))

@@ -176,6 +176,29 @@ def test_transcode_null_payload_passthrough(spark):
     assert out["c1"] is None and out["c2"] is None
 
 
+def test_transcode_foreign_wav_passthrough(spark):
+    """r4 ADVICE (multimodal.py:_pcm16_wav_ints): a VALID RIFF payload
+    whose fmt tag is not PCM16 — e.g. an already-transcoded A-law WAV —
+    must pass through the lossy transcodes as null bytes instead of
+    being frombuffer'd and re-encoded as garbage."""
+    import numpy as np
+
+    from json_spark.functions.alaw import encode_alaw_wav
+    from json_spark.operators.multimodal import (transcode_adpcm,
+                                                 transcode_alaw)
+
+    sig = (np.sin(np.arange(800) / 10.0) * 12000).astype(np.int16)
+    alaw_wav = encode_alaw_wav(sig, 8000)
+    assert alaw_wav[:4] == b"RIFF" and len(alaw_wav) > 44
+    df = spark.createDataFrame(
+        [("c1", alaw_wav, 8000, 100, "opus", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    for tr in (transcode_adpcm, transcode_alaw):
+        rows = tr(df).collect()
+        assert rows[0]["bytes"] is None, tr.__name__
+
+
 def test_adpcm_header_columns_pure_column(spark):
     """The zero-Python header parse (multimodal.py:adpcm_header_columns)
     recovers exactly what the writer emitted: fmt tag 0x11, block

@@ -418,6 +418,29 @@ def test_smart_scalar_ladder(spark):
         assert n_set == (0 if r["stype"] in (None, "null") else 1), tok
 
 
+def test_smart_scalar_multi_token_quoted_is_dirty(spark):
+    """r4 ADVICE (coercion.py:_json_string_value): a multi-token spelling
+    like '"x","y"' matches the greedy ^".*"$ probe but must NOT be
+    classified as a strict GREEN string with the tail silently dropped —
+    the one-element parse gate sends it to the dirty tier with the RAW
+    text preserved."""
+    from json_spark.config import default_config
+    from json_spark.functions.coercion import coerce_smart_scalar
+
+    rows = [('"x","y"',), ('"a", "b", "c"',), ('"lone"',)]
+    df = spark.createDataFrame(rows, "raw string")
+    s = coerce_smart_scalar(F.col("raw"), default_config())
+    got = {r["raw"]: r for r in df.select(
+        "raw", s["stype"].alias("stype"), s["verdict"].alias("verdict"),
+        s["str_v"].alias("t")).collect()}
+    for tok in ('"x","y"', '"a", "b", "c"'):
+        assert got[tok]["stype"] == "string"
+        assert got[tok]["verdict"] == "YELLOW"
+        assert got[tok]["t"] == tok          # raw text, nothing discarded
+    assert (got['"lone"']["verdict"], got['"lone"']["t"]) == \
+        ("GREEN", "lone")                    # strict path unchanged
+
+
 def test_stringified_containers_unwrap(spark):
     """StringifiedContainers (dirtytypes.go:74, issue 5): single- and
     double-stringified containers parse at YELLOW; native containers

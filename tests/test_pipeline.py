@@ -442,6 +442,23 @@ def test_duplicate_clusters_components(spark):
     assert reps == {(10, 4), (20, 2), (30, 3)}
 
 
+def test_duplicate_clusters_reflexive_pairs_agree(spark):
+    """Reflexive pairs (r4 ADVICE, dedup.py:_star_clusters): an id seen
+    ONLY as (x, x) must get a singleton label row from BOTH engines —
+    the star engine used to drop it silently while minlabel labeled it
+    with itself."""
+    pairs = spark.createDataFrame(
+        [(7, 7),                 # pure self-pair → singleton cluster
+         (5, 6), (6, 6)],        # self-pair on a real component member
+        "id_a long, id_b long")
+    want = {5: 5, 6: 5, 7: 7}
+    for method in ("star", "minlabel"):
+        got = {r["id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(
+                   pairs, method=method).collect()}
+        assert got == want, method
+
+
 def test_ngram_overlap_join_exact(spark):
     """Exact 4-gram decontamination on a tiny corpus vs a brute-force
     python twin: verbatim substring leakage found, sub-n overlap not."""
