@@ -142,3 +142,43 @@ def word_edit_stats(df: DataFrame, ref_col: str, hyp_col: str,
 
     return cols.mapInArrow(
         kern, pass_ddl + STAT_FIELDS)
+
+
+def plant_word_edits(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic planted-edit hypothesis frame for the WER queries:
+    each doc becomes (id, text, mode, k, n, hyp) by ``id % 4`` — clean
+    copy / k out-of-vocab substitutions at distinct positions / k
+    trailing deletions / k sentinel appends, k = 1 + (id div 4) % 3.
+    Every sentinel costs exactly one edit op and never matches, so the
+    true word-level Levenshtein distance is provably exactly k.
+
+    k is clamped to n-1 (r3 ADVICE): on a foreign fixture with <10-word
+    docs the surgery stays safe (no modulo-by-zero, no negative slice)
+    and the distance==k invariant still holds — pinned for short docs in
+    tests/test_alignment.py. Pure Column surgery (split/transform/
+    slice), codegen end to end; no Python.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        F.expr(f"CASE {id_col} % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub' "
+               "WHEN 2 THEN 'del' ELSE 'ins' END").alias("mode"),
+        F.expr(f"CASE WHEN {id_col} % 4 = 0 THEN 0 "
+               f"ELSE least(1 + ({id_col} div 4) % 3, "
+               f"           greatest(size(split({text_col}, ' ')) - 1, 0)) "
+               "END").cast("int").alias("k"),
+        F.size(F.split(text_col, " ")).alias("n"))
+    return prepared.withColumn("hyp", F.expr("""
+        CASE
+          WHEN mode = 'clean' OR k = 0 THEN text
+          WHEN mode = 'sub' THEN array_join(
+            transform(split(text, ' '), (x, i) ->
+              CASE WHEN i % (n div k) = 0 AND (i div (n div k)) < k
+                   THEN concat('#s', i, '#') ELSE x END), ' ')
+          WHEN mode = 'del' THEN array_join(
+            slice(split(text, ' '), 1, n - k), ' ')
+          ELSE concat(text, ' ', array_join(
+            slice(array('#i0#', '#i1#', '#i2#'), 1, k), ' '))
+        END"""))

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import cosine
-from .similarity import _batch_matrix
+from .similarity import MAX_QUERY_ROWS, _batch_matrix, check_query_bound
 
 
 def _split(mat: np.ndarray, m: int) -> np.ndarray:
@@ -146,7 +146,8 @@ def pq_encode(vectors: DataFrame, id_col: str, vec_col: str,
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                vec_col: str, centroids: list[list[float]],
                books: np.ndarray, k: int = 10, nprobe: int = 8,
-               vec_nprobe: int = 2, refine: int = 4) -> DataFrame:
+               vec_nprobe: int = 2, refine: int = 4,
+               max_query_rows: int = MAX_QUERY_ROWS) -> DataFrame:
     """IVF-PQ hybrid (the FAISS IVFPQ shape): vectors land in their
     ``vec_nprobe`` nearest IVF buckets carrying only their PQ codes;
     queries probe ``nprobe`` buckets; the equality join on centroid_id
@@ -163,6 +164,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     """
     from .similarity import _assign_stage
 
+    check_query_bound(queries, max_query_rows, "ivfpq_topk")
     cents = np.asarray(centroids, dtype=np.float64)
     m, ksub, _ = books.shape
 
@@ -225,10 +227,12 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
 
 def pq_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, books: np.ndarray, k: int = 10,
-            refine: int = 4) -> DataFrame:
+            refine: int = 4,
+            max_query_rows: int = MAX_QUERY_ROWS) -> DataFrame:
     """ADC search over the PQ codes + exact re-rank of ``refine × k``
     candidates per query. Queries (and their LUTs) ride the closure —
     queries ≪ corpus always; candidates shuffle, vectors never."""
+    check_query_bound(queries, max_query_rows, "pq_topk")
     q_rows = queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("__qv")).collect()
     q_ids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)

@@ -8516,36 +8516,15 @@ def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInArrow with bounded per-row cost; the rollup is 4 groups of
     map-combinable sums.
     """
-    from ..operators.alignment import word_edit_stats
+    from ..operators.alignment import plant_word_edits, word_edit_stats
     # single-file fixture scans serialize the DP kernel onto one task;
     # round-robin split first (outputs are counts + 6dp-rounded means,
     # partitioning-independent at that precision)
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    prepared = docs.select(
-        "doc_id", "text",
-        F.expr("CASE doc_id % 4 WHEN 0 THEN 'clean' WHEN 1 THEN 'sub' "
-               "WHEN 2 THEN 'del' ELSE 'ins' END").alias("mode"),
-        # k clamped to n-1 so the planted-edit surgery below is safe
-        # (no modulo-by-zero, no negative slice) on ANY fixture, not
-        # just this generator's >=10-words-per-doc guarantee
-        F.expr("CASE WHEN doc_id % 4 = 0 THEN 0 "
-               "ELSE least(1 + (doc_id div 4) % 3, "
-               "           greatest(size(split(text, ' ')) - 1, 0)) END")
-        .cast("int").alias("k"),
-        F.size(F.split("text", " ")).alias("n"))
-    hyp = prepared.withColumn("hyp", F.expr("""
-        CASE
-          WHEN mode = 'clean' OR k = 0 THEN text
-          WHEN mode = 'sub' THEN array_join(
-            transform(split(text, ' '), (x, i) ->
-              CASE WHEN i % (n div k) = 0 AND (i div (n div k)) < k
-                   THEN concat('#s', i, '#') ELSE x END), ' ')
-          WHEN mode = 'del' THEN array_join(
-            slice(split(text, ' '), 1, n - k), ' ')
-          ELSE concat(text, ' ', array_join(
-            slice(array('#i0#', '#i1#', '#i2#'), 1, k), ' '))
-        END"""))
+    # planted-edit surgery (k clamped to n-1 for foreign short-doc
+    # fixtures — pinned in tests/test_alignment.py)
+    hyp = plant_word_edits(docs)
     stats = word_edit_stats(hyp, "text", "hyp", passthrough=["mode"])
     return stats.groupBy("mode").agg(
         F.count(F.lit(1)).alias("n_docs"),

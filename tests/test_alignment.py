@@ -109,3 +109,33 @@ def test_manifest_wer_query(spark, sf_dir):
     for r in rows:
         assert r["n_exact"] + r["total_word_edits"] == r["n_pairs"]
         assert r["max_distance"] in (0, 1)
+
+
+def test_short_doc_clamped_plant_distance_equals_k(spark):
+    """r4 verdict directive 5: on <10-word docs the k clamp (k <= n-1)
+    must keep the planted-edit invariant distance == k through BOTH the
+    plant surgery and the real DP kernel — for every mode, including a
+    1-word doc where k clamps to 0."""
+    from json_spark.operators.alignment import (plant_word_edits,
+                                                word_edit_stats)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["one", "two words", "three little words", "a b c d",
+             "one", "x y", "p q r", "m n o t",
+             "single"])],
+        "doc_id long, text string")
+    hyp = plant_word_edits(docs)
+    out = {r["doc_id"]: r for r in word_edit_stats(
+        hyp, "text", "hyp", passthrough=["doc_id", "mode", "k", "n"])
+        .collect()}
+    assert len(out) == 9
+    for r in out.values():
+        assert r["k"] <= max(r["n"] - 1, 0)          # the clamp itself
+        assert r["distance"] == r["k"], dict(r.asDict())
+        if r["mode"] == "sub":
+            assert r["n_sub"] == r["k"] and r["n_del"] == r["n_ins"] == 0
+        elif r["mode"] == "del":
+            assert r["n_del"] == r["k"] and r["n_sub"] == r["n_ins"] == 0
+        elif r["mode"] == "ins":
+            assert r["n_ins"] == r["k"] and r["n_sub"] == r["n_del"] == 0

@@ -83,3 +83,37 @@ def test_pq_recall_floor_vs_exact(spark):
     # the exact re-rank means every returned cosine is the TRUE cosine:
     # any overlap pair must carry identical rank-1 scores on both sides
     assert approx  # non-degenerate
+
+
+def test_oversized_query_table_raises_cleanly(spark):
+    """r4 verdict: the ANN entry points collect/broadcast the query side
+    with no guard — a caller passing a huge query table would OOM the
+    driver silently. Every entry point must raise a clear ValueError
+    from the bounded limit(n+1).count() probe instead."""
+    import pytest
+
+    from json_spark.operators.pq import ivfpq_topk
+    from json_spark.operators.similarity import ivf_topk, pick_centroids
+
+    df, _ = _vectors(spark, n=60)
+    books = train_codebooks(df, "vec_id", "embedding", m=4, ksub=16,
+                            refine_iters=1)
+    cents = pick_centroids(df, "vec_id", "embedding", k=4,
+                           refine_iters=1)
+    calls = [
+        lambda: cosine_topk(df, df, "vec_id", "embedding", k=3,
+                            max_query_rows=10),
+        lambda: pq_topk(df, df, "vec_id", "embedding", books, k=3,
+                        max_query_rows=10),
+        lambda: ivf_topk(df, df, "vec_id", "embedding", cents, k=3,
+                         max_query_rows=10),
+        lambda: ivfpq_topk(df, df, "vec_id", "embedding", cents, books,
+                           k=3, max_query_rows=10),
+    ]
+    for call in calls:
+        with pytest.raises(ValueError, match="query side has more than"):
+            call()
+    # at exactly the bound the probe admits the batch
+    small = df.limit(10)
+    assert cosine_topk(df, small, "vec_id", "embedding", k=3,
+                       max_query_rows=10).count() > 0
