@@ -126,6 +126,12 @@ def _decode(clip_id: str, payload, codec: str) -> tuple[np.ndarray, bool]:
     except (ValueError, struct.error):
         pass
     try:
+        from ..functions.msadpcm import decode_msadpcm_wav
+        sig, _sr = decode_msadpcm_wav(bytes(payload.as_buffer()))
+        return sig, True
+    except (ValueError, struct.error):
+        pass
+    try:
         return decode_external(bytes(payload.as_buffer()), codec), True
     except NotImplementedError:
         return _deterministic_fake(clip_id), False
@@ -949,6 +955,77 @@ def adpcm_header_columns(bytes_col: Column) -> dict[str, Column]:
         "samples_per_block": le16(39),
         "fact_samples": le32(bytes_col, 49),
         "data_bytes": le32(bytes_col, 57),
+    }
+
+
+def transcode_msadpcm(clips: DataFrame) -> DataFrame:
+    """WAV→MS-ADPCM transcode keeping the clips-table shape — the
+    engine's SECOND compressed lossy path (fmt tag 0x02, 2-tap linear
+    prediction; functions/msadpcm.py). Same lockstep shape as
+    transcode_adpcm: the whole Arrow batch is encoded in ONE pass
+    (every block of every clip stacked into a single matrix, one
+    498-step vector loop). Map-only over the source partitioning;
+    undecodable payloads pass through as null bytes; nothing shuffles."""
+    from ..functions.msadpcm import encode_msadpcm_wav_batch
+
+    def tr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("clip_id").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            srs = batch.column("sr_hz").to_pylist()
+            durs = batch.column("dur_ms").to_pylist()
+            payloads = batch.column("bytes")
+            sigs, sig_srs, ok = [], [], []
+            for j in range(batch.num_rows):
+                try:
+                    wav = memoryview(payloads[j].as_buffer())
+                    ints, sr = _pcm16_wav_ints(wav)
+                    if len(ints) == 0:
+                        raise ValueError("empty data chunk")
+                    sigs.append(ints)
+                    sig_srs.append(sr)
+                    ok.append(True)
+                except (ValueError, struct.error, AttributeError, TypeError):
+                    ok.append(False)
+            encoded = iter(encode_msadpcm_wav_batch(sigs, sig_srs))
+            out = [next(encoded) if good else None for good in ok]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(codecs, pa.string()),
+                 pa.array(srs, pa.int32()), pa.array(durs, pa.int32()),
+                 pa.array(out, pa.binary())],
+                ["clip_id", "codec", "sr_hz", "dur_ms", "bytes"])
+
+    return clips.select("clip_id", "codec", "sr_hz", "dur_ms",
+                        "bytes").mapInArrow(tr, TRANSCODE_FLAC_SCHEMA)
+
+
+def msadpcm_header_columns(bytes_col: Column) -> dict[str, Column]:
+    """MS-ADPCM WAV header fields as pure Column expressions — the
+    zero-Python header path for the SECOND compressed codec
+    (functions/msadpcm.py writes the canonical fmt(50)+fact+data
+    layout; a foreign chunk order falls to the Python parser, the same
+    stance as adpcm_header_columns). 1-based offsets: fmt tag @21
+    (0x02), block align @33, samples/block @39, coefficient count @41,
+    fact sample count @79, data size @87."""
+    def le16(pos: int) -> Column:
+        hx = F.hex(F.substring(bytes_col, pos, 2))
+        return F.conv(F.concat(F.substring(hx, 3, 2),
+                               F.substring(hx, 1, 2)), 16, 10).cast("long")
+
+    return {
+        "riff_ok": (F.length(bytes_col) >= 90)
+        & (F.substring(bytes_col, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(bytes_col, 9, 4) == F.lit(b"WAVE"))
+        & (F.substring(bytes_col, 71, 4) == F.lit(b"fact"))
+        & (F.substring(bytes_col, 83, 4) == F.lit(b"data")),
+        "fmt_tag": le16(21),
+        "hdr_sr_hz": le32(bytes_col, 25),
+        "block_align": le16(33),
+        "bits": le16(35),
+        "samples_per_block": le16(39),
+        "n_coef": le16(41),
+        "fact_samples": le32(bytes_col, 79),
+        "data_bytes": le32(bytes_col, 87),
     }
 
 

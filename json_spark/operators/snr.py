@@ -6,10 +6,12 @@ PCM16 WAV decodes first; foreign payloads fall through to the real FLAC
 codec (functions/flac.py), the big-endian Sun AU container
 (functions/au.py), IFF-chunked AIFF (functions/aiff.py), and finally
 IMA-ADPCM WAV (functions/adpcm.py — the compressed lossy codec; RIFF
-magic but fmt tag 0x11) and G.711 A-law WAV (functions/alaw.py, fmt
-tag 6) — each rejects foreign payloads at its magic or format tag, so
-per-row dispatch costs a few byte comparisons and the same invariant
-runs over any of the six formats. This is the one operator that genuinely cannot be a Column
+magic but fmt tag 0x11), G.711 A-law WAV (functions/alaw.py, fmt
+tag 6) and MS-ADPCM WAV (functions/msadpcm.py, fmt tag 2 — the second
+compressed codec, 2-tap linear prediction) — each rejects foreign
+payloads at its magic or format tag, so per-row dispatch costs a few
+byte comparisons and the same invariant runs over any of the seven
+formats. This is the one operator that genuinely cannot be a Column
 expression (byte-level container decode + numpy math), so it is an
 Arrow-batched ``mapInArrow`` stage: Arrow moves
 binary batches to the Python worker, numpy does vectorized math per clip,
@@ -47,6 +49,7 @@ from ..functions.aiff import decode_aiff
 from ..functions.alaw import decode_alaw_wav
 from ..functions.au import decode_au
 from ..functions.flac import decode_flac
+from ..functions.msadpcm import decode_msadpcm_wav
 
 SNR_THRESHOLD_DB = 30.0
 
@@ -251,11 +254,20 @@ def pcm_scan(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB,
                                         decoded, sr = decode_adpcm_wav(
                                             buf)
                                     except (ValueError, struct.error):
-                                        # sixth: G.711 A-law WAV
-                                        # (functions/alaw.py, fmt 6) —
-                                        # µ-law's companding sibling
-                                        decoded, sr = decode_alaw_wav(
-                                            buf)
+                                        try:
+                                            # sixth: G.711 A-law WAV
+                                            # (functions/alaw.py,
+                                            # fmt 6) — µ-law's sibling
+                                            decoded, sr = \
+                                                decode_alaw_wav(buf)
+                                        except (ValueError,
+                                                struct.error):
+                                            # seventh: MS-ADPCM WAV
+                                            # (functions/msadpcm.py,
+                                            # fmt 2) — the 2nd
+                                            # compressed codec
+                                            decoded, sr = \
+                                                decode_msadpcm_wav(buf)
                     dur = int(durs[j]) if durs[j] is not None else 100
                     ref = reference_signal(ids[j], sr, dur)
                     snrs[j] = snr_db(ref, decoded)

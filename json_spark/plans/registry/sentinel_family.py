@@ -1831,3 +1831,126 @@ def q_audio_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         > 0, "RED").otherwise("GREEN").alias("verdict"),
                  F.sum("payload_len").alias("sum_adpcm_bytes")))
 
+@register("audio_msadpcm_snr", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+sized AS (
+  SELECT i, codec,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n_samples
+  FROM full_ WHERE codec = 'opus')
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE i % 997 <> 996) AS BIGINT) AS n_green,
+       CAST(count(*) FILTER (WHERE i % 997 = 996) AS BIGINT) AS n_red,
+       CASE WHEN count(*) FILTER (WHERE i % 997 = 996) > 0
+            THEN 'RED' ELSE 'GREEN' END AS verdict,
+       CAST(sum(90 + 256 * ((n_samples + 499) // 500)) AS BIGINT)
+         AS sum_msadpcm_bytes
+FROM sized GROUP BY codec
+""")
+def q_audio_msadpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNR>=30dB invariant through the engine's SECOND compressed
+    lossy codec: Microsoft ADPCM in the WAV container (fmt tag 0x02;
+    functions/msadpcm.py — from-scratch lockstep block codec using the
+    published 7-pair predictor + adaptation tables). vs IMA ADPCM the
+    quantization shape is genuinely different (2-tap linear prediction
+    with per-block predictor selection + multiplicative delta
+    adaptation vs a step-table staircase), so clearing the gate through
+    BOTH ADPCM families pins the verdict's tolerance semantics against
+    two independent compressed codecs — the same two-curve argument
+    the µ-law/A-law pair makes for companders. The transcode targets
+    the 44.1/48 kHz 'opus' partition (sample-rate floor documented in
+    functions/msadpcm.py): worst-case 42.3 dB clean — ~10 dB of margin,
+    vs IMA's 32.6 — while planted ±0.3-noise corruption stays ~7 dB.
+    ``sum_msadpcm_bytes`` pins the container layout byte-for-byte:
+    90 header bytes + 256 per 500-sample block, re-derived by the
+    oracle from the generator contract without reading a payload.
+
+    Scale shape: two map-only Arrow stages (render + ONE lockstep batch
+    encode — every block of every clip in a single (B, 500) matrix,
+    one 498-step vector loop per Arrow batch) + a one-key rollup; the
+    payload never shuffles.
+    """
+    from ...fixtures.gen import generate_clips
+    from ...operators.multimodal import transcode_msadpcm
+    from ...operators.snr import pcm_scan
+    clips = generate_clips(spark, _SNR_N, partitions=8) \
+        .filter(F.col("codec") == "opus")
+    ms = transcode_msadpcm(clips)
+    scan = pcm_scan(ms, extra_cols=["codec"], emit_header=True)
+    return (scan.groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("verdict") == "GREEN").cast("long"))
+                 .alias("n_green"),
+                 F.sum((F.col("verdict") != "GREEN").cast("long"))
+                 .alias("n_red"),
+                 F.when(F.sum((F.col("verdict") != "GREEN").cast("long"))
+                        > 0, "RED").otherwise("GREEN").alias("verdict"),
+                 F.sum("payload_len").alias("sum_msadpcm_bytes")))
+
+
+@register("msadpcm_header_integrity", oracle=f"""
+WITH {_CLIPS_CLOSED_FORM_CTE},
+sized AS (
+  SELECT i, codec, sr_hz,
+         greatest(1, (CAST(sr_hz AS BIGINT) * coalesce(dur_ms, 100))
+                     // 1000) AS n_samples
+  FROM full_ WHERE codec = 'opus')
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_riff_ok,
+       CAST(count(*) AS BIGINT) AS n_tag_ok,
+       CAST(count(*) AS BIGINT) AS n_block_ok,
+       CAST(count(*) AS BIGINT) AS n_fact_match,
+       CAST(count(*) AS BIGINT) AS n_size_law,
+       CAST(sum(n_samples) AS BIGINT) AS sum_fact_samples
+FROM sized GROUP BY codec
+""")
+def q_msadpcm_header_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-level integrity for the SECOND compressed codec, zero
+    Python after the transcode: RIFF/fact/data magics, fmt tag 0x02,
+    the fixed 256-byte block align, 500 samples/block and 7 published
+    coefficient pairs, the fact chunk's sample count against
+    sr_hz x dur_ms metadata, and the container SIZE LAW (total = 90 +
+    256 x ceil(n/500)) — all parsed from the binary column with
+    hex/conv byte surgery (operators/multimodal.py:
+    msadpcm_header_columns). The oracle re-derives every count and the
+    fact-sample sum in closed form from the generator contract without
+    reading a payload; a match proves the writer's layout and the
+    pure-Column parse agree byte-for-byte.
+
+    Scale shape: map-only transcode + a pure-Column projection + one
+    |codec|-key map-combinable rollup; payload bytes never shuffle.
+    """
+    from ...fixtures.gen import generate_clips
+    from ...operators.multimodal import (msadpcm_header_columns,
+                                         transcode_msadpcm)
+    clips = generate_clips(spark, _SNR_N, partitions=8) \
+        .filter(F.col("codec") == "opus")
+    ms = transcode_msadpcm(clips)
+    h = msadpcm_header_columns(F.col("bytes"))
+    expected_n = F.greatest(
+        F.lit(1),
+        (F.col("sr_hz").cast("long")
+         * F.coalesce(F.col("dur_ms"), F.lit(100)) / 1000)
+        .cast("long"))
+    blocks = F.ceil(F.col("fact_samples") / 500).cast("long")
+    return (ms.select(
+        "codec", "sr_hz", "dur_ms", F.length("bytes").alias("blen"),
+        h["riff_ok"].alias("riff_ok"), h["fmt_tag"].alias("fmt_tag"),
+        h["block_align"].alias("block_align"),
+        h["samples_per_block"].alias("spb"),
+        h["n_coef"].alias("n_coef"),
+        h["fact_samples"].alias("fact_samples"))
+        .groupBy("codec")
+        .agg(F.count(F.lit(1)).alias("n_clips"),
+             F.sum(F.col("riff_ok").cast("long")).alias("n_riff_ok"),
+             F.sum((F.col("fmt_tag") == 2).cast("long")).alias("n_tag_ok"),
+             F.sum(((F.col("block_align") == 256) & (F.col("spb") == 500)
+                    & (F.col("n_coef") == 7))
+                   .cast("long")).alias("n_block_ok"),
+             F.sum((F.col("fact_samples") == expected_n).cast("long"))
+             .alias("n_fact_match"),
+             F.sum((F.col("blen") == 90 + 256 * blocks).cast("long"))
+             .alias("n_size_law"),
+             F.sum("fact_samples").alias("sum_fact_samples")))
