@@ -51,69 +51,52 @@ ORACLE_SQL: dict[str, str] = {}
 #: the first 50 entries of ``queries()``, so the front of the line goes
 #: to (a) queries whose implementation changed since their last driver
 #: check and (b) queries that have never had a driver row — everything
-#: already green in CORRECTNESS_r02 cycles behind them. Rotate per
-#: round so every oracle-backed query lands in the window at least once
-#: every two rounds.
+#: already green in earlier CORRECTNESS cycles behind them.
 #:
-#: ROUND-5 ROTATION: unless their code changes again, swap this round's
-#: window out for the ~45 still-never-driver-checked queries named in
-#: the queue comment inside the list below, plus whatever r5 adds or
-#: changes. After r4's window lands, cumulative driver coverage should
-#: be ~140/183; the r5 window closes the rest.
+#: ROUND-5 ROTATION (r4 verdict directive 1): this window CLOSES the
+#: never-driver-checked backlog — after it lands, every oracle-backed
+#: query in the registry has a green CORRECTNESS row in some round with
+#: code unchanged since (or in r5 itself), and the only rows-only
+#: queries without any row are covered here too. Queries that changed
+#: this round but could not fit the 50-slot window (coercion_array,
+#: coercion_object, dedup_canonical, the five transcode-validation-
+#: touched container queries audio_flac_roundtrip / audio_au_snr /
+#: audio_aiff_snr / audio_ulaw_snr / audio_alaw_snr / audio_adpcm_snr)
+#: are re-verified by the full-registry local gate at the final tree
+#: (BENCH/ORACLE_r05_local.md) plus targeted pytest — their r4 driver
+#: rows + the local replica cover the residual risk.
 GATE_FRONT: list[str] = [
-    # ---- r4 window ----------------------------------------------------
-    # Brand-new or changed THIS round — each needs a (first or fresh)
-    # driver row:
-    # the r3 gate's only red, rebuilt with mod-prime digests and
-    # per-zone-branch rows (verdict directive 1)
-    "coercion_date_zoned",
-    # its oracle swapped to_timestamp(..)::TIMESTAMP for make_timestamp
-    # (session-TimeZone-proof under a non-UTC driver env)
-    "coercion_date",
-    # new operators: compressed lossy codec, SmartScalar, Stringified-
-    # Containers (verdict directives 4 and 7)
-    "audio_adpcm_snr", "adpcm_header_integrity", "audio_alaw_snr",
+    # ---- changed or new THIS round (needs a fresh driver row) ---------
+    # strict-string probe tightened to a one-element parse (r4 ADVICE);
+    # both consumers of _json_string_value re-enter the window
     "coercion_smart_scalar", "coercion_stringified",
-    # changed code paths: planted-edit clamp; single-pass CMS build;
-    # star-contraction clustering; stringified-aware array/object
-    # coercion; config schema gained Array.StringifiedContainers;
-    # executor-side ledger append feeds ledger_trend's metrics rows
-    "transcript_wer", "token_heavy_hitters_cms", "dedup_clusters",
-    "dedup_canonical", "coercion_array", "coercion_object",
-    "config_schema", "ledger_trend", "suite_partition_verdicts",
-    "embedding_spectrum",
-    # ---- never-driver-checked queue (r3 verdict directive 2) ----------
-    # oracle-backed, replica-green at sf0.01, rotated in by family;
-    # the remainder queues for r5: drift_wasserstein,
-    # audio_dynamic_range, audio_silence_trim, audio_zcr_check,
-    # audio_bandwidth_check, text_tfidf, dedup_canonical(done above),
-    # dedup_substring, dedup_audio_span, audio_content_dedup,
-    # dup_content_conflicts, hash_uniformity, truncation_report,
-    # key_emergence, join_fanout_profile, uniqueness_incremental,
-    # stats_quantiles_kll (rows-only), drift_changepoint,
-    # dedup_incremental, class_balance, embedding_drift,
-    # embedding_quantization, corr_profile, zipf_conformity,
-    # key_comissingness, snapshot_diff, approx_fd, weighted_sample,
-    # source_cap, dup_transcript_distance, corpus_mix, file_skew_audit,
-    # text_encoding_check, packing_efficiency, vocab_coverage,
-    # text_lexical_diversity, incremental_quantile_merge,
-    # manifest_dangling, event_autocorr, key_type_drift,
-    # size_model_conformance, audio_polarity, data_freshness,
-    # agg_reconciliation, orphan_value_mass, duration_balance,
-    # split_divergence, unit_mixture, vocab_growth, text_script_mix,
-    # embedding_label_coherence, text_unicode_norm, ann_recall_report
-    "transcript_wer_manifest", "audio_aiff_snr", "aiff_header_integrity",
-    "audio_ulaw_snr", "kmv_set_overlap", "zorder_layout",
-    "distinct_hll_explicit", "audio_spectral_flatness",
-    "sentinel_scan", "schema_contract", "quarantine_rows",
-    "multimodal_meta", "temperature_sample", "seasonal_volume_anomaly",
-    "benford_check", "domain_constraints", "partition_anomaly",
-    "coverage_gaps", "sequence_inversions", "audio_goertzel_check",
-    "categorical_association", "skew_profile", "transcript_conflicts",
-    "label_agreement", "key_set_overlap", "drift_changepoint",
-    "dedup_incremental", "class_balance", "embedding_drift",
-    "embedding_quantization", "corr_profile", "zipf_conformity",
-    "approx_fd",
+    # star-contraction CC now labels reflexive-pair singletons
+    "dedup_clusters",
+    # planted-edit surgery factored into alignment.plant_word_edits
+    "transcript_wer",
+    # NEW: Microsoft ADPCM — second compressed codec, seventh container
+    "audio_msadpcm_snr", "msadpcm_header_integrity",
+    # ---- never-driver-checked queue: CLOSED by this window ------------
+    # oracle-backed, replica-green at sf0.01 since r3/r4:
+    "drift_wasserstein", "audio_dynamic_range", "audio_silence_trim",
+    "audio_zcr_check", "audio_bandwidth_check", "audio_polarity",
+    "audio_content_dedup", "dedup_substring", "dedup_audio_span",
+    "dup_content_conflicts", "dup_transcript_distance",
+    "hash_uniformity", "truncation_report", "key_emergence",
+    "key_type_drift", "key_comissingness", "join_fanout_profile",
+    "manifest_dangling", "size_model_conformance", "unit_mixture",
+    "vocab_growth", "split_divergence", "duration_balance",
+    "orphan_value_mass", "text_tfidf", "text_script_mix",
+    "text_unicode_norm", "text_encoding_check",
+    "text_lexical_diversity", "packing_efficiency", "vocab_coverage",
+    "weighted_sample", "source_cap", "corpus_mix",
+    "embedding_label_coherence", "snapshot_diff", "agg_reconciliation",
+    "incremental_quantile_merge", "event_autocorr", "data_freshness",
+    "file_skew_audit",
+    # rows-only queries that never had ANY driver row (the driver
+    # records the weaker rows-only check for these; invariants are
+    # pinned in pytest):
+    "ann_recall_report", "stats_quantiles_kll", "uniqueness_incremental",
 ]
 
 
