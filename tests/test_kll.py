@@ -130,11 +130,18 @@ def test_spark_kll_matches_local_fold_and_exact(spark, sf_dir):
            kll_quantiles(li, "l_extendedprice", probs, k=200).collect()}
 
     # local twin: same per-partition streams, same seeds, and the same
-    # TWO-LEVEL tree fold (crc32-content shard -> byte-order fold per
-    # shard -> byte-order fold over shard states)
+    # ADAPTIVE fold rule as kll_merge_quantiles — a single byte-order
+    # fold at or below the shard threshold, else the two-level tree
+    # (crc32-content shard -> byte-order fold per shard -> byte-order
+    # fold over shard states)
     import zlib
 
     def tree_fold(blobs, shards=64):
+        if len(blobs) <= shards:          # the adaptive single-level path
+            acc = KLL(k=200, seed=0)
+            for blob in sorted(blobs):
+                acc.merge(KLL.from_bytes(blob))
+            return acc
         by_shard = {}
         for blob in blobs:
             by_shard.setdefault(zlib.crc32(blob) % shards, []).append(blob)
