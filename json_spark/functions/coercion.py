@@ -495,17 +495,27 @@ def coerce_time_of_day(c: Column, cfg: RuleConfig | None = None) -> CoercionResu
 # arrays / objects (embedded JSON in string columns)
 # --------------------------------------------------------------------------
 
+#: EXACTLY one JSON string token, escape-aware: the greedy ``^".*"$``
+#: probe accepts multi-token spellings like ``"x","y"`` (r4 ADVICE),
+#: but an inner unescaped quote cannot occur in a single token, so the
+#: anchored (non-quote-non-backslash | backslash-anything)* body admits
+#: one and only one token while keeping ``"a\",\"b"`` legal.
+_JSON_STRING_TOKEN_RE = r'^"(?:[^"\\]|\\.)*"$'
+
+
 def _json_string_value(t: Column) -> Column:
     """Parse a JSON STRING token (``"..."`` with escapes) to its value.
     Spark's from_json only accepts container schemas, so the token is
     wrapped in a one-element array; a malformed token nulls out. The
-    parse must land on EXACTLY one element: a multi-token spelling like
-    ``"x","y"`` matches the greedy ``^".*"$`` probe and would otherwise
-    be silently truncated to its first token instead of falling through
-    to the dirty/RED tier (r4 ADVICE)."""
+    single-token requirement (a multi-token spelling must fall to the
+    dirty/RED tier, not silently truncate to its first token — r4
+    ADVICE) is enforced by the escape-aware anchored regex, which costs
+    one rlike instead of a second from_json evaluation for a
+    parse-count probe (the probe version measured +0.9 s on
+    coercion_stringified at sf0.1)."""
     arr = F.from_json(F.concat(F.lit("["), t, F.lit("]")),
                       "array<string>")
-    return F.when(F.size(arr) == 1, arr[0])
+    return F.when(t.rlike(_JSON_STRING_TOKEN_RE), arr[0])
 
 
 def unwrap_stringified(c: Column) -> tuple[Column, Column]:
