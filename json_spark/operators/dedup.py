@@ -506,15 +506,19 @@ def _star_clusters(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
     # planning O(1) per round. (On a real cluster prefer a reliable
     # checkpoint dir for executor-loss recovery; localCheckpoint trades
     # that for zero-config speed, fine for a bounded CC loop.)
+    # ONE materialization of the upstream pair pipeline (the expensive
+    # part: scan + banding + verify) — both the edge list and the
+    # reflexive-pair ids derive from this checkpoint, so the selfies
+    # pass costs a cheap re-scan of the materialized projection, never
+    # a second execution of pair generation.
     canon = pairs.select(
         F.greatest("id_a", "id_b").alias("a"),
-        F.least("id_a", "id_b").alias("b"))
+        F.least("id_a", "id_b").alias("b")).localCheckpoint(eager=True)
     # reflexive pairs carry no connectivity but DO assert membership: an
     # id seen only as (x, x) must still get a singleton label row, as the
     # minlabel twin produces (r4 ADVICE — the two engines must agree).
     selfies = (canon.filter(F.col("a") == F.col("b"))
-               .select(F.col("a").alias("id")).distinct()
-               .localCheckpoint(eager=True))
+               .select(F.col("a").alias("id")).distinct())
     edges = (canon
              .filter(F.col("a") != F.col("b")).distinct()
              .localCheckpoint(eager=True))
