@@ -192,6 +192,9 @@ HEADLINE = [
     "zorder_layout",
     "kmv_set_overlap",
     "transcript_wer_manifest",
+    # r5 additions: the second compressed codec (MS-ADPCM)
+    "audio_msadpcm_snr",
+    "msadpcm_header_integrity",
     # r4 additions: compressed lossy codec + the last declared-only
     # reference coercions
     "audio_adpcm_snr",
